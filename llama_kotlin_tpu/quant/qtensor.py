@@ -1,0 +1,126 @@
+"""QTensor: the TPU-resident quantized tensor representation.
+
+Every ggml wire format is repacked at load time (see ``repack.py``) into a
+single uniform structure-of-arrays layout so that ONE kernel family handles
+all formats:
+
+    value[n, k] = (codes[n, k] - code_offset) * eff_scale[n, g] - eff_min[n, g]
+    eff_scale   = f32(sb_scale[n, s]) * f32(g_scale[n, g])   (two-level), or
+                  f32(g_scale[n, g])                          (one-level)
+    g = k // group_size,  s = k // 256
+
+This preserves the wire formats' numerics bit-exactly (the same f32 product
+order as the reference decoders) while being TPU-friendly:
+
+- ``codes`` are packed bit-planes with a 256-element span: for 4-bit, byte
+  column ``j`` of span ``s`` holds element ``256*s + j`` in its low nibble
+  and element ``256*s + 128 + j`` in its high nibble (128-byte spans =
+  exactly one TPU lane row).  2-bit uses 4 planes of 64 bytes.  5/6/8-bit
+  codes are stored as int8 (one byte per element).
+- group scales stay small ints (u8/i8) and superblock scales stay f16, so
+  HBM bytes/weight match the wire format closely (the decode hot loop is
+  weight-bandwidth-bound).
+- the K axis is padded to a multiple of 256 with zero scales, so shard and
+  tile boundaries always align with span boundaries.
+
+Replaces (TPU-native redesign, not a translation): ggml's per-block struct
+layout + per-arch repack in ggml-aarch64.c:339 (which solves the same
+"repack wire blocks for the ISA's vector shape" problem for NEON).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+SPAN = 256  # elements per packing span (= QK_K superblock)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class QTensor:
+    """Quantized 2-D tensor [n, k] (row-major; k is the contraction axis)."""
+
+    codes: jax.Array  # packed planes (uint8) or int8 codes; see `bits`
+    g_scale: jax.Array  # [n, k_pad // group_size] u8/i8/f16/f32 per-group scale
+    g_min: Optional[jax.Array]  # per-group min (same layout) or None
+    sb_scale: Optional[jax.Array]  # [n, k_pad // 256] f16 superblock scale or None
+    sb_min: Optional[jax.Array]  # [n, k_pad // 256] f16 superblock min-scale or None
+    qtype: GGMLQuantType = field(metadata=dict(static=True))
+    bits: int = field(metadata=dict(static=True))  # packed bit width: 2, 4, or 8
+    group_size: int = field(metadata=dict(static=True))
+    code_offset: int = field(metadata=dict(static=True))
+    shape: tuple[int, int] = field(metadata=dict(static=True))  # logical (n, k)
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.shape[1]
+
+    @property
+    def k_pad(self) -> int:
+        if self.bits == 8:
+            return self.codes.shape[-1]
+        return self.codes.shape[-1] * (8 // self.bits)
+
+    def nbytes(self) -> int:
+        total = self.codes.size * self.codes.dtype.itemsize
+        for a in (self.g_scale, self.g_min, self.sb_scale, self.sb_min):
+            if a is not None:
+                total += a.size * a.dtype.itemsize
+        return total
+
+
+def unpack_codes(qt: QTensor) -> jnp.ndarray:
+    """Unpack `codes` to int32 [n, k_pad] (plane layout -> element order)."""
+    c = qt.codes
+    if qt.bits == 8:
+        return c.astype(jnp.int32)
+    n = c.shape[0]
+    if qt.bits == 4:
+        half = SPAN // 2  # 128 bytes per span
+        spans = c.shape[-1] // half
+        b = c.reshape(n, spans, half).astype(jnp.int32)
+        lo = b & 0x0F
+        hi = (b >> 4) & 0x0F
+        return jnp.concatenate([lo, hi], axis=-1).reshape(n, spans * SPAN)
+    if qt.bits == 2:
+        quarter = SPAN // 4  # 64 bytes per span
+        spans = c.shape[-1] // quarter
+        b = c.reshape(n, spans, quarter).astype(jnp.int32)
+        planes = [(b >> (2 * p)) & 0x03 for p in range(4)]
+        return jnp.concatenate(planes, axis=-1).reshape(n, spans * SPAN)
+    raise ValueError(f"unsupported bit width {qt.bits}")
+
+
+def effective_scales(qt: QTensor) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-group (eff_scale, eff_min) as f32 [n, k_pad // group_size]."""
+    s = qt.g_scale.astype(jnp.float32)
+    m = qt.g_min.astype(jnp.float32) if qt.g_min is not None else None
+    if qt.sb_scale is not None:
+        rep = SPAN // qt.group_size
+        s = s * jnp.repeat(qt.sb_scale.astype(jnp.float32), rep, axis=-1)
+        if m is not None and qt.sb_min is not None:
+            m = m * jnp.repeat(qt.sb_min.astype(jnp.float32), rep, axis=-1)
+    return s, m
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Full dequantization to [n, k] (reference path; kernels fuse this)."""
+    codes = unpack_codes(qt)
+    s, m = effective_scales(qt)
+    g = qt.group_size
+    w = (codes - qt.code_offset).astype(jnp.float32) * jnp.repeat(s, g, axis=-1)
+    if m is not None:
+        w = w - jnp.repeat(m, g, axis=-1)
+    return w[:, : qt.k].astype(dtype)

@@ -1,0 +1,280 @@
+"""Wire-format -> QTensor repacking (host-side numpy, done once at load).
+
+Extracts integer codes and scale planes from ggml wire blocks and lays them
+out in the TPU-friendly QTensor format (see qtensor.py).  The bit logic
+mirrors the decoders in numpy_ref.py (parity target ggml-quants.c), but
+yields codes/scales instead of floats so dequantization can be fused into
+matmul kernels on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from llama_kotlin_tpu.quant.formats import GGMLQuantType, QK_K, TYPE_TRAITS
+from llama_kotlin_tpu.quant.numpy_ref import (
+    _f16,
+    unpack_q3k_scales,
+    unpack_scale_min_k4,
+)
+from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
+
+
+def _wire_blocks(data: np.ndarray, qtype: GGMLQuantType, n: int, k: int) -> np.ndarray:
+    tr = TYPE_TRAITS[qtype]
+    data = np.ascontiguousarray(data, np.uint8).reshape(-1)
+    expect = n * (k // tr.block_size) * tr.type_size
+    if data.size != expect:
+        raise ValueError(f"wire size {data.size} != expected {expect} for {tr.name} [{n},{k}]")
+    return data.reshape(n, k // tr.block_size, tr.type_size)
+
+
+def _pad_k(a: np.ndarray, k_pad: int, fill=0) -> np.ndarray:
+    """Pad the trailing axis to k_pad columns."""
+    if a.shape[-1] == k_pad:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, k_pad - a.shape[-1])]
+    return np.pad(a, pad, constant_values=fill)
+
+
+def _pack4(codes: np.ndarray) -> np.ndarray:
+    """uint4 codes [n, k_pad] -> plane-packed bytes [n, k_pad // 2]."""
+    n, k = codes.shape
+    c = codes.reshape(n, k // SPAN, 2, SPAN // 2).astype(np.uint8)
+    return (c[:, :, 0] | (c[:, :, 1] << 4)).reshape(n, k // 2)
+
+
+def _pack2(codes: np.ndarray) -> np.ndarray:
+    """uint2 codes [n, k_pad] -> plane-packed bytes [n, k_pad // 4]."""
+    n, k = codes.shape
+    c = codes.reshape(n, k // SPAN, 4, SPAN // 4).astype(np.uint8)
+    return (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)).reshape(
+        n, k // 4
+    )
+
+
+def _k_pad_of(k: int) -> int:
+    return (k + SPAN - 1) // SPAN * SPAN
+
+
+def _make(qtype, codes, bits, group_size, code_offset, n, k, g_scale, g_min=None,
+          sb_scale=None, sb_min=None) -> QTensor:
+    k_pad = _k_pad_of(k)
+    if bits == 8:
+        packed = _pad_k(codes, k_pad).astype(codes.dtype)
+    elif bits == 4:
+        packed = _pack4(_pad_k(codes, k_pad))
+    elif bits == 2:
+        packed = _pack2(_pad_k(codes, k_pad))
+    else:
+        raise ValueError(bits)
+    g_scale = _pad_k(g_scale, k_pad // group_size)
+    if g_min is not None:
+        g_min = _pad_k(g_min, k_pad // group_size)
+    if sb_scale is not None:
+        sb_scale = _pad_k(sb_scale, k_pad // SPAN)
+    if sb_min is not None:
+        sb_min = _pad_k(sb_min, k_pad // SPAN)
+    return QTensor(
+        codes=packed, g_scale=g_scale, g_min=g_min, sb_scale=sb_scale, sb_min=sb_min,
+        qtype=qtype, bits=bits, group_size=group_size, code_offset=code_offset,
+        shape=(n, k),
+    )
+
+
+# -- legacy formats ---------------------------------------------------------
+
+
+def repack_q4_0(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q4_0, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")  # [n, k/32] f16
+    qs = b[:, :, 2:18]
+    codes = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).reshape(n, k)
+    return _make(GGMLQuantType.Q4_0, codes, 4, 32, 8, n, k, g_scale=d)
+
+
+def repack_q4_1(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q4_1, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    m = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    qs = b[:, :, 4:20]
+    codes = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).reshape(n, k)
+    # value = q*d + m  ->  q*d - (-m)
+    return _make(GGMLQuantType.Q4_1, codes, 4, 32, 0, n, k, g_scale=d, g_min=-m)
+
+
+def repack_q5_0(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q5_0, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    qh = np.ascontiguousarray(b[:, :, 2:6]).view("<u4")[..., 0]  # [n, k/32]
+    qs = b[:, :, 6:22]
+    j = np.arange(16)
+    lo = (qs & 0x0F) | (((qh[..., None] >> j) << 4) & 0x10).astype(np.uint8)
+    hi = (qs >> 4) | ((qh[..., None] >> (j + 12)) & 0x10).astype(np.uint8)
+    codes = (np.concatenate([lo, hi], axis=-1).astype(np.int16) - 16).astype(np.int8)
+    return _make(GGMLQuantType.Q5_0, codes.reshape(n, k), 8, 32, 0, n, k, g_scale=d)
+
+
+def repack_q5_1(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q5_1, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    m = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    qh = np.ascontiguousarray(b[:, :, 4:8]).view("<u4")[..., 0]
+    qs = b[:, :, 8:24]
+    j = np.arange(16)
+    lo = (qs & 0x0F) | (((qh[..., None] >> j) << 4) & 0x10).astype(np.uint8)
+    hi = (qs >> 4) | ((qh[..., None] >> (j + 12)) & 0x10).astype(np.uint8)
+    codes = np.concatenate([lo, hi], axis=-1).astype(np.int8)
+    return _make(GGMLQuantType.Q5_1, codes.reshape(n, k), 8, 32, 0, n, k, g_scale=d, g_min=-m)
+
+
+def repack_q8_0(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q8_0, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    codes = np.ascontiguousarray(b[:, :, 2:34]).view(np.int8).reshape(n, k)
+    return _make(GGMLQuantType.Q8_0, codes, 8, 32, 0, n, k, g_scale=d)
+
+
+# -- K-quants ---------------------------------------------------------------
+
+
+def repack_q2_k(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q2_K, n, k)
+    scales = b[:, :, 0:16]
+    qs = b[:, :, 16:80]
+    d = b[:, :, 80:82].reshape(n, -1).view("<f2")
+    dmin = b[:, :, 82:84].reshape(n, -1).view("<f2")
+    nsb = k // QK_K
+    codes = np.empty((n, nsb, QK_K), np.uint8)
+    # element order identical to dequantize_q2_k
+    for half_i, off in enumerate((0, 128)):
+        qb = qs[:, :, off // 4 : off // 4 + 32]
+        for si, shift in enumerate((0, 2, 4, 6)):
+            codes[:, :, off + si * 32 : off + si * 32 + 32] = (qb >> shift) & 3
+    g_scale = (scales & 0x0F).reshape(n, -1)  # [n, k/16] 4-bit
+    g_min = (scales >> 4).reshape(n, -1)
+    return _make(GGMLQuantType.Q2_K, codes.reshape(n, k), 2, 16, 0, n, k,
+                 g_scale=g_scale, g_min=g_min, sb_scale=d, sb_min=dmin)
+
+
+def repack_q3_k(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q3_K, n, k)
+    hmask = b[:, :, 0:32]
+    qs = b[:, :, 32:96]
+    sc = unpack_q3k_scales(b[:, :, 96:108])  # [n, nsb, 16] signed
+    d = b[:, :, 108:110].reshape(n, -1).view("<f2")
+    nsb = k // QK_K
+    codes = np.empty((n, nsb, QK_K), np.int8)
+    m = 1
+    for off in (0, 128):
+        qb = qs[:, :, off // 4 : off // 4 + 32]
+        for shift in (0, 2, 4, 6):
+            low = ((qb >> shift) & 3).astype(np.int8)
+            high = ((hmask & m) == 0).astype(np.int8) * 4
+            codes[:, :, off + (shift // 2) * 32 : off + (shift // 2) * 32 + 32] = low - high
+            m <<= 1
+    return _make(GGMLQuantType.Q3_K, codes.reshape(n, k), 8, 16, 0, n, k,
+                 g_scale=sc.astype(np.int8).reshape(n, -1), sb_scale=d)
+
+
+def repack_q4_k(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q4_K, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    dmin = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    sc, mn = unpack_scale_min_k4(b[:, :, 4:16])  # [n, nsb, 8]
+    qs = b[:, :, 16:144]
+    nsb = k // QK_K
+    codes = np.empty((n, nsb, QK_K), np.uint8)
+    for j in range(4):
+        chunk = qs[:, :, 32 * j : 32 * j + 32]
+        codes[:, :, 64 * j : 64 * j + 32] = chunk & 0x0F
+        codes[:, :, 64 * j + 32 : 64 * j + 64] = chunk >> 4
+    return _make(GGMLQuantType.Q4_K, codes.reshape(n, k), 4, 32, 0, n, k,
+                 g_scale=sc.astype(np.uint8).reshape(n, -1),
+                 g_min=mn.astype(np.uint8).reshape(n, -1), sb_scale=d, sb_min=dmin)
+
+
+def repack_q5_k(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q5_K, n, k)
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    dmin = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    sc, mn = unpack_scale_min_k4(b[:, :, 4:16])
+    qh = b[:, :, 16:48]
+    qs = b[:, :, 48:176]
+    nsb = k // QK_K
+    codes = np.empty((n, nsb, QK_K), np.uint8)
+    for j in range(4):
+        chunk = qs[:, :, 32 * j : 32 * j + 32]
+        u1 = np.uint8(1 << (2 * j))
+        u2 = np.uint8(2 << (2 * j))
+        codes[:, :, 64 * j : 64 * j + 32] = (chunk & 0x0F) | ((qh & u1) != 0) * np.uint8(16)
+        codes[:, :, 64 * j + 32 : 64 * j + 64] = (chunk >> 4) | ((qh & u2) != 0) * np.uint8(16)
+    return _make(GGMLQuantType.Q5_K, codes.reshape(n, k), 8, 32, 0, n, k,
+                 g_scale=sc.astype(np.uint8).reshape(n, -1),
+                 g_min=mn.astype(np.uint8).reshape(n, -1), sb_scale=d, sb_min=dmin)
+
+
+def repack_q6_k(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q6_K, n, k)
+    ql = b[:, :, 0:128]
+    qh = b[:, :, 128:192]
+    scales = np.ascontiguousarray(b[:, :, 192:208]).view(np.int8)
+    d = b[:, :, 208:210].reshape(n, -1).view("<f2")
+    nsb = k // QK_K
+    codes = np.empty((n, nsb, QK_K), np.int8)
+    for half in (0, 1):
+        lql = ql[:, :, 64 * half : 64 * half + 64]
+        lqh = qh[:, :, 32 * half : 32 * half + 32]
+        base = 128 * half
+        codes[:, :, base : base + 32] = (
+            ((lql[:, :, :32] & 0x0F) | ((lqh & 0x03) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        codes[:, :, base + 32 : base + 64] = (
+            ((lql[:, :, 32:] & 0x0F) | (((lqh >> 2) & 0x03) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        codes[:, :, base + 64 : base + 96] = (
+            ((lql[:, :, :32] >> 4) | (((lqh >> 4) & 0x03) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+        codes[:, :, base + 96 : base + 128] = (
+            ((lql[:, :, 32:] >> 4) | (((lqh >> 6) & 0x03) << 4)).astype(np.int16) - 32
+        ).astype(np.int8)
+    return _make(GGMLQuantType.Q6_K, codes.reshape(n, k), 8, 16, 0, n, k,
+                 g_scale=scales.reshape(n, -1), sb_scale=d)
+
+
+def repack_q8_k(data, n, k) -> QTensor:
+    b = _wire_blocks(data, GGMLQuantType.Q8_K, n, k)
+    d = np.ascontiguousarray(b[:, :, 0:4]).view("<f4")[..., 0]  # [n, k/256] f32
+    codes = np.ascontiguousarray(b[:, :, 4 : 4 + QK_K]).view(np.int8).reshape(n, k)
+    return _make(GGMLQuantType.Q8_K, codes, 8, QK_K, 0, n, k, g_scale=d)
+
+
+REPACKERS = {
+    GGMLQuantType.Q4_0: repack_q4_0,
+    GGMLQuantType.Q4_1: repack_q4_1,
+    GGMLQuantType.Q5_0: repack_q5_0,
+    GGMLQuantType.Q5_1: repack_q5_1,
+    GGMLQuantType.Q8_0: repack_q8_0,
+    GGMLQuantType.Q2_K: repack_q2_k,
+    GGMLQuantType.Q3_K: repack_q3_k,
+    GGMLQuantType.Q4_K: repack_q4_k,
+    GGMLQuantType.Q5_K: repack_q5_k,
+    GGMLQuantType.Q6_K: repack_q6_k,
+    GGMLQuantType.Q8_K: repack_q8_k,
+}
+
+
+def repack(data: np.ndarray, qtype: GGMLQuantType, n: int, k: int) -> QTensor:
+    """Repack wire bytes of an [n, k] row-major tensor into a QTensor."""
+    if qtype not in REPACKERS:
+        raise NotImplementedError(f"repack not implemented for {qtype!r}")
+    return REPACKERS[qtype](data, n, k)
+
+
+def repack_float(x: np.ndarray, qtype: GGMLQuantType) -> QTensor:
+    """Quantize float data [n, k] to the wire format, then repack."""
+    from llama_kotlin_tpu.quant import numpy_ref
+
+    n, k = x.shape
+    wire = numpy_ref.quantize(np.ascontiguousarray(x, np.float32), qtype)
+    return repack(wire, qtype, n, k)

@@ -1,0 +1,60 @@
+"""Repack layer tests: wire -> QTensor -> jnp dequantize must reproduce the
+wire decoder bit-for-bit (same f32 operation order), including K padding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from llama_kotlin_tpu.quant import numpy_ref as Q
+from llama_kotlin_tpu.quant import repack
+from llama_kotlin_tpu.quant import qtensor
+from llama_kotlin_tpu.quant.formats import NAME_TO_TYPE
+
+REPACK_TYPES = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "q2_K", "q3_K", "q4_K", "q5_K", "q6_K", "q8_K"]
+
+
+@pytest.mark.parametrize("tname", REPACK_TYPES)
+def test_repack_dequant_exact(rng, tname):
+    qt_enum = NAME_TO_TYPE[tname]
+    n, k = 6, 512
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    wire = Q.quantize(x, qt_enum)
+    ref = Q.dequantize(wire, qt_enum, shape=(n, k))
+    qt = repack.repack(wire, qt_enum, n, k)
+    out = np.asarray(qtensor.dequantize(qt))
+    assert out.shape == (n, k)
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("tname", ["q4_0", "q8_0"])
+def test_repack_with_k_padding(rng, tname):
+    """K not a multiple of the 256-element span must pad with zero scales."""
+    qt_enum = NAME_TO_TYPE[tname]
+    n, k = 4, 160  # 5 blocks of 32, not a multiple of 256
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    wire = Q.quantize(x, qt_enum)
+    ref = Q.dequantize(wire, qt_enum, shape=(n, k))
+    qt = repack.repack(wire, qt_enum, n, k)
+    assert qt.k_pad == 256
+    np.testing.assert_array_equal(np.asarray(qtensor.dequantize(qt)), ref)
+    # padding region dequantizes to zero
+    codes = np.asarray(qtensor.unpack_codes(qt))
+    s, _ = qtensor.effective_scales(qt)
+    assert np.all(np.asarray(s)[:, k // qt.group_size :] == 0)
+
+
+@pytest.mark.parametrize("tname", REPACK_TYPES)
+def test_repack_bytes_overhead(rng, tname):
+    """Repacked HBM footprint must stay within 1.35x of the wire format
+    (bandwidth is the decode bottleneck). 5/6-bit formats currently store
+    int8 codes; the others must be ~wire-sized."""
+    from llama_kotlin_tpu.quant.formats import TYPE_TRAITS
+
+    qt_enum = NAME_TO_TYPE[tname]
+    n, k = 8, 2048
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    qt = repack.repack_float(x, qt_enum)
+    wire_bytes = n * k // TYPE_TRAITS[qt_enum].block_size * TYPE_TRAITS[qt_enum].type_size
+    limit = {"q5_0": 1.6, "q5_1": 1.55, "q5_K": 1.6, "q6_K": 1.40, "q3_K": 2.55}.get(tname, 1.35)
+    assert qt.nbytes() <= wire_bytes * limit, (qt.nbytes(), wire_bytes)
