@@ -1,0 +1,155 @@
+"""Model hyper-parameters, mapped from GGUF metadata.
+
+Parity target: llama_hparams + llm_load_hparams (reference src/llama.cpp:
+2195-2370, 5108) — the subset needed by the llama-family archs first, with
+the registry growing per arch (reference supports 44; see
+models/registry.py for our coverage table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from llama_kotlin_tpu.ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "llama"
+    name: str = ""
+    vocab_size: int = 32000
+    n_embd: int = 4096
+    n_layer: int = 32
+    n_head: int = 32
+    n_head_kv: int = 32
+    n_ff: int = 11008
+    head_dim: int = 0  # 0 -> n_embd // n_head
+    n_ctx_train: int = 2048
+    rms_eps: float = 1e-5
+    norm_eps: float = 1e-5
+    use_rms_norm: bool = True
+    norm_weight_offset: float = 0.0  # 1.0 for gemma's (1+w)
+    act: str = "silu"
+    ffn_gated: bool = True
+    rope_type: int = ROPE_TYPE_NORM
+    rope_freq_base: float = 10000.0
+    rope_freq_scale: float = 1.0
+    rope_dim: int = 0  # 0 -> head_dim
+    rope_yarn_ext_factor: float = 0.0
+    rope_yarn_attn_factor: float = 1.0
+    rope_yarn_beta_fast: float = 32.0
+    rope_yarn_beta_slow: float = 1.0
+    rope_orig_ctx: int = 0
+    n_expert: int = 0
+    n_expert_used: int = 0
+    embd_scale: float = 1.0  # gemma: sqrt(n_embd)
+    attn_logit_softcap: float = 0.0  # gemma2
+    final_logit_softcap: float = 0.0  # gemma2
+    swa_window: int = 0  # sliding-window attention width (0 = off)
+    swa_pattern: int = 1  # every Nth layer is full-attention (gemma2: 2)
+    attn_qkv_bias: bool = False
+    attn_out_bias: bool = False
+    tie_word_embeddings: bool = False
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.head_dim == 0:
+            self.head_dim = self.n_embd // self.n_head
+        if self.rope_dim == 0:
+            self.rope_dim = self.head_dim
+
+    @property
+    def attn_scale(self) -> float:
+        return 1.0 / (self.head_dim**0.5)
+
+    def rope_params(self) -> RopeParams:
+        return RopeParams(
+            n_rot=self.rope_dim,
+            rope_type=self.rope_type,
+            freq_base=self.rope_freq_base,
+            freq_scale=self.rope_freq_scale,
+            ext_factor=self.rope_yarn_ext_factor,
+            attn_factor=self.rope_yarn_attn_factor,
+            beta_fast=self.rope_yarn_beta_fast,
+            beta_slow=self.rope_yarn_beta_slow,
+            n_ctx_orig=self.rope_orig_ctx or self.n_ctx_train,
+        )
+
+    def layer_swa_window(self, layer: int) -> int:
+        """Sliding window for a given layer (0 = full attention)."""
+        if self.swa_window <= 0:
+            return 0
+        if self.swa_pattern > 1 and (layer + 1) % self.swa_pattern == 0:
+            return 0
+        return self.swa_window
+
+
+def _get(md: dict, arch: str, key: str, default=None):
+    v = md.get(f"{arch}.{key}", default)
+    if hasattr(v, "item"):
+        v = v.item()
+    return v
+
+
+def config_from_metadata(md: dict) -> ModelConfig:
+    """Build a ModelConfig from GGUF metadata KVs (cf. llm_load_hparams)."""
+    arch = md.get("general.architecture", "llama")
+    n_embd = int(_get(md, arch, "embedding_length", 4096))
+    n_head = int(_get(md, arch, "attention.head_count", 32))
+    n_layer = int(_get(md, arch, "block_count", 32))
+    cfg = ModelConfig(
+        arch=arch,
+        name=str(md.get("general.name", "")),
+        n_embd=n_embd,
+        n_layer=n_layer,
+        n_head=n_head,
+        n_head_kv=int(_get(md, arch, "attention.head_count_kv", n_head) or n_head),
+        n_ff=int(_get(md, arch, "feed_forward_length", 4 * n_embd)),
+        head_dim=int(_get(md, arch, "attention.key_length", 0) or 0),
+        n_ctx_train=int(_get(md, arch, "context_length", 2048)),
+        rms_eps=float(_get(md, arch, "attention.layer_norm_rms_epsilon", 1e-5)),
+        norm_eps=float(_get(md, arch, "attention.layer_norm_epsilon", 1e-5)),
+        rope_freq_base=float(_get(md, arch, "rope.freq_base", 10000.0)),
+        rope_dim=int(_get(md, arch, "rope.dimension_count", 0) or 0),
+        n_expert=int(_get(md, arch, "expert_count", 0) or 0),
+        n_expert_used=int(_get(md, arch, "expert_used_count", 0) or 0),
+        swa_window=int(_get(md, arch, "attention.sliding_window", 0) or 0),
+    )
+    # vocab size: explicit key, else tokenizer table length
+    vs = _get(md, arch, "vocab_size", None)
+    if vs is None:
+        toks = md.get("tokenizer.ggml.tokens")
+        vs = len(toks) if toks is not None else 32000
+    cfg.vocab_size = int(vs)
+
+    # rope scaling
+    scaling = _get(md, arch, "rope.scaling.type", "") or ""
+    factor = _get(md, arch, "rope.scaling.factor", None)
+    if scaling == "linear" and factor:
+        cfg.rope_freq_scale = 1.0 / float(factor)
+    elif scaling == "yarn" and factor:
+        cfg.rope_freq_scale = 1.0 / float(factor)
+        cfg.rope_yarn_ext_factor = 1.0
+        cfg.rope_orig_ctx = int(
+            _get(md, arch, "rope.scaling.original_context_length", cfg.n_ctx_train)
+        )
+
+    # arch-specific adjustments (cf. per-arch cases in llm_load_hparams)
+    if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
+                "stablelm", "gemma", "gemma2", "starcoder2", "olmo", "mistral3",
+                "deepseek2", "command-r", "minicpm", "internlm2"):
+        cfg.rope_type = ROPE_TYPE_NEOX
+    if arch in ("gemma", "gemma2"):
+        cfg.act = "gelu"
+        cfg.embd_scale = float(n_embd) ** 0.5
+        cfg.norm_weight_offset = 1.0
+        cfg.tie_word_embeddings = True
+    if arch == "gemma2":
+        cfg.attn_logit_softcap = float(_get(md, arch, "attn_logit_softcapping", 50.0))
+        cfg.final_logit_softcap = float(_get(md, arch, "final_logit_softcapping", 30.0))
+        cfg.swa_window = cfg.swa_window or 4096
+        cfg.swa_pattern = 2
+    if arch in ("qwen2", "qwen2moe", "stablelm", "phi2"):
+        cfg.attn_qkv_bias = True
+    return cfg

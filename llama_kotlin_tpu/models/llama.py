@@ -1,0 +1,141 @@
+"""Llama-family decoder (functional, jit-once).
+
+TPU-first redesign of the reference graph builders (build_llama,
+src/llama.cpp:9558, plus the shared helpers llm_build_norm/ffn/kqv/kv):
+instead of rebuilding an op graph every ubatch, one jitted function with
+static shapes (n_tokens bucket x cell count) executes the whole step.
+Continuous batching works on a flat token list — each token carries
+(pos, seq) like llama_ubatch — and attention visibility comes from cache
+cell metadata (see ops/attention.py), so mixed prefill+decode across many
+sequences is ONE program.
+
+Covers: LLaMA 1/2/3 (+GQA +rope freq-factors), Mistral, TinyLlama, Qwen2
+(qkv bias), Gemma 1/2 (gelu, embd scale, norm offset, logit softcaps,
+sliding window, pre/post-ffn norms), StableLM-ish variants via config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.models.config import ModelConfig
+from llama_kotlin_tpu.ops.activations import ACTIVATIONS
+from llama_kotlin_tpu.ops.attention import attention, visibility_mask
+from llama_kotlin_tpu.ops.norms import rms_norm
+from llama_kotlin_tpu.ops.qmatmul import qmatmul, take_rows
+from llama_kotlin_tpu.ops.rope import apply_rope
+from llama_kotlin_tpu.runtime.kv_cache import KVCache
+
+
+def layer_params(p: dict, i: int) -> dict:
+    return p["layers"][i]
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,  # [nt] int32
+    token_pos: jnp.ndarray,  # [nt] int32
+    token_seq: jnp.ndarray,  # [nt] int32 sequence index per token
+    slots: jnp.ndarray,  # [nt] int32 cache cell index per token
+    cache: KVCache,
+    cell_pos: jnp.ndarray,  # [cells] int32 (post-insert metadata)
+    cell_seq: jnp.ndarray,  # [cells] int32 bitmask
+    out_ids: jnp.ndarray,  # [n_out] int32 token rows to produce logits for
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, KVCache]:
+    """One ubatch step. Returns (logits [n_out, vocab] f32, updated cache).
+
+    `cell_pos`/`cell_seq` must already reflect the inserted tokens
+    (CellMetadata.commit before the call), mirroring how llama_set_inputs
+    fills inp_KQ_mask after find_slot.
+    """
+    nt = tokens.shape[0]
+    rope = cfg.rope_params()
+    freq_factors = params.get("rope_freqs")
+
+    h = take_rows(params["tok_embd"], tokens, dtype=compute_dtype)
+    if cfg.embd_scale != 1.0:
+        h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
+
+    # visibility masks shared across layers (full + sliding-window variants)
+    mask_full = visibility_mask(token_pos, token_seq, cell_pos, cell_seq)
+    mask_swa = (
+        visibility_mask(token_pos, token_seq, cell_pos, cell_seq, window=cfg.swa_window)
+        if cfg.swa_window > 0
+        else None
+    )
+
+    new_k = cache.k
+    new_v = cache.v
+    for i in range(cfg.n_layer):
+        lp = layer_params(params, i)
+        x = rms_norm(h, lp["attn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+
+        q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
+        k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
+        v = qmatmul(x, lp["wv"], compute_dtype=compute_dtype)
+        if lp.get("bq") is not None:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(nt, cfg.n_head, cfg.head_dim)
+        k = k.reshape(nt, cfg.n_head_kv, cfg.head_dim)
+        v = v.reshape(nt, cfg.n_head_kv, cfg.head_dim)
+
+        if lp.get("attn_q_norm") is not None:
+            q = rms_norm(q, lp["attn_q_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+            k = rms_norm(k, lp["attn_k_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+
+        q = apply_rope(q, token_pos, rope, freq_factors)
+        k = apply_rope(k, token_pos, rope, freq_factors)
+
+        kd = k.astype(cache.k.dtype)
+        vd = v.astype(cache.v.dtype)
+        new_k = new_k.at[i, slots].set(kd)
+        new_v = new_v.at[i, slots].set(vd)
+
+        window = cfg.layer_swa_window(i)
+        mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
+        n_vis = cell_pos.shape[0]  # cache may carry a scratch row beyond the masked cells
+        attn = attention(
+            q.astype(compute_dtype), new_k[i, :n_vis], new_v[i, :n_vis], mask,
+            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+        )
+        attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
+        attn_out = qmatmul(attn, lp["wo"], compute_dtype=compute_dtype)
+        if lp.get("bo") is not None:
+            attn_out = attn_out + lp["bo"]
+        if lp.get("post_attn_norm") is not None:  # gemma2
+            attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps,
+                                cfg.norm_weight_offset)
+        h = h + attn_out.astype(h.dtype)
+
+        x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+        act = ACTIVATIONS[cfg.act]
+        if cfg.ffn_gated and lp.get("ffn_gate") is not None:
+            gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
+            up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
+            ffn = act(gate) * up
+        else:
+            ffn = act(qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype))
+        down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
+        if lp.get("post_ffn_norm") is not None:  # gemma2
+            down = rms_norm(down, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+        h = h + down.astype(h.dtype)
+
+    # logits only for requested rows (cf. inp_out_ids, llama.cpp:9637)
+    h_out = h[out_ids]
+    h_out = rms_norm(h_out, params["output_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["tok_embd"]  # tied embeddings
+    logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
+    if cfg.final_logit_softcap > 0.0:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits, replace(cache, k=new_k, v=new_v)

@@ -1,0 +1,118 @@
+"""GGUF -> device params loading.
+
+Parity target: llama_model_loader + llm_load_tensors (reference
+src/llama.cpp:4119, 6464): tensor-name tables per arch, mmap'd wire data,
+per-tensor repack into the TPU QTensor layout, then device placement
+(optionally sharded — see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_kotlin_tpu.gguf.reader import GGUFFile
+from llama_kotlin_tpu.models.config import ModelConfig, config_from_metadata
+from llama_kotlin_tpu.quant.formats import GGMLQuantType, TYPE_TRAITS
+from llama_kotlin_tpu.quant import numpy_ref
+from llama_kotlin_tpu.quant.repack import repack
+
+
+# tensor-name suffix -> params key (cf. LLM_TN table, src/llama.cpp:1369)
+_LAYER_TENSORS = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "wq",
+    "attn_k.weight": "wk",
+    "attn_v.weight": "wv",
+    "attn_output.weight": "wo",
+    "attn_q.bias": "bq",
+    "attn_k.bias": "bk",
+    "attn_v.bias": "bv",
+    "attn_output.bias": "bo",
+    "attn_q_norm.weight": "attn_q_norm",
+    "attn_k_norm.weight": "attn_k_norm",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+    "post_attention_norm.weight": "post_attn_norm",
+    "post_ffw_norm.weight": "post_ffn_norm",
+    "ffn_gate_inp.weight": "ffn_gate_inp",
+    "ffn_gate_exps.weight": "ffn_gate_exps",
+    "ffn_up_exps.weight": "ffn_up_exps",
+    "ffn_down_exps.weight": "ffn_down_exps",
+}
+
+_GLOBAL_TENSORS = {
+    "token_embd.weight": "tok_embd",
+    "output_norm.weight": "output_norm",
+    "output.weight": "output",
+    "rope_freqs.weight": "rope_freqs",
+}
+
+_ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_norm",
+                 "post_attn_norm", "post_ffn_norm", "rope_freqs",
+                 "bq", "bk", "bv", "bo", "ffn_gate_inp"}
+
+
+def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype) -> Any:
+    """Load one tensor: QTensor for quantized matmul weights, dense array
+    otherwise."""
+    info = f.tensors[name]
+    qt = info.ggml_type
+    data = f.tensor_data(name)
+    np_shape = tuple(reversed(info.shape))
+    if key in _ALWAYS_FLOAT or not TYPE_TRAITS[qt].is_quantized:
+        x = numpy_ref.dequantize(data, qt, shape=np_shape)
+        dt = jnp.float32 if key in _ALWAYS_FLOAT else compute_dtype
+        return jnp.asarray(x, dtype=dt)
+    if len(np_shape) == 2:
+        n, k = np_shape
+        return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
+    # >2-D quantized tensors (MoE expert stacks): flatten outer dims
+    k = np_shape[-1]
+    n = info.n_elements // k
+    qtens = repack(data, qt, n, k)
+    qtens.shape = np_shape  # type: ignore[misc]
+    return jax.tree.map(jnp.asarray, qtens)
+
+
+def load_gguf_model(
+    path: str | Path,
+    *,
+    compute_dtype=jnp.bfloat16,
+    progress_callback=None,
+) -> tuple[ModelConfig, dict, GGUFFile]:
+    """Load a GGUF model file into (config, params pytree, open gguf).
+
+    The GGUFFile stays open (mmap) so callers can read the tokenizer
+    metadata; close it when done.
+    """
+    f = GGUFFile(path)
+    cfg = config_from_metadata(f.metadata)
+    params: dict[str, Any] = {"layers": [dict() for _ in range(cfg.n_layer)]}
+    total = len(f.tensors)
+    for idx, name in enumerate(f.tensors):
+        if progress_callback is not None:
+            if progress_callback(idx / total) is False:
+                raise InterruptedError("model load cancelled")  # cf. llama.h:281
+        if name in _GLOBAL_TENSORS:
+            key = _GLOBAL_TENSORS[name]
+            params[key] = _load_tensor(f, name, key, compute_dtype)
+            continue
+        if name.startswith("blk."):
+            _, i_str, suffix = name.split(".", 2)
+            key = _LAYER_TENSORS.get(suffix)
+            if key is not None:
+                params["layers"][int(i_str)][key] = _load_tensor(f, name, key, compute_dtype)
+                continue
+        # unknown tensors are tolerated (vision towers etc. until supported)
+    if "rope_freqs" not in params:
+        params["rope_freqs"] = None
+    if progress_callback is not None:
+        progress_callback(1.0)
+    return cfg, params, f

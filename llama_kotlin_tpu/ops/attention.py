@@ -1,0 +1,111 @@
+"""Attention over the unified KV cell cache.
+
+Design (TPU-first redesign of the reference's KQ-mask attention,
+llm_build_kqv src/llama.cpp:8826): all sequences share one cell array; each
+query token carries (pos, seq) and each cache cell carries (pos, seq-bitmask).
+The attention mask is computed on device from this metadata, so continuous
+batching, multi-sequence decode, sliding-window and causal masking all fall
+out of one formula and the shapes stay static for XLA:
+
+    visible[t, c] = (cell_seq_mask[c] >> token_seq[t]) & 1
+                    and cell_pos[c] <= token_pos[t]
+                    and token_pos[t] - cell_pos[c] < window   (if SWA)
+
+Empty cells have cell_pos = -1 and an empty seq mask.  ALiBi slopes and
+Gemma-2-style logit softcapping are supported like soft_max_ext.
+
+The jnp path below is the reference; the Pallas flash kernel
+(ops/pallas/flash.py) computes the same thing blockwise without
+materialising [nt, cells] scores in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def visibility_mask(token_pos: jnp.ndarray, token_seq: jnp.ndarray,
+                    cell_pos: jnp.ndarray, cell_seq_mask: jnp.ndarray,
+                    window: int = 0) -> jnp.ndarray:
+    """Boolean [nt, cells] visibility from cache-cell metadata."""
+    seq_ok = ((cell_seq_mask[None, :] >> token_seq[:, None]) & 1) != 0
+    causal = cell_pos[None, :] <= token_pos[:, None]
+    live = cell_pos[None, :] >= 0
+    vis = seq_ok & causal & live
+    if window > 0:
+        vis = vis & (token_pos[:, None] - cell_pos[None, :] < window)
+    return vis
+
+
+def attention(
+    q: jnp.ndarray,  # [nt, n_head, head_dim]
+    k_cache: jnp.ndarray,  # [cells, n_kv_head, head_dim]
+    v_cache: jnp.ndarray,  # [cells, n_kv_head, head_dim]
+    mask: jnp.ndarray,  # bool [nt, cells]
+    *,
+    scale: float,
+    logit_softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # [n_head]
+    token_pos: Optional[jnp.ndarray] = None,
+    cell_pos: Optional[jnp.ndarray] = None,
+    allow_pallas: bool = True,
+) -> jnp.ndarray:
+    """Masked multi-head attention with GQA; returns [nt, n_head, head_dim].
+
+    Scores in f32; output in q.dtype.
+    """
+    if allow_pallas and alibi_slopes is None and jax.default_backend() not in ("cpu",):
+        from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
+
+        out = flash_attention_or_none(q, k_cache, v_cache, mask,
+                                      scale=scale, logit_softcap=logit_softcap)
+        if out is not None:
+            return out
+    return attention_reference(
+        q, k_cache, v_cache, mask, scale=scale, logit_softcap=logit_softcap,
+        alibi_slopes=alibi_slopes, token_pos=token_pos, cell_pos=cell_pos,
+    )
+
+
+def attention_reference(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    scale: float,
+    logit_softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    token_pos: Optional[jnp.ndarray] = None,
+    cell_pos: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    nt, n_head, head_dim = q.shape
+    cells, n_kv, _ = k_cache.shape
+    rep = n_head // n_kv
+
+    qf = q.astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    # [nt, n_head, cells] — group query heads onto their kv head
+    qg = qf.reshape(nt, n_kv, rep, head_dim)
+    scores = jnp.einsum("tgrd,cgd->tgrc", qg, kf) * scale
+    if logit_softcap > 0.0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    if alibi_slopes is not None:
+        # ALiBi bias: -slope * (token_pos - cell_pos), like soft_max_ext
+        bias = -(token_pos[:, None] - cell_pos[None, :]).astype(jnp.float32)
+        slopes = alibi_slopes.reshape(1, n_kv, rep, 1)
+        scores = scores + slopes * bias[:, None, None, :]
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked rows (no visible cells) -> zero output, not NaN
+    any_visible = jnp.any(mask, axis=-1)[:, None, None, None]
+    probs = jnp.where(any_visible, probs, 0.0)
+    out = jnp.einsum("tgrc,cgd->tgrd", probs, vf)
+    return out.reshape(nt, n_head, head_dim).astype(q.dtype)

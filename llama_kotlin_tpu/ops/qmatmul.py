@@ -1,0 +1,75 @@
+"""Quantized matmul: y = x @ W^T with W a QTensor (or plain array).
+
+Two code paths:
+- reference/jnp: dequantize to the compute dtype, then jnp.dot (XLA).  Used
+  on CPU, for tests, and as the fallback.
+- Pallas TPU kernel (ops/pallas/qmm.py): streams packed codes HBM->VMEM,
+  dequantizes in-registers and feeds the MXU, avoiding materialising the
+  dequantized weights in HBM.  Activated for TPU backends when shapes
+  qualify; cross-checked against this path by tests/test_ops.py.
+
+Replaces the reference's per-format ``ggml_vec_dot_*`` CPU hot loops
+(ggml/src/ggml-quants.c) and tinyBLAS prompt-processing matmul
+(ggml/src/llamafile/sgemm.cpp) with a single MXU-shaped design.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.quant.qtensor import QTensor, dequantize
+
+Weight = Union[QTensor, jax.Array]
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
+            allow_pallas: bool = True) -> jnp.ndarray:
+    """x [..., k] @ w[n, k]^T -> [..., n].
+
+    Accumulation in f32 (preferred_element_type), inputs cast to
+    `compute_dtype` for the MXU.
+    """
+    if isinstance(w, QTensor):
+        if allow_pallas and _use_pallas():
+            from llama_kotlin_tpu.ops.pallas.qmm import qmm_pallas_or_none
+
+            y = qmm_pallas_or_none(x, w, compute_dtype=compute_dtype)
+            if y is not None:
+                return y
+        wf = dequantize(w, dtype=compute_dtype)
+    else:
+        wf = w.astype(compute_dtype)
+    y = jnp.dot(
+        x.astype(compute_dtype), wf.T, preferred_element_type=jnp.float32
+    )
+    return y
+
+
+def take_rows(w: Weight, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Row gather (embedding lookup) from a possibly-quantized [n, k] weight.
+
+    Equivalent of ggml_get_rows on quantized tensors: gathers the packed
+    rows first, dequantizes only the gathered rows.
+    """
+    if not isinstance(w, QTensor):
+        return w[ids].astype(dtype)
+    sub = QTensor(
+        codes=w.codes[ids],
+        g_scale=w.g_scale[ids],
+        g_min=None if w.g_min is None else w.g_min[ids],
+        sb_scale=None if w.sb_scale is None else w.sb_scale[ids],
+        sb_min=None if w.sb_min is None else w.sb_min[ids],
+        qtype=w.qtype, bits=w.bits, group_size=w.group_size,
+        code_offset=w.code_offset, shape=(int(ids.shape[0]), w.k),
+    )
+    return dequantize(sub, dtype=dtype)

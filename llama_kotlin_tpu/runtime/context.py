@@ -1,0 +1,210 @@
+"""LlamaContext: the decode driver.
+
+Parity target: llama_new_context_with_model + llama_decode_internal
+(reference src/llama.cpp:17515, 15530) redesigned for XLA: the per-ubatch
+"build graph, allocate, compute" cycle becomes one jitted function per
+(token-bucket) shape, with the KV cache donated in and out so it stays
+device-resident without copies.
+
+Decode flow per ubatch (cf. call stack SURVEY.md §3.3):
+  1. host: find cache slots (CellMetadata.find_slots; rc=1 if full, like
+     llama_decode returning 1 so callers can free sequences and retry)
+  2. host: commit metadata, pad token arrays to the bucket size
+  3. device: jitted forward (embed -> layers -> logits rows)
+  4. logits fetched asynchronously (jax arrays returned; blocking happens
+     when the caller reads them)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_kotlin_tpu.models.config import ModelConfig
+from llama_kotlin_tpu.models import llama as llama_model
+from llama_kotlin_tpu.runtime.batch import Batch, bucket_size
+from llama_kotlin_tpu.runtime.kv_cache import CellMetadata, KVCache, apply_k_shift
+
+DEFAULT_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@dataclass
+class Timings:
+    """Parity: llama_timings (llama.h:396)."""
+
+    t_start: float = field(default_factory=time.perf_counter)
+    t_load_ms: float = 0.0
+    t_p_eval_ms: float = 0.0  # prompt (multi-token ubatch) time
+    t_eval_ms: float = 0.0  # single-token decode time
+    n_p_eval: int = 0
+    n_eval: int = 0
+
+    def summary(self) -> dict:
+        return {
+            "load_ms": round(self.t_load_ms, 2),
+            "prompt_eval_ms": round(self.t_p_eval_ms, 2),
+            "prompt_tokens": self.n_p_eval,
+            "prompt_tps": round(self.n_p_eval / (self.t_p_eval_ms / 1e3), 2)
+            if self.t_p_eval_ms
+            else 0.0,
+            "eval_ms": round(self.t_eval_ms, 2),
+            "eval_tokens": self.n_eval,
+            "eval_tps": round(self.n_eval / (self.t_eval_ms / 1e3), 2)
+            if self.t_eval_ms
+            else 0.0,
+        }
+
+
+class LlamaContext:
+    """Holds the KV cache + jitted forward for one loaded model."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        *,
+        n_cells: int = 4096,
+        n_ubatch: int = 512,
+        n_seq_max: int = 32,
+        compute_dtype=jnp.bfloat16,
+        kv_dtype=None,
+        buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+        forward_fn=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.n_cells = n_cells
+        self.n_ubatch = n_ubatch
+        self.n_seq_max = n_seq_max
+        self.compute_dtype = compute_dtype
+        self.buckets = tuple(b for b in buckets if b <= max(buckets))
+        self.meta = CellMetadata(n_cells, max_seqs=n_seq_max)
+        kv_dtype = kv_dtype or compute_dtype
+        # +1 scratch row: padded tokens write their K/V there
+        self.cache = KVCache.create(
+            cfg.n_layer, n_cells + 1, cfg.n_head_kv, cfg.head_dim, dtype=kv_dtype
+        )
+        self.timings = Timings()
+        self._logits: Optional[jax.Array] = None
+        self._logits_rows: Optional[np.ndarray] = None
+        base_forward = forward_fn or llama_model.forward
+
+        def _step(params, tokens, pos, seq, slots, cache, cell_pos, cell_seq, out_ids):
+            # metadata arrays cover the real cells; the scratch row is
+            # invisible (mask length = n_cells)
+            logits, cache = base_forward(
+                params, cfg, tokens, pos, seq, slots, cache, cell_pos, cell_seq,
+                out_ids, compute_dtype=compute_dtype,
+            )
+            return logits, cache
+
+        self._step = jax.jit(_step, donate_argnums=(5,))
+
+    # -- decode --------------------------------------------------------------
+
+    def decode(self, batch: Batch) -> int:
+        """Process a batch; 0 on success, 1 if the KV cache is full
+        (caller should free sequences and retry — same contract as
+        llama_decode)."""
+        all_logits = []
+        all_rows = []
+        for ub in batch.split(self.n_ubatch):
+            rc = self._decode_ubatch(ub, all_logits, all_rows)
+            if rc != 0:
+                return rc
+        if all_logits:
+            self._logits = jnp.concatenate(all_logits, axis=0) if len(all_logits) > 1 else all_logits[0]
+            self._logits_rows = np.concatenate(all_rows) if len(all_rows) > 1 else all_rows[0]
+        return 0
+
+    def _decode_ubatch(self, ub: Batch, all_logits: list, all_rows: list) -> int:
+        nt = len(ub)
+        t0 = time.perf_counter()
+        slots = self.meta.find_slots(nt)
+        if slots is None:
+            return 1
+        self.meta.commit(slots, ub.pos, ub.seq_id)
+
+        nb = bucket_size(nt, self.buckets)
+        tokens = np.zeros(nb, np.int32)
+        pos = np.full(nb, -1, np.int32)
+        seq = np.full(nb, self.n_seq_max - 1, np.int32)
+        slot_arr = np.full(nb, self.n_cells, np.int32)  # scratch row
+        tokens[:nt] = ub.tokens
+        pos[:nt] = ub.pos
+        seq[:nt] = ub.seq_id
+        slot_arr[:nt] = slots
+
+        out_rows = np.nonzero(ub.output)[0].astype(np.int32)
+        n_out = max(1, len(out_rows))
+        out_ids = np.zeros(n_out, np.int32)
+        out_ids[: len(out_rows)] = out_rows
+
+        logits, self.cache = self._step(
+            self.params,
+            jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
+            jnp.asarray(slot_arr), self.cache,
+            jnp.asarray(self.meta.pos), jnp.asarray(self.meta.seq),
+            jnp.asarray(out_ids),
+        )
+        if len(out_rows):
+            all_logits.append(logits[: len(out_rows)])
+            all_rows.append(out_rows)
+        dt = (time.perf_counter() - t0) * 1e3
+        if nt == 1:
+            self.timings.t_eval_ms += dt
+            self.timings.n_eval += 1
+        else:
+            self.timings.t_p_eval_ms += dt
+            self.timings.n_p_eval += nt
+        return 0
+
+    # -- results -------------------------------------------------------------
+
+    def get_logits(self) -> np.ndarray:
+        """All logits rows requested by the last decode, [n_out, vocab]."""
+        if self._logits is None:
+            raise RuntimeError("no logits: call decode with output flags first")
+        return np.asarray(self._logits)
+
+    def get_logits_ith(self, i: int = -1) -> np.ndarray:
+        return self.get_logits()[i]
+
+    # -- sequence management (parity: llama_kv_cache_seq_*) ------------------
+
+    def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1) -> None:
+        self.meta.seq_rm(seq_id, p0, p1)
+
+    def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1) -> None:
+        self.meta.seq_cp(src, dst, p0, p1)
+
+    def seq_keep(self, seq_id: int) -> None:
+        self.meta.seq_keep(seq_id)
+
+    def seq_add(self, seq_id: int, p0: int, p1: int, delta: int) -> None:
+        deltas = self.meta.seq_add(seq_id, p0, p1, delta)
+        self._shift(deltas)
+
+    def seq_div(self, seq_id: int, p0: int, p1: int, d: int) -> None:
+        deltas = self.meta.seq_div(seq_id, p0, p1, d)
+        self._shift(deltas)
+
+    def seq_pos_max(self, seq_id: int) -> int:
+        return self.meta.seq_pos_max(seq_id)
+
+    def clear(self) -> None:
+        self.meta.clear()
+
+    def _shift(self, deltas: np.ndarray) -> None:
+        if not np.any(deltas):
+            return
+        self.cache = apply_k_shift(
+            self.cache, self.meta, deltas, self.cfg.rope_params(),
+            self.params.get("rope_freqs"),
+        )

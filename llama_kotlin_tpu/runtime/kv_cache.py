@@ -1,0 +1,184 @@
+"""Unified multi-sequence KV cache.
+
+TPU-first redesign of the reference's ring-buffer cell cache
+(llama_kv_cache, src/llama.cpp:2559-2602 + find_slot :3418):
+
+- Device side: dense K/V arrays [n_layer, cells, n_kv_head, head_dim]
+  (optionally quantized later) written by scatter at per-token slot
+  indices.  Slots need NOT be contiguous — attention uses the metadata
+  mask (ops/attention.py), so the reference's defrag graph
+  (build_defrag :9320) is unnecessary by construction.
+- Host side: CellMetadata mirrors (pos, seq-bitmask) in numpy; the slot
+  allocator and all sequence bookkeeping ops (rm/cp/keep/add/div, cf.
+  llama_kv_cache_seq_* in llama.h) are host-side index manipulations.
+  The metadata is shipped to the device each step as two small i32 arrays
+  (cells,) — the analogue of llama_set_inputs filling inp_KQ_mask.
+- Position shifts (seq_add / seq_div for self-extend group attention,
+  main.cpp:468-580) additionally rotate the cached roped K by the
+  position delta, the analogue of the K-shift graph (build_k_shift :9289),
+  implemented as one jitted RoPE rotation over the cache.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_kotlin_tpu.ops.rope import RopeParams, rope_cos_sin, ROPE_TYPE_NEOX, ROPE_TYPE_NONE
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KVCache:
+    """Device-resident cache tensors."""
+
+    k: jax.Array  # [n_layer, cells, n_kv_head, head_dim]
+    v: jax.Array  # [n_layer, cells, n_kv_head, head_dim]
+
+    @property
+    def n_cells(self) -> int:
+        return self.k.shape[1]
+
+    @staticmethod
+    def create(n_layer: int, cells: int, n_kv_head: int, head_dim: int,
+               dtype=jnp.bfloat16, sharding=None) -> "KVCache":
+        shape = (n_layer, cells, n_kv_head, head_dim)
+        if sharding is not None:
+            z = jax.device_put(jnp.zeros(shape, dtype), sharding)
+            return KVCache(k=z, v=jnp.zeros_like(z))
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+class CellMetadata:
+    """Host-side per-cell metadata + slot allocator.
+
+    pos[c]  = token position stored in cell c (-1 = empty)
+    seq[c]  = bitmask of sequence ids the cell belongs to (multi-seq cells
+              arise from seq_cp, like the reference's seq_id sets)
+    """
+
+    def __init__(self, n_cells: int, max_seqs: int = 32):
+        self.n_cells = n_cells
+        self.max_seqs = max_seqs
+        self.pos = np.full(n_cells, -1, np.int32)
+        self.seq = np.zeros(n_cells, np.int32)
+        self._next = 0  # ring scan pointer (keeps allocation mostly sequential)
+
+    # -- allocation ---------------------------------------------------------
+
+    @property
+    def used(self) -> int:
+        return int((self.pos >= 0).sum())
+
+    def used_span(self) -> int:
+        """1 + highest live cell index (attention window upper bound)."""
+        live = np.nonzero(self.pos >= 0)[0]
+        return int(live[-1]) + 1 if live.size else 0
+
+    def find_slots(self, n: int) -> Optional[np.ndarray]:
+        """Allocate n cells; returns indices or None if cache is full."""
+        free = np.nonzero(self.pos < 0)[0]
+        if free.size < n:
+            return None
+        # prefer the lowest free indices after the ring pointer, wrapping —
+        # keeps the live span compact without requiring contiguity
+        order = np.argsort((free - self._next) % self.n_cells)
+        slots = free[order[:n]]
+        self._next = int((slots[-1] + 1) % self.n_cells)
+        return slots.astype(np.int32)
+
+    def commit(self, slots: np.ndarray, pos: np.ndarray, seq_ids: np.ndarray) -> None:
+        self.pos[slots] = pos
+        self.seq[slots] = (1 << seq_ids.astype(np.int64)).astype(np.int32)
+
+    # -- sequence ops (parity: llama_kv_cache_seq_*, llama.h:602-673) -------
+
+    def _range_mask(self, seq_id: int, p0: int, p1: int) -> np.ndarray:
+        if p1 < 0:
+            p1 = np.iinfo(np.int32).max
+        has = (self.seq >> seq_id) & 1
+        return (has == 1) & (self.pos >= p0) & (self.pos < p1)
+
+    def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1) -> None:
+        m = self._range_mask(seq_id, p0, p1)
+        self.seq[m] &= ~np.int32(1 << seq_id)
+        dead = m & (self.seq == 0)
+        self.pos[dead] = -1
+
+    def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1) -> None:
+        m = self._range_mask(src, p0, p1)
+        self.seq[m] |= np.int32(1 << dst)
+
+    def seq_keep(self, seq_id: int) -> None:
+        keep_bit = np.int32(1 << seq_id)
+        self.seq &= keep_bit
+        self.pos[self.seq == 0] = -1
+
+    def seq_add(self, seq_id: int, p0: int, p1: int, delta: int) -> np.ndarray:
+        """Shift positions; returns per-cell deltas for the K rotation."""
+        m = self._range_mask(seq_id, p0, p1)
+        deltas = np.zeros(self.n_cells, np.int32)
+        deltas[m] = delta
+        self.pos[m] += delta
+        drop = m & (self.pos < 0)
+        self.pos[drop] = -1
+        self.seq[drop] = 0
+        return deltas
+
+    def seq_div(self, seq_id: int, p0: int, p1: int, d: int) -> np.ndarray:
+        m = self._range_mask(seq_id, p0, p1)
+        deltas = np.zeros(self.n_cells, np.int32)
+        new_pos = self.pos[m] // d
+        deltas[m] = new_pos - self.pos[m]
+        self.pos[m] = new_pos
+        return deltas
+
+    def seq_pos_max(self, seq_id: int) -> int:
+        has = ((self.seq >> seq_id) & 1) == 1
+        return int(self.pos[has].max()) if has.any() else -1
+
+    def clear(self) -> None:
+        self.pos[:] = -1
+        self.seq[:] = 0
+        self._next = 0
+
+
+@partial(jax.jit, static_argnames=("rope", "neox"))
+def _rotate_k(k: jax.Array, deltas: jax.Array,
+              rope: RopeParams, neox: bool,
+              freq_factors: Optional[jax.Array] = None) -> jax.Array:
+    """Rotate cached (already-roped) K by per-cell position deltas."""
+    cos, sin = rope_cos_sin(deltas, rope, freq_factors)  # [cells, n_rot/2]
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    dtype = k.dtype
+    rot = k[..., : rope.n_rot].astype(jnp.float32)
+    rest = k[..., rope.n_rot :]
+    if neox:
+        half = rope.n_rot // 2
+        a, b = rot[..., :half], rot[..., half:]
+        out = jnp.concatenate([a * cos - b * sin, a * sin + b * cos], axis=-1)
+    else:
+        a, b = rot[..., 0::2], rot[..., 1::2]
+        out = jnp.stack([a * cos - b * sin, a * sin + b * cos], axis=-1).reshape(rot.shape)
+    out = jnp.where((deltas != 0)[None, :, None, None], out, rot)
+    res = jnp.concatenate([out.astype(dtype), rest], axis=-1) if rest.size else out.astype(dtype)
+    return res
+
+
+def apply_k_shift(cache: KVCache, meta: CellMetadata, deltas: np.ndarray,
+                  rope: RopeParams, freq_factors=None) -> KVCache:
+    """Device-side companion of seq_add/seq_div (the K-shift)."""
+    if rope.rope_type == ROPE_TYPE_NONE or not np.any(deltas):
+        return cache
+    deltas = np.asarray(deltas, np.int32)
+    if deltas.shape[0] < cache.n_cells:  # pad to cover any scratch rows
+        deltas = np.pad(deltas, (0, cache.n_cells - deltas.shape[0]))
+    k = _rotate_k(cache.k, jnp.asarray(deltas),
+                  rope, rope.rope_type == ROPE_TYPE_NEOX, freq_factors)
+    return replace(cache, k=k)

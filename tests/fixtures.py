@@ -1,0 +1,144 @@
+"""Test fixtures: synthetic tiny-llama GGUF files.
+
+Mirrors the reference's TestGGUFGenerator fixture pattern (synthesize GGUF
+in memory) plus the HF->GGUF conversion conventions of
+archive/python/convert_hf_to_gguf.py (q/k row permutation between HF's
+rotate-half RoPE layout and the GGUF NORM layout) so that logits can be
+cross-checked against transformers' LlamaForCausalLM as an independent
+oracle.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from llama_kotlin_tpu.gguf import GGUFWriter
+from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+
+def tiny_llama_dims(n_embd=64, n_layer=2, n_head=4, n_head_kv=2, n_ff=96, vocab=160,
+                    n_ctx=256, rope_base=10000.0):
+    return dict(n_embd=n_embd, n_layer=n_layer, n_head=n_head, n_head_kv=n_head_kv,
+                n_ff=n_ff, vocab=vocab, n_ctx=n_ctx, rope_base=rope_base)
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF rotate-half layout -> GGUF NORM (adjacent-pair) layout, the same
+    row permutation conversion scripts apply to q_proj/k_proj."""
+    out_dim = w.shape[0]
+    return (
+        w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+def write_llama_gguf(path: Path, weights: dict[str, np.ndarray], dims: dict,
+                     qtype=GGMLQuantType.F32, quant_keys=("attn", "ffn", "embd", "output")):
+    """Write a llama-arch GGUF from numpy weights (our naming, already in
+    GGUF orientation [out, in] and NORM rope layout)."""
+    w = GGUFWriter()
+    w.add_kv("general.architecture", "llama")
+    w.add_kv("general.name", "tiny-test")
+    w.add_kv("llama.embedding_length", np.uint32(dims["n_embd"]))
+    w.add_kv("llama.block_count", np.uint32(dims["n_layer"]))
+    w.add_kv("llama.attention.head_count", np.uint32(dims["n_head"]))
+    w.add_kv("llama.attention.head_count_kv", np.uint32(dims["n_head_kv"]))
+    w.add_kv("llama.feed_forward_length", np.uint32(dims["n_ff"]))
+    w.add_kv("llama.context_length", np.uint32(dims["n_ctx"]))
+    w.add_kv("llama.rope.freq_base", np.float32(dims["rope_base"]))
+    w.add_kv("llama.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    w.add_kv("llama.vocab_size", np.uint32(dims["vocab"]))
+
+    def pick_type(name: str) -> GGMLQuantType:
+        if name.endswith("_norm.weight") or name == "output_norm.weight":
+            return GGMLQuantType.F32
+        if qtype == GGMLQuantType.F32:
+            return GGMLQuantType.F32
+        # quantized types need K % block == 0
+        from llama_kotlin_tpu.quant.formats import TYPE_TRAITS
+
+        bs = TYPE_TRAITS[qtype].block_size
+        if weights[name].shape[-1] % bs != 0:
+            return GGMLQuantType.F32
+        return qtype
+
+    for name, arr in weights.items():
+        w.add_tensor(name, arr.astype(np.float32), pick_type(name))
+    w.write(path)
+
+
+def random_llama_weights(dims: dict, rng, scale=0.05) -> dict[str, np.ndarray]:
+    E, L = dims["n_embd"], dims["n_layer"]
+    H, KV, F, V = dims["n_head"], dims["n_head_kv"], dims["n_ff"], dims["vocab"]
+    hd = E // H
+
+    def mat(n, k):
+        return (rng.standard_normal((n, k)) * scale).astype(np.float32)
+
+    ws = {
+        "token_embd.weight": mat(V, E),
+        "output_norm.weight": 1.0 + 0.1 * rng.standard_normal(E).astype(np.float32),
+        "output.weight": mat(V, E),
+    }
+    for i in range(L):
+        ws[f"blk.{i}.attn_norm.weight"] = 1.0 + 0.1 * rng.standard_normal(E).astype(np.float32)
+        ws[f"blk.{i}.attn_q.weight"] = mat(H * hd, E)
+        ws[f"blk.{i}.attn_k.weight"] = mat(KV * hd, E)
+        ws[f"blk.{i}.attn_v.weight"] = mat(KV * hd, E)
+        ws[f"blk.{i}.attn_output.weight"] = mat(E, H * hd)
+        ws[f"blk.{i}.ffn_norm.weight"] = 1.0 + 0.1 * rng.standard_normal(E).astype(np.float32)
+        ws[f"blk.{i}.ffn_gate.weight"] = mat(F, E)
+        ws[f"blk.{i}.ffn_up.weight"] = mat(F, E)
+        ws[f"blk.{i}.ffn_down.weight"] = mat(E, F)
+    return ws
+
+
+def build_hf_llama(weights: dict[str, np.ndarray], dims: dict):
+    """Construct a transformers LlamaForCausalLM carrying the same weights
+    (inverse q/k permutation applied)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    E, H, KV = dims["n_embd"], dims["n_head"], dims["n_head_kv"]
+    hd = E // H
+    cfg = LlamaConfig(
+        vocab_size=dims["vocab"], hidden_size=E, intermediate_size=dims["n_ff"],
+        num_hidden_layers=dims["n_layer"], num_attention_heads=H,
+        num_key_value_heads=KV, max_position_embeddings=dims["n_ctx"],
+        rope_theta=dims["rope_base"], rms_norm_eps=1e-5, attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg)
+    sd = {}
+
+    def inv_permute(w, n_head):
+        out_dim = w.shape[0]
+        return (
+            w.reshape(n_head, out_dim // n_head // 2, 2, *w.shape[1:])
+            .swapaxes(1, 2)
+            .reshape(w.shape)
+        )
+
+    sd["model.embed_tokens.weight"] = weights["token_embd.weight"]
+    sd["model.norm.weight"] = weights["output_norm.weight"]
+    sd["lm_head.weight"] = weights["output.weight"]
+    for i in range(dims["n_layer"]):
+        sd[f"model.layers.{i}.input_layernorm.weight"] = weights[f"blk.{i}.attn_norm.weight"]
+        sd[f"model.layers.{i}.self_attn.q_proj.weight"] = inv_permute(
+            weights[f"blk.{i}.attn_q.weight"], H
+        )
+        sd[f"model.layers.{i}.self_attn.k_proj.weight"] = inv_permute(
+            weights[f"blk.{i}.attn_k.weight"], KV
+        )
+        sd[f"model.layers.{i}.self_attn.v_proj.weight"] = weights[f"blk.{i}.attn_v.weight"]
+        sd[f"model.layers.{i}.self_attn.o_proj.weight"] = weights[f"blk.{i}.attn_output.weight"]
+        sd[f"model.layers.{i}.post_attention_layernorm.weight"] = weights[f"blk.{i}.ffn_norm.weight"]
+        sd[f"model.layers.{i}.mlp.gate_proj.weight"] = weights[f"blk.{i}.ffn_gate.weight"]
+        sd[f"model.layers.{i}.mlp.up_proj.weight"] = weights[f"blk.{i}.ffn_up.weight"]
+        sd[f"model.layers.{i}.mlp.down_proj.weight"] = weights[f"blk.{i}.ffn_down.weight"]
+    model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+    model.eval()
+    return model
