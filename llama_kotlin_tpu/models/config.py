@@ -14,7 +14,7 @@ from typing import Any, Optional
 from llama_kotlin_tpu.ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash/eq: usable as a jit static argument
 class ModelConfig:
     arch: str = "llama"
     name: str = ""

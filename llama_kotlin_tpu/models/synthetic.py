@@ -1,0 +1,119 @@
+"""Synthetic model construction: random weights in any quant format.
+
+Used by the benchmark harness (no network access on bench hosts), the
+graft entry points, and tests.  Shapes mirror real checkpoints so the
+performance profile matches real serving.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from llama_kotlin_tpu.models.config import ModelConfig
+from llama_kotlin_tpu.quant.formats import GGMLQuantType, TYPE_TRAITS
+from llama_kotlin_tpu.quant.repack import repack_float
+
+
+PRESETS = {
+    # name: (n_embd, n_layer, n_head, n_head_kv, n_ff, vocab)
+    "tinyllama-1.1b": (2048, 22, 32, 4, 5632, 32000),
+    "llama2-7b": (4096, 32, 32, 32, 11008, 32000),
+    "llama3-8b": (4096, 32, 32, 8, 14336, 128256),
+    "llama3-70b": (8192, 80, 64, 8, 28672, 128256),
+    "test-tiny": (256, 4, 8, 4, 512, 512),
+}
+
+
+def preset_config(name: str, **overrides) -> ModelConfig:
+    e, l, h, kv, f, v = PRESETS[name]
+    kw = dict(arch="llama", name=name, n_embd=e, n_layer=l, n_head=h,
+              n_head_kv=kv, n_ff=f, vocab_size=v, n_ctx_train=4096)
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
+def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 0.02):
+    """Build a QTensor with random codes/scales directly (no float
+    quantization pass) — fast enough for billion-parameter synthetic
+    models, with the same decode cost profile as real weights."""
+    from llama_kotlin_tpu.quant import repack as R
+    from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
+
+    # probe the format's repacked geometry with a tiny instance
+    probe = R.repack_float(np.zeros((1, SPAN), np.float32), qtype)
+    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    g = probe.group_size
+
+    cols = k_pad // SPAN * probe.codes.shape[1]  # probe has exactly one span
+    codes = rng.integers(0, 256, (n, cols)).astype(np.uint8)
+    if probe.codes.dtype == np.int8:
+        codes = (codes.view(np.int8) // 4).astype(np.int8)  # keep magnitudes sane
+    if probe.g_scale.dtype in (np.float16, np.dtype("<f2")):
+        g_scale = (rng.random((n, k_pad // g), np.float32) * scale).astype("<f2")
+    elif probe.g_scale.dtype == np.float32:
+        g_scale = (rng.random((n, k_pad // g), np.float32) * scale).astype(np.float32)
+    else:
+        g_scale = rng.integers(0, 64, (n, k_pad // g)).astype(probe.g_scale.dtype)
+    g_min = None
+    if probe.g_min is not None:
+        if probe.g_min.dtype in (np.float16, np.dtype("<f2")):
+            g_min = (rng.random((n, k_pad // g), np.float32) * scale * 0.1).astype("<f2")
+        else:
+            g_min = rng.integers(0, 16, (n, k_pad // g)).astype(probe.g_min.dtype)
+    sb_scale = sb_min = None
+    if probe.sb_scale is not None:
+        sb_scale = (rng.random((n, k_pad // SPAN), np.float32) * scale / 32).astype("<f2")
+    if probe.sb_min is not None:
+        sb_min = (rng.random((n, k_pad // SPAN), np.float32) * scale / 32).astype("<f2")
+    return QTensor(codes=codes, g_scale=g_scale, g_min=g_min, sb_scale=sb_scale,
+                   sb_min=sb_min, qtype=qtype, bits=probe.bits, group_size=g,
+                   code_offset=probe.code_offset, shape=(n, k))
+
+
+def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype):
+    import jax
+
+    if qtype is None or not TYPE_TRAITS[qtype].is_quantized:
+        x = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
+        return jax.device_put(jnp.asarray(x, dtype=dtype))
+    return jax.tree.map(jnp.asarray, synthetic_qtensor(rng, n, k, qtype))
+
+
+def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
+                     seed: int = 0, compute_dtype=jnp.bfloat16,
+                     tie_output: bool = False) -> dict:
+    """Random params pytree for `cfg`, with matmul weights in `qtype`."""
+    rng = np.random.default_rng(seed)
+    E, F, V = cfg.n_embd, cfg.n_ff, cfg.vocab_size
+    qdim = cfg.n_head * cfg.head_dim
+    kvdim = cfg.n_head_kv * cfg.head_dim
+
+    def norm_w():
+        return jnp.asarray(1.0 + 0.01 * rng.standard_normal(E), jnp.float32)
+
+    params: dict = {
+        "tok_embd": _rand_weight(rng, V, E, qtype, compute_dtype),
+        "output_norm": norm_w(),
+        "rope_freqs": None,
+    }
+    if not tie_output:
+        params["output"] = _rand_weight(rng, V, E, qtype, compute_dtype)
+    params["layers"] = []
+    for _ in range(cfg.n_layer):
+        params["layers"].append(
+            {
+                "attn_norm": norm_w(),
+                "wq": _rand_weight(rng, qdim, E, qtype, compute_dtype),
+                "wk": _rand_weight(rng, kvdim, E, qtype, compute_dtype),
+                "wv": _rand_weight(rng, kvdim, E, qtype, compute_dtype),
+                "wo": _rand_weight(rng, E, qdim, qtype, compute_dtype),
+                "ffn_norm": norm_w(),
+                "ffn_gate": _rand_weight(rng, F, E, qtype, compute_dtype),
+                "ffn_up": _rand_weight(rng, F, E, qtype, compute_dtype),
+                "ffn_down": _rand_weight(rng, E, F, qtype, compute_dtype),
+            }
+        )
+    return params

@@ -1,0 +1,87 @@
+"""Sharding rules for llama-family params (Megatron-style TP).
+
+Column-parallel (output dim over tp): wq, wk, wv, ffn_gate, ffn_up,
+output head, token embedding.  Row-parallel (contraction dim over tp):
+wo, ffn_down — XLA's SPMD partitioner inserts the psum on their outputs.
+KV cache shards attention heads over tp.  Every QTensor side-array shares
+its main axis layout ([n, k/x]), so one PartitionSpec per orientation
+covers codes and all scale planes.
+
+This is the TPU-native answer to LLAMA_SPLIT_MODE_ROW + tensor_split
+(reference llama.h:195-200, llama.cpp:3216-3289): the same math, but the
+"scheduler" is XLA SPMD and the transport is ICI collectives.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llama_kotlin_tpu.models.config import ModelConfig
+from llama_kotlin_tpu.quant.qtensor import QTensor
+
+log = logging.getLogger(__name__)
+
+COLUMN_PARALLEL = {"wq", "wk", "wv", "ffn_gate", "ffn_up", "output", "tok_embd"}
+ROW_PARALLEL = {"wo", "ffn_down"}
+COLUMN_BIAS = {"bq", "bk", "bv"}
+
+
+def _divisible(w: Any, axis: int, tp: int) -> bool:
+    arrays = [w.codes, w.g_scale, w.g_min, w.sb_scale, w.sb_min] if isinstance(w, QTensor) else [w]
+    return all(a is None or a.shape[axis] % tp == 0 for a in arrays)
+
+
+def _put(w: Any, mesh: Mesh, spec: P) -> Any:
+    sh = NamedSharding(mesh, spec)
+    if isinstance(w, QTensor):
+        return jax.tree.map(lambda a: jax.device_put(a, sh), w)
+    return jax.device_put(w, sh)
+
+
+def shard_weight(key: str, w: Any, mesh: Mesh) -> Any:
+    """Place one named weight with its TP sharding (replicate fallback)."""
+    if w is None:
+        return None
+    tp = mesh.shape["tp"]
+    if tp > 1 and key in COLUMN_PARALLEL and _divisible(w, 0, tp):
+        return _put(w, mesh, P("tp", None))
+    if tp > 1 and key in ROW_PARALLEL and _divisible(w, 1, tp):
+        return _put(w, mesh, P(None, "tp"))
+    if tp > 1 and key in COLUMN_BIAS and _divisible(w, 0, tp):
+        return _put(w, mesh, P("tp"))
+    if tp > 1 and key in (COLUMN_PARALLEL | ROW_PARALLEL):
+        log.warning("replicating %s: dims not divisible by tp=%d", key, tp)
+    return _put(w, mesh, P())
+
+
+def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    """Return a new params pytree with every weight device_put with its
+    sharding (cf. llm_load_tensors' buffer-type selection per layer)."""
+    out: dict[str, Any] = {}
+    for k, v in params.items():
+        if k == "layers":
+            out["layers"] = [
+                {lk: shard_weight(lk, lv, mesh) for lk, lv in layer.items()}
+                for layer in v
+            ]
+        else:
+            out[k] = shard_weight(k, v, mesh) if v is not None else None
+    return out
+
+
+def cache_sharding(mesh: Mesh, n_kv_head: int) -> NamedSharding:
+    """KV cache [n_layer, cells, n_kv, head_dim]: heads over tp."""
+    tp = mesh.shape["tp"]
+    if tp > 1 and n_kv_head % tp == 0:
+        return NamedSharding(mesh, P(None, None, "tp", None))
+    return NamedSharding(mesh, P())
+
+
+def shard_cache(cache, mesh: Mesh) -> Any:
+    n_kv = cache.k.shape[2]
+    sh = cache_sharding(mesh, n_kv)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), cache)
