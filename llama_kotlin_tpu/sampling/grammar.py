@@ -1,0 +1,430 @@
+"""GBNF grammar engine: parser + pushdown constraint sampler.
+
+Parity targets: common/grammar-parser.cpp (GBNF text -> binary rules) and
+src/llama-grammar.cpp (stack-based acceptance, UTF-8 partial sequences,
+llama_grammar_sample / accept_token).
+
+Rule representation mirrors llama_grammar_element: a rule is a flat list of
+elements; alternates are separated by ALT and terminated by END; char
+matchers may chain CHAR_ALT / CHAR_RNG_UPPER continuations.
+
+Sampling strategy (same as common/sampling.cpp): sample WITHOUT the
+grammar first, validate the one sampled token, and only on rejection filter
+the full candidate set and resample — keeps the hot path fast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+# element types (cf. llama_gretype)
+END = 0
+ALT = 1
+RULE_REF = 2
+CHAR = 3
+CHAR_NOT = 4
+CHAR_RNG_UPPER = 5
+CHAR_ALT = 6
+
+
+@dataclass(frozen=True)
+class El:
+    type: int
+    value: int = 0
+
+
+class GrammarParseError(ValueError):
+    pass
+
+
+class _Parser:
+    """GBNF text -> {rule_name: rule_id}, rules list."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.symbol_ids: dict[str, int] = {}
+        self.rules: dict[int, list[El]] = {}
+
+    # -- low-level lexing ----------------------------------------------------
+
+    def _ws(self, newlines: bool = True) -> None:
+        while self.pos < len(self.text):
+            ch = self.text[self.pos]
+            if ch == "#":  # comment to end of line
+                while self.pos < len(self.text) and self.text[self.pos] not in "\r\n":
+                    self.pos += 1
+            elif ch in " \t" or (newlines and ch in "\r\n"):
+                self.pos += 1
+            else:
+                break
+
+    def _peek(self) -> str:
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def _name(self) -> str:
+        start = self.pos
+        while self._peek().isalnum() or self._peek() in "-_":
+            self.pos += 1
+        if self.pos == start:
+            raise GrammarParseError(f"expected name at {start}")
+        return self.text[start : self.pos]
+
+    def _char(self) -> int:
+        """Parse one character (handling escapes), returning the code point."""
+        ch = self._peek()
+        if ch == "\\":
+            self.pos += 1
+            esc = self._peek()
+            self.pos += 1
+            if esc == "x":
+                v = int(self.text[self.pos : self.pos + 2], 16)
+                self.pos += 2
+                return v
+            if esc == "u":
+                v = int(self.text[self.pos : self.pos + 4], 16)
+                self.pos += 4
+                return v
+            if esc == "U":
+                v = int(self.text[self.pos : self.pos + 8], 16)
+                self.pos += 8
+                return v
+            return {"t": 9, "r": 13, "n": 10}.get(esc, ord(esc))
+        if not ch:
+            raise GrammarParseError("unexpected end of input")
+        self.pos += 1
+        return ord(ch)
+
+    # -- grammar rules -------------------------------------------------------
+
+    def _sym_id(self, name: str) -> int:
+        if name not in self.symbol_ids:
+            self.symbol_ids[name] = len(self.symbol_ids)
+        return self.symbol_ids[name]
+
+    def _gen_id(self, base: str) -> int:
+        name = f"{base}_{len(self.symbol_ids)}"
+        return self._sym_id(name)
+
+    def parse(self) -> tuple[dict[int, list[El]], int]:
+        self._ws()
+        while self.pos < len(self.text):
+            self._parse_rule()
+            self._ws()
+        if "root" not in self.symbol_ids:
+            raise GrammarParseError("grammar has no 'root' rule")
+        # validate refs
+        for rid, rule in self.rules.items():
+            for el in rule:
+                if el.type == RULE_REF and el.value not in self.rules:
+                    raise GrammarParseError(f"undefined rule reference {el.value}")
+        return self.rules, self.symbol_ids["root"]
+
+    def _parse_rule(self) -> None:
+        name = self._name()
+        self._ws(newlines=False)
+        if self.text[self.pos : self.pos + 3] != "::=":
+            raise GrammarParseError(f"expected ::= at {self.pos}")
+        self.pos += 3
+        self._ws(newlines=True)  # newline allowed right after ::=
+        rule_id = self._sym_id(name)
+        out = self._parse_alternates(name, nested=False)
+        self.rules[rule_id] = out
+        # consume newline(s)
+        self._ws()
+
+    def _parse_alternates(self, base: str, nested: bool) -> list[El]:
+        out: list[El] = []
+        out += self._parse_sequence(base, nested)
+        while self._peek() == "|":
+            self.pos += 1
+            self._ws(newlines=True)  # alternates may continue on next line
+            out.append(El(ALT))
+            out += self._parse_sequence(base, nested)
+        out.append(El(END))
+        return out
+
+    def _parse_sequence(self, base: str, nested: bool) -> list[El]:
+        seq: list[El] = []
+        last_start = 0
+        while True:
+            self._ws(newlines=nested)
+            ch = self._peek()
+            if ch == '"':  # literal
+                self.pos += 1
+                last_start = len(seq)
+                while self._peek() != '"':
+                    seq.append(El(CHAR, self._char()))
+                self.pos += 1
+            elif ch == "[":  # char class
+                self.pos += 1
+                last_start = len(seq)
+                neg = self._peek() == "^"
+                if neg:
+                    self.pos += 1
+                first = True
+                while self._peek() != "]":
+                    cp = self._char()
+                    t = (CHAR_NOT if neg else CHAR) if first else CHAR_ALT
+                    seq.append(El(t, cp))
+                    first = False
+                    if self._peek() == "-" and self.text[self.pos + 1 : self.pos + 2] != "]":
+                        self.pos += 1
+                        seq.append(El(CHAR_RNG_UPPER, self._char()))
+                self.pos += 1
+            elif ch == "(":  # group -> nested rule
+                self.pos += 1
+                self._ws(newlines=True)
+                sub_id = self._gen_id(base)
+                self.rules[sub_id] = self._parse_alternates(base, nested=True)
+                if self._peek() != ")":
+                    raise GrammarParseError(f"expected ) at {self.pos}")
+                self.pos += 1
+                last_start = len(seq)
+                seq.append(El(RULE_REF, sub_id))
+            elif ch and (ch.isalnum() or ch in "-_"):
+                name = self._name()
+                last_start = len(seq)
+                seq.append(El(RULE_REF, self._sym_id(name)))
+            elif ch in ("*", "+", "?", "{"):
+                if not seq:
+                    raise GrammarParseError(f"modifier without content at {self.pos}")
+                prev = seq[last_start:]
+                if ch == "{":
+                    self.pos += 1
+                    lo_s = ""
+                    while self._peek().isdigit():
+                        lo_s += self._peek()
+                        self.pos += 1
+                    hi_s = lo_s
+                    if self._peek() == ",":
+                        self.pos += 1
+                        hi_s = ""
+                        while self._peek().isdigit():
+                            hi_s += self._peek()
+                            self.pos += 1
+                    if self._peek() != "}":
+                        raise GrammarParseError(f"expected }} at {self.pos}")
+                    self.pos += 1
+                    lo = int(lo_s or 0)
+                    hi = int(hi_s) if hi_s else -1
+                    rep: list[El] = []
+                    for _ in range(lo):
+                        rep += prev
+                    if hi < 0:
+                        star_id = self._gen_id(base)
+                        self.rules[star_id] = prev + [El(RULE_REF, star_id), El(ALT), El(END)]
+                        rep.append(El(RULE_REF, star_id))
+                    else:
+                        opt: list[El] = []
+                        for _ in range(hi - lo):
+                            oid = self._gen_id(base)
+                            self.rules[oid] = prev + opt + [El(ALT), El(END)]
+                            opt = [El(RULE_REF, oid)]
+                        rep += opt
+                    seq[last_start:] = rep
+                else:
+                    self.pos += 1
+                    sub_id = self._gen_id(base)
+                    if ch == "*":
+                        self.rules[sub_id] = prev + [El(RULE_REF, sub_id), El(ALT), El(END)]
+                        seq[last_start:] = [El(RULE_REF, sub_id)]
+                    elif ch == "+":
+                        self.rules[sub_id] = prev + [El(RULE_REF, sub_id), El(ALT)] + prev + [El(END)]
+                        seq[last_start:] = [El(RULE_REF, sub_id)]
+                    else:  # ?
+                        self.rules[sub_id] = prev + [El(ALT), El(END)]
+                        seq[last_start:] = [El(RULE_REF, sub_id)]
+                last_start = len(seq)
+            else:
+                break
+        return seq
+
+
+def parse_gbnf(text: str) -> tuple[dict[int, list[El]], int]:
+    return _Parser(text).parse()
+
+
+# -- pushdown acceptance -----------------------------------------------------
+
+
+class Grammar:
+    """Stack machine over parsed rules (cf. llama_grammar)."""
+
+    def __init__(self, rules: dict[int, list[El]], root: int):
+        self.rules = rules
+        self.root = root
+        self.stacks: list[tuple] = []
+        self.reset()
+
+    def reset(self) -> None:
+        self.stacks = []
+        # push each alternate of root
+        for pos in self._alternate_starts(self.root):
+            self._advance_into(((self.root, pos),), self.stacks)
+        self.partial = b""
+
+    def _alternate_starts(self, rule_id: int):
+        rule = self.rules[rule_id]
+        starts = [0]
+        for i, el in enumerate(rule):
+            if el.type == ALT:
+                starts.append(i + 1)
+        return starts
+
+    def _el(self, frame) -> El:
+        rid, pos = frame
+        return self.rules[rid][pos]
+
+    def _advance_into(self, stack: tuple, out: list) -> None:
+        """Expand RULE_REFs/ENDs until top is a char matcher (advance_stack)."""
+        if not stack:
+            if stack not in out:
+                out.append(stack)
+            return
+        top = self._el(stack[-1])
+        if top.type in (CHAR, CHAR_NOT):
+            if stack not in out:
+                out.append(stack)
+            return
+        if top.type == RULE_REF:
+            rid = top.value
+            next_frame = (stack[-1][0], self._next_pos(stack[-1]))
+            base = stack[:-1]
+            # only keep the return frame if it's not at END
+            if self._el(next_frame).type != END:
+                base = base + (next_frame,)
+            for pos in self._alternate_starts(rid):
+                self._advance_into(base + ((rid, pos),), out)
+            return
+        if top.type in (END, ALT):
+            # end of this alternate: pop
+            self._advance_into(stack[:-1], out)
+            return
+        raise AssertionError(f"unexpected element {top}")
+
+    def _next_pos(self, frame) -> int:
+        """Position after the current element incl. its char-chain."""
+        rid, pos = frame
+        rule = self.rules[rid]
+        pos += 1
+        while pos < len(rule) and rule[pos].type in (CHAR_ALT, CHAR_RNG_UPPER):
+            pos += 1
+        return pos
+
+    def _match_char(self, frame, cp: int) -> bool:
+        rid, pos = frame
+        rule = self.rules[rid]
+        el = rule[pos]
+        if el.type == CHAR:
+            found = False
+            i = pos
+            while True:
+                if i + 1 < len(rule) and rule[i + 1].type == CHAR_RNG_UPPER:
+                    if rule[i].value <= cp <= rule[i + 1].value:
+                        found = True
+                    i += 2
+                else:
+                    if cp == rule[i].value:
+                        found = True
+                    i += 1
+                if i >= len(rule) or rule[i].type != CHAR_ALT:
+                    break
+            return found
+        if el.type == CHAR_NOT:
+            found = False
+            i = pos
+            while True:
+                if i + 1 < len(rule) and rule[i + 1].type == CHAR_RNG_UPPER:
+                    if rule[i].value <= cp <= rule[i + 1].value:
+                        found = True
+                    i += 2
+                else:
+                    if cp == rule[i].value:
+                        found = True
+                    i += 1
+                if i >= len(rule) or rule[i].type != CHAR_ALT:
+                    break
+            return not found
+        return False
+
+    def accept_cp(self, cp: int) -> bool:
+        """Advance all stacks over one code point; False if nothing accepts."""
+        new_stacks: list[tuple] = []
+        for stack in self.stacks:
+            if not stack:
+                continue
+            if self._match_char(stack[-1], cp):
+                frame = stack[-1]
+                nxt = (frame[0], self._next_pos(frame))
+                base = stack[:-1]
+                if self._el(nxt).type != END:
+                    base = base + (nxt,)
+                self._advance_into(base, new_stacks)
+        if not new_stacks:
+            return False
+        self.stacks = new_stacks
+        return True
+
+    def accepts_text(self, text: str) -> bool:
+        """Would this text be accepted from the current state (no commit)?"""
+        saved = self.stacks
+        ok = True
+        for ch in text:
+            if not self.accept_cp(ord(ch)):
+                ok = False
+                break
+        self.stacks = saved
+        return ok
+
+    @property
+    def can_end(self) -> bool:
+        return any(not s for s in self.stacks)
+
+
+class GrammarSampler:
+    """Grammar-constrained sampling hook used by SamplerChain."""
+
+    def __init__(self, gbnf_text: str):
+        rules, root = parse_gbnf(gbnf_text)
+        self.grammar = Grammar(rules, root)
+        self._piece_cache: dict[int, str] = {}
+        self.partial = b""
+
+    def reset(self) -> None:
+        self.grammar.reset()
+        self.partial = b""
+
+    def _piece(self, tid: int, tokenizer) -> str:
+        s = self._piece_cache.get(tid)
+        if s is None:
+            raw = tokenizer.id_to_piece(tid)
+            s = raw.decode("utf-8", errors="ignore") if isinstance(raw, bytes) else raw
+            self._piece_cache[tid] = s
+        return s
+
+    def token_allowed(self, tid: int, tokenizer, eos_id: int = -1) -> bool:
+        if tid == eos_id:
+            return self.grammar.can_end
+        piece = self._piece(tid, tokenizer)
+        if not piece:
+            return False
+        return self.grammar.accepts_text(piece)
+
+    def filter_candidates(self, c, tokenizer) -> None:
+        keep = np.ones(len(c.ids), bool)
+        for i, tid in enumerate(c.ids):
+            if not self.token_allowed(int(tid), tokenizer):
+                keep[i] = False
+        if keep.any():
+            c.keep(keep)
+        c.sorted = False
+
+    def accept_token(self, tid: int, tokenizer) -> None:
+        piece = self._piece(tid, tokenizer)
+        for ch in piece:
+            if not self.grammar.accept_cp(ord(ch)):
+                raise ValueError(f"token {tid} ({piece!r}) rejected by grammar")

@@ -1,0 +1,174 @@
+"""Sampler + grammar tests (patterns from reference tests/test-sampling.cpp,
+test-grammar-parser.cpp, test-grammar-integration.cpp)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from llama_kotlin_tpu.sampling.samplers import (
+    Candidates,
+    SamplerChain,
+    SamplingParams,
+    min_p,
+    penalties,
+    tail_free,
+    temperature,
+    top_k,
+    top_p,
+    typical,
+)
+from llama_kotlin_tpu.sampling.grammar import Grammar, GrammarSampler, parse_gbnf
+
+GRAMMARS = Path("/root/reference/grammars")
+
+
+def _cand(probs):
+    return Candidates.from_logits(np.log(np.asarray(probs, np.float32)))
+
+
+def test_top_k():
+    c = _cand([0.1, 0.2, 0.3, 0.4])
+    top_k(c, 2)
+    np.testing.assert_allclose(c.probs(), [4 / 7, 3 / 7], rtol=1e-5)
+    assert list(c.ids) == [3, 2]
+
+
+def test_top_p():
+    c = _cand([0.1, 0.2, 0.3, 0.4])
+    top_p(c, 0.69)
+    # 0.4 + 0.3 = 0.7 >= 0.69 -> keep two
+    np.testing.assert_allclose(c.probs(), [4 / 7, 3 / 7], rtol=1e-5)
+
+
+def test_min_p():
+    c = _cand([0.1, 0.2, 0.3, 0.4])
+    min_p(c, 0.6)
+    assert len(c.ids) == 2  # 0.4 and 0.3 >= 0.6*0.4=0.24
+    c = _cand([0.1, 0.2, 0.3, 0.4])
+    min_p(c, 0.4)
+    assert len(c.ids) == 3  # >= 0.16
+
+
+def test_typical():
+    c = _cand([0.97, 0.01, 0.01, 0.01])
+    typical(c, 0.5)
+    assert len(c.ids) == 1 and c.ids[0] == 0
+
+
+def test_tfs():
+    c = _cand([0.1, 0.15, 0.25, 0.5])
+    tail_free(c, 0.25)
+    assert len(c.ids) >= 1
+    assert c.ids[0] == 3
+
+
+def test_penalties_repeat():
+    c = Candidates.from_logits(np.array([1.0, 2.0, 3.0], np.float32))
+    penalties(c, [2, 2, 1], repeat=2.0, freq=0.0, present=0.0)
+    np.testing.assert_allclose(c.logits, [1.0, 1.0, 1.5])
+
+
+def test_penalties_freq_presence():
+    c = Candidates.from_logits(np.zeros(3, np.float32))
+    penalties(c, [0, 1, 1], repeat=1.0, freq=0.5, present=0.25)
+    np.testing.assert_allclose(c.logits, [-0.75, -1.25, 0.0])
+
+
+def test_temperature_scaling():
+    c = Candidates.from_logits(np.array([1.0, 2.0], np.float32))
+    temperature(c, 0.5)
+    np.testing.assert_allclose(c.logits, [2.0, 4.0])
+
+
+def test_chain_greedy_and_dist():
+    p = SamplingParams(temp=0.0)
+    chain = SamplerChain(p, vocab_size=4)
+    logits = np.array([0.0, 5.0, 1.0, 2.0], np.float32)
+    assert chain.sample(logits) == 1
+    p2 = SamplingParams(temp=0.8, top_k=0, top_p=1.0, min_p=0.0, seed=42)
+    chain2 = SamplerChain(p2, vocab_size=4)
+    counts = np.zeros(4)
+    for _ in range(200):
+        counts[chain2.sample(logits)] += 1
+    assert counts[1] > 100  # dominant token sampled most
+
+
+def test_chain_mirostat_runs():
+    for version in (1, 2):
+        p = SamplingParams(temp=0.8, mirostat=version, seed=7)
+        chain = SamplerChain(p, vocab_size=100)
+        logits = np.random.default_rng(0).standard_normal(100).astype(np.float32)
+        for _ in range(10):
+            tok = chain.sample(logits)
+            chain.accept(tok)
+        assert 0 <= tok < 100
+
+
+# -- grammar ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["json.gbnf", "arithmetic.gbnf", "list.gbnf",
+                                  "chess.gbnf", "c.gbnf", "japanese.gbnf",
+                                  "json_arr.gbnf"])
+def test_parse_reference_grammars(name):
+    rules, root = parse_gbnf((GRAMMARS / name).read_text())
+    assert rules and root in rules
+
+
+def _mk(name):
+    rules, root = parse_gbnf((GRAMMARS / name).read_text())
+    return Grammar(rules, root)
+
+
+def _accepts(g: Grammar, text: str) -> bool:
+    g.reset()
+    for ch in text:
+        if not g.accept_cp(ord(ch)):
+            return False
+    return g.can_end
+
+
+def test_json_grammar_acceptance():
+    g = _mk("json.gbnf")
+    assert _accepts(g, '{}')
+    assert _accepts(g, '{"a": 1}')
+    assert _accepts(g, '{"a": [1, 2, 3], "b": {"c": "d"}}')
+    assert _accepts(g, '{"s": "he\\nllo", "n": -1.5e+12, "t": true}')
+    assert not _accepts(g, '{')
+    assert not _accepts(g, '{"a": }')
+    assert not _accepts(g, '[1, 2]')  # root must be object
+    assert not _accepts(g, '{"a": 1,}')
+
+
+def test_arithmetic_grammar():
+    g = _mk("arithmetic.gbnf")
+    assert _accepts(g, "1+2*3=x\n")  # form: expr "=" ws term "\n"
+    assert _accepts(g, "(a+b)*c=d\n")
+    assert not _accepts(g, "1+2\n")
+
+
+def test_grammar_sampler_filters():
+    class FakeTok:
+        pieces = {0: b"{", 1: b"}", 2: b"x", 3: b'"a"'}
+
+        def id_to_piece(self, tid):
+            return self.pieces[tid]
+
+    gs = GrammarSampler((GRAMMARS / "json.gbnf").read_text())
+    tok = FakeTok()
+    assert gs.token_allowed(0, tok)  # '{' can start an object
+    assert not gs.token_allowed(2, tok)  # 'x' cannot
+    gs.accept_token(0, tok)  # consume '{'
+    assert gs.token_allowed(1, tok)  # '}' closes
+    assert gs.token_allowed(3, tok)  # '"a"' starts a key
+    assert not gs.token_allowed(2, tok)
+
+
+def test_repetition_bounds():
+    rules, root = parse_gbnf('root ::= "a"{2,4}')
+    g = Grammar(rules, root)
+    for text, ok in [("a", False), ("aa", True), ("aaa", True), ("aaaa", True), ("aaaaa", False)]:
+        assert _accepts(g, text) == ok, text
