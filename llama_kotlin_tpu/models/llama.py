@@ -35,6 +35,30 @@ def layer_params(p: dict, i: int) -> dict:
     return p["layers"][i]
 
 
+def can_stack(params: dict, cfg: ModelConfig) -> bool:
+    """Layers can scan when uniform in structure (llama-family yes; models
+    with per-layer mask patterns like gemma2 SWA use the unrolled path)."""
+    layers = params.get("layers")
+    if not layers or len(layers) < 2 or cfg.swa_window > 0:
+        return False
+    keys = set(layers[0])
+    return all(set(l) == keys for l in layers)
+
+
+def stack_layers(params: dict) -> dict:
+    """Stack per-layer weights along a leading L axis for lax.scan.
+
+    QTensor leaves stack per-array; static metadata stays per-layer-shaped
+    (scan slices the leading axis back off inside the loop).
+    """
+    layers = params["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    out["n_layer"] = len(layers)
+    return out
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
@@ -70,11 +94,9 @@ def forward(
         if cfg.swa_window > 0
         else None
     )
+    n_vis = cell_pos.shape[0]  # cache may carry a scratch row beyond the masked cells
 
-    new_k = cache.k
-    new_v = cache.v
-    for i in range(cfg.n_layer):
-        lp = layer_params(params, i)
+    def layer_body(lp: dict, h, k_layer, v_layer, mask):
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
 
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
@@ -95,16 +117,11 @@ def forward(
         q = apply_rope(q, token_pos, rope, freq_factors)
         k = apply_rope(k, token_pos, rope, freq_factors)
 
-        kd = k.astype(cache.k.dtype)
-        vd = v.astype(cache.v.dtype)
-        new_k = new_k.at[i, slots].set(kd)
-        new_v = new_v.at[i, slots].set(vd)
+        k_layer = k_layer.at[slots].set(k.astype(k_layer.dtype))
+        v_layer = v_layer.at[slots].set(v.astype(v_layer.dtype))
 
-        window = cfg.layer_swa_window(i)
-        mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
-        n_vis = cell_pos.shape[0]  # cache may carry a scratch row beyond the masked cells
         attn = attention(
-            q.astype(compute_dtype), new_k[i, :n_vis], new_v[i, :n_vis], mask,
+            q.astype(compute_dtype), k_layer[:n_vis], v_layer[:n_vis], mask,
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
         )
         attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
@@ -127,7 +144,34 @@ def forward(
         down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         if lp.get("post_ffn_norm") is not None:  # gemma2
             down = rms_norm(down, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
-        h = h + down.astype(h.dtype)
+        return h + down.astype(h.dtype), k_layer, v_layer
+
+    if "layers_stacked" in params:
+        # lax.scan over stacked layers: one-layer compile regardless of depth
+        stacked = params["layers_stacked"]
+
+        def scan_body(carry, xs):
+            h, kc, vc = carry
+            lp, i = xs
+            h, kl, vl = layer_body(lp, h, kc[i], vc[i], mask_full)
+            kc = jax.lax.dynamic_update_index_in_dim(kc, kl, i, 0)
+            vc = jax.lax.dynamic_update_index_in_dim(vc, vl, i, 0)
+            return (h, kc, vc), None
+
+        (h, new_k, new_v), _ = jax.lax.scan(
+            scan_body, (h, cache.k, cache.v),
+            (stacked, jnp.arange(cfg.n_layer, dtype=jnp.int32)),
+        )
+    else:
+        new_k = cache.k
+        new_v = cache.v
+        for i in range(cfg.n_layer):
+            lp = layer_params(params, i)
+            window = cfg.layer_swa_window(i)
+            mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
+            h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask)
+            new_k = new_k.at[i].set(kl)
+            new_v = new_v.at[i].set(vl)
 
     # logits only for requested rows (cf. inp_out_ids, llama.cpp:9637)
     h_out = h[out_ids]

@@ -78,6 +78,13 @@ class LlamaContext:
         forward_fn=None,
     ):
         self.cfg = cfg
+        from llama_kotlin_tpu.models.llama import can_stack, stack_layers
+
+        if "layers" in params and can_stack(params, cfg):
+            try:
+                params = stack_layers(params)
+            except (ValueError, TypeError):
+                pass  # non-uniform layers: keep the unrolled path
         self.params = params
         self.n_cells = n_cells
         self.n_ubatch = n_ubatch

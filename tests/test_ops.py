@@ -1,0 +1,72 @@
+"""Op cross-check harness (pattern: reference tests/test-backend-ops.cpp):
+each Pallas kernel is compared against the jnp reference implementation
+with per-op NMSE budgets, in interpreter mode on CPU.  The same tests run
+compiled on real TPU via tools/run_tpu_checks.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.models.synthetic import synthetic_qtensor
+from llama_kotlin_tpu.ops.qmatmul import qmatmul
+from llama_kotlin_tpu.quant.formats import NAME_TO_TYPE
+from llama_kotlin_tpu.quant import qtensor as qt_mod
+from llama_kotlin_tpu.ops.pallas.qmm import qmm
+
+
+def nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = np.mean(b * b) + 1e-12
+    return float(np.mean((a - b) ** 2) / denom)
+
+
+QMM_TYPES = ["q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "q2_K", "q3_K", "q4_K", "q5_K", "q6_K"]
+
+
+@pytest.mark.parametrize("tname", QMM_TYPES)
+@pytest.mark.parametrize("b", [1, 8])
+def test_qmm_matches_reference(rng, tname, b):
+    n, k = 256, 512
+    w = synthetic_qtensor(rng, n, k, NAME_TO_TYPE[tname])
+    w = jnp.tree_util.tree_map(jnp.asarray, w) if hasattr(jnp, "tree_util") else w
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+
+    ref = qmatmul(x, w, compute_dtype=jnp.float32, allow_pallas=False)
+    out = qmm(x, w, compute_dtype=jnp.float32, interpret=True)
+    assert out is not None, "kernel refused a tileable shape"
+    assert out.shape == ref.shape
+    err = nmse(out, ref)
+    assert err < 1e-8, f"{tname} b={b}: NMSE {err}"
+
+
+def test_qmm_bf16_accumulation(rng):
+    """bf16 MXU inputs: NMSE vs the f32 reference stays tiny."""
+    n, k = 256, 512
+    w = synthetic_qtensor(rng, n, k, NAME_TO_TYPE["q4_K"])
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.float32)
+    ref = qmatmul(x, w, compute_dtype=jnp.float32, allow_pallas=False)
+    out = qmm(x, w, compute_dtype=jnp.bfloat16, interpret=True)
+    assert nmse(out, ref) < 1e-4
+
+
+def test_qmm_padded_k(rng):
+    """Logical k below the padded span boundary must be handled."""
+    from llama_kotlin_tpu.quant.repack import repack_float
+
+    n, k = 128, 320  # pads to 512
+    xw = rng.standard_normal((n, k)).astype(np.float32) * 0.1
+    w = repack_float(xw, NAME_TO_TYPE["q8_0"])
+    x = jnp.asarray(rng.standard_normal((3, k)), jnp.float32)
+    ref = qmatmul(x, w, compute_dtype=jnp.float32, allow_pallas=False)
+    out = qmm(x, w, compute_dtype=jnp.float32, interpret=True)
+    assert out is not None
+    assert nmse(out, ref) < 1e-8
+
+
+def test_qmm_rejects_untileable(rng):
+    w = synthetic_qtensor(rng, 100, 512, NAME_TO_TYPE["q8_0"])  # n=100 untileable
+    x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    assert qmm(x, w, interpret=True) is None
