@@ -117,11 +117,17 @@ def forward(
         q = apply_rope(q, token_pos, rope, freq_factors)
         k = apply_rope(k, token_pos, rope, freq_factors)
 
-        k_layer = k_layer.at[slots].set(k.astype(k_layer.dtype))
-        v_layer = v_layer.at[slots].set(v.astype(v_layer.dtype))
+        # cache layout is head-major [n_kv, cells, head_dim]; padded batch
+        # rows carry slot == n_cells, dropped by the OOB scatter mode
+        k_layer = k_layer.at[:, slots].set(
+            k.swapaxes(0, 1).astype(k_layer.dtype), mode="drop"
+        )
+        v_layer = v_layer.at[:, slots].set(
+            v.swapaxes(0, 1).astype(v_layer.dtype), mode="drop"
+        )
 
         attn = attention(
-            q.astype(compute_dtype), k_layer[:n_vis], v_layer[:n_vis], mask,
+            q.astype(compute_dtype), k_layer[:, :n_vis], v_layer[:, :n_vis], mask,
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
         )
         attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)

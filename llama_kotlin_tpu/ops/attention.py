@@ -44,8 +44,8 @@ def visibility_mask(token_pos: jnp.ndarray, token_seq: jnp.ndarray,
 
 def attention(
     q: jnp.ndarray,  # [nt, n_head, head_dim]
-    k_cache: jnp.ndarray,  # [cells, n_kv_head, head_dim]
-    v_cache: jnp.ndarray,  # [cells, n_kv_head, head_dim]
+    k_cache: jnp.ndarray,  # [n_kv_head, cells, head_dim]
+    v_cache: jnp.ndarray,  # [n_kv_head, cells, head_dim]
     mask: jnp.ndarray,  # bool [nt, cells]
     *,
     scale: float,
@@ -85,7 +85,7 @@ def attention_reference(
     cell_pos: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     nt, n_head, head_dim = q.shape
-    cells, n_kv, _ = k_cache.shape
+    n_kv, cells, _ = k_cache.shape
     rep = n_head // n_kv
 
     qf = q.astype(jnp.float32)
@@ -94,7 +94,7 @@ def attention_reference(
 
     # [nt, n_head, cells] — group query heads onto their kv head
     qg = qf.reshape(nt, n_kv, rep, head_dim)
-    scores = jnp.einsum("tgrd,cgd->tgrc", qg, kf) * scale
+    scores = jnp.einsum("tgrd,gcd->tgrc", qg, kf) * scale
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     if alibi_slopes is not None:
@@ -107,5 +107,5 @@ def attention_reference(
     # fully-masked rows (no visible cells) -> zero output, not NaN
     any_visible = jnp.any(mask, axis=-1)[:, None, None, None]
     probs = jnp.where(any_visible, probs, 0.0)
-    out = jnp.einsum("tgrc,cgd->tgrd", probs, vf)
+    out = jnp.einsum("tgrc,gcd->tgrd", probs, vf)
     return out.reshape(nt, n_head, head_dim).astype(q.dtype)

@@ -9,14 +9,19 @@ kernel family over the uniform QTensor layout (quant/qtensor.py):
 - packed codes stream HBM->VMEM tile by tile (the decode path is
   weight-bandwidth-bound; dequantized weights never touch HBM)
 - nibble planes unpack with integer shifts on the VPU
-- per-column scales/mins are produced by small constant "expansion
-  matmuls" (eff [BN, G] @ E [G, BC]) on the MXU — no lane shuffles
+- scale planes have narrow trailing dims that neither tile nor slice
+  cleanly on the lane axis, so ALL scale addressing runs on the MXU:
+  a blocked identity matrix selects the k-step's group columns
+  (sc_step = sc_full @ I_blk^T), a blocked nesting matrix expands
+  superblock scales to group granularity, and a constant expansion
+  matrix broadcasts group scales to byte columns.  No lane shuffles,
+  no unaligned vector loads.
 - the dequantized tile feeds jax.lax.dot_general with f32 accumulation
 - grid (n, k), output block revisited across k and accumulated in VMEM
 
-Supported: every repacked format (4-bit planes, 2-bit planes, int8 codes),
-one- or two-level scales, optional mins.  Returns None for shapes that
-don't tile; the caller falls back to the XLA dequant+dot path.
+Supported: every repacked format with group_size <= 128 (4-bit planes,
+2-bit planes, int8 codes), one- or two-level scales, optional mins.
+Returns None for shapes that don't tile; callers fall back to XLA.
 """
 
 from __future__ import annotations
@@ -32,48 +37,54 @@ from jax.experimental.pallas import tpu as pltpu
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
 
 
-def _expansion_matrices(bits: int, group_size: int, bc: int, n_planes: int):
-    """Constant maps from scale columns to byte columns for each plane.
+def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Mosaic-safe cast to f32 (no direct u8->f32 support)."""
+    if x.dtype == jnp.uint8:
+        return (pltpu.bitcast(x, jnp.int8).astype(jnp.int32) & 0xFF).astype(jnp.float32)
+    if x.dtype == jnp.int8:
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
 
-    Returns (E_g[p] [G, bc], E_sb [S, bc]).  For byte column c of plane p,
-    the element index within the tile is span*SPAN + p*(SPAN/n_planes) + j
-    (j = c % bytes_per_span), so its group column is elem // group_size and
-    its superblock column is the span index.
-    """
+
+def _codes_i32(x: jnp.ndarray) -> jnp.ndarray:
+    if x.dtype == jnp.uint8:
+        return pltpu.bitcast(x, jnp.int8).astype(jnp.int32) & 0xFF
+    return x.astype(jnp.int32)
+
+
+def _expansion_matrices(bits: int, group_size: int, bc: int, n_planes: int, gk: int):
+    """E_p [gk, bc]: step-local group column -> byte column map per plane."""
     bytes_per_span = SPAN // n_planes if bits != 8 else SPAN
-    n_spans = bc // bytes_per_span
     groups_per_span = SPAN // group_size
-    g_total = n_spans * groups_per_span
     e_g = []
     for p in range(n_planes):
-        e = np.zeros((g_total, bc), np.float32)
+        e = np.zeros((gk, bc), np.float32)
         for c in range(bc):
             span, j = divmod(c, bytes_per_span)
             elem = span * SPAN + p * bytes_per_span + j
             e[span * groups_per_span + (elem % SPAN) // group_size, c] = 1.0
         e_g.append(e)
-    e_sb = np.zeros((n_spans, bc), np.float32)
-    for c in range(bc):
-        e_sb[c // bytes_per_span, c] = 1.0
-    return e_g, e_sb
+    return e_g
 
 
-def _expand(mat_ref, e_ref) -> jnp.ndarray:
-    """[BN, G] x [G, BC] -> per-column values [BN, BC] on the MXU."""
-    return jax.lax.dot_general(
-        mat_ref.astype(jnp.float32), e_ref,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+def _nesting_matrix(g_total: int, sb_total: int, group_size: int) -> np.ndarray:
+    """EXP [G_total, SB_total]: group column -> its superblock column."""
+    exp = np.zeros((g_total, sb_total), np.float32)
+    per = SPAN // group_size
+    for g in range(g_total):
+        exp[g, g // per] = 1.0
+    return exp
 
 
-def _plan_tiles(n: int, k_pad: int) -> Optional[tuple[int, int]]:
-    bk = next((c for c in (1024, 512, 256) if k_pad % c == 0), 0)
-    if bk == 0:
-        return None
-    bn = next((c for c in (256, 128) if n % c == 0), 0)
-    if bn == 0:
-        return None
-    return bn, bk
+def _plan_tiles(n: int, k_pad: int, group_size: int) -> Optional[tuple[int, int]]:
+    if group_size > 128:
+        return None  # q8_K-style giant groups: XLA path
+    for bk in (1024, 512, 256):
+        if k_pad % bk == 0 and bk // group_size >= 8:
+            for bn in (256, 128):
+                if n % bn == 0:
+                    return bn, bk
+    return None
 
 
 def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
@@ -85,7 +96,7 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
     if x.shape[-1] != k:
         return None
-    plan = _plan_tiles(n, k_pad)
+    plan = _plan_tiles(n, k_pad, w.group_size)
     if plan is None:
         return None
     bn, bk = plan
@@ -101,6 +112,10 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     has_sbm = has_min and (w.sb_min is not None)
     off = float(w.code_offset)
     bits = w.bits
+    gk = bk // g
+    g_total = k_pad // g
+    sb_total = k_pad // SPAN
+    n_ksteps = k_pad // bk
 
     x2 = x.reshape(b_real, k)
     if b != b_real or k_pad != k:
@@ -112,11 +127,11 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
         xr = x2.reshape(b, k_pad // SPAN, n_planes, s)
         x_planes = [xr[:, :, p, :].reshape(b, k_pad // n_planes) for p in range(n_planes)]
 
-    e_g_np, e_sb_np = _expansion_matrices(bits, g, bc, n_planes)
-    e_g = [jnp.asarray(e) for e in e_g_np]
-    e_sb = jnp.asarray(e_sb_np)
+    e_g = [jnp.asarray(e) for e in _expansion_matrices(bits, g, bc, n_planes, gk)]
+    sel_g = jnp.eye(g_total, dtype=jnp.float32)
+    exp_sb = jnp.asarray(_nesting_matrix(g_total, sb_total, g)) if has_sb else None
 
-    grid = (n // bn, k_pad // bk)
+    grid = (n // bn, n_ksteps)
 
     in_specs = [
         pl.BlockSpec((b, bc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM)
@@ -125,22 +140,27 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     operands: list = list(x_planes)
     in_specs.append(pl.BlockSpec((bn, bc), (lambda i, j: (i, j)), memory_space=pltpu.VMEM))
     operands.append(w.codes)
-    in_specs.append(pl.BlockSpec((bn, bk // g), (lambda i, j: (i, j)), memory_space=pltpu.VMEM))
+    # full-K-extent scale blocks: fetched once per n-block (index constant in j)
+    in_specs.append(pl.BlockSpec((bn, g_total), (lambda i, j: (i, 0)), memory_space=pltpu.VMEM))
     operands.append(w.g_scale)
     if has_min:
-        in_specs.append(pl.BlockSpec((bn, bk // g), (lambda i, j: (i, j)), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((bn, g_total), (lambda i, j: (i, 0)), memory_space=pltpu.VMEM))
         operands.append(w.g_min)
     if has_sb:
-        in_specs.append(pl.BlockSpec((bn, bk // SPAN), (lambda i, j: (i, j)), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((bn, sb_total), (lambda i, j: (i, 0)), memory_space=pltpu.VMEM))
         operands.append(w.sb_scale)
     if has_sbm:
-        in_specs.append(pl.BlockSpec((bn, bk // SPAN), (lambda i, j: (i, j)), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((bn, sb_total), (lambda i, j: (i, 0)), memory_space=pltpu.VMEM))
         operands.append(w.sb_min)
+    # blocked identity: rows [j*gk, j*gk+gk) select this step's groups
+    in_specs.append(pl.BlockSpec((gk, g_total), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM))
+    operands.append(sel_g)
+    if has_sb:
+        in_specs.append(pl.BlockSpec((gk, sb_total), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM))
+        operands.append(exp_sb)
     for e in e_g:
         in_specs.append(pl.BlockSpec(e.shape, (lambda i, j: (0, 0)), memory_space=pltpu.VMEM))
         operands.append(e)
-    in_specs.append(pl.BlockSpec(e_sb.shape, (lambda i, j: (0, 0)), memory_space=pltpu.VMEM))
-    operands.append(e_sb)
 
     def kernel(*refs):
         it = iter(refs)
@@ -150,17 +170,40 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
         mn_ref = next(it) if has_min else None
         sb_ref = next(it) if has_sb else None
         sbm_ref = next(it) if has_sbm else None
+        sel_ref = next(it)
+        exp_ref = next(it) if has_sb else None
         e_refs = [next(it) for _ in range(n_planes)]
-        e_sb_ref = next(it)
         out_ref = next(it)
 
         @pl.when(pl.program_id(1) == 0)
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        codes = codes_ref[...]
-        sb_cols = _expand(sb_ref[...], e_sb_ref[...]) if has_sb else None
-        sbm_cols = _expand(sbm_ref[...], e_sb_ref[...]) if has_sbm else None
+        sel = sel_ref[...]  # [gk, G_total]
+
+        def pick(full_ref):  # [bn, G_total] -> this step's [bn, gk] via MXU
+            return jax.lax.dot_general(
+                _to_f32(full_ref[...]), sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        sc_step = pick(sc_ref)
+        mn_step = pick(mn_ref) if mn_ref is not None else None
+        if sb_ref is not None:
+            exp = exp_ref[...]  # [gk, SB_total]
+            sb_grp = jax.lax.dot_general(
+                _to_f32(sb_ref[...]), exp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sc_step = sc_step * sb_grp
+            if sbm_ref is not None and mn_step is not None:
+                sbm_grp = jax.lax.dot_general(
+                    _to_f32(sbm_ref[...]), exp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                mn_step = mn_step * sbm_grp
+
+        codes = _codes_i32(codes_ref[...])
         acc = jnp.zeros_like(out_ref)
         for p in range(n_planes):
             if bits == 8:
@@ -168,15 +211,16 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
             else:
                 shift = (4 if bits == 4 else 2) * p
                 mask = 0xF if bits == 4 else 0x3
-                plane = ((codes.astype(jnp.int32) >> shift) & mask).astype(jnp.float32)
-            sc_cols = _expand(sc_ref[...], e_refs[p][...])
-            if sb_cols is not None:
-                sc_cols = sc_cols * sb_cols
+                plane = ((codes >> shift) & mask).astype(jnp.float32)
+            e = e_refs[p][...]  # [gk, BC]
+            sc_cols = jax.lax.dot_general(
+                sc_step, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
             w_tile = (plane - off) * sc_cols
-            if mn_ref is not None:
-                mn_cols = _expand(mn_ref[...], e_refs[p][...])
-                if sbm_cols is not None:
-                    mn_cols = mn_cols * sbm_cols
+            if mn_step is not None:
+                mn_cols = jax.lax.dot_general(
+                    mn_step, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
                 w_tile = w_tile - mn_cols
             acc = acc + jax.lax.dot_general(
                 x_refs[p][...].astype(compute_dtype), w_tile.astype(compute_dtype),

@@ -74,14 +74,14 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
 
 
 def cache_sharding(mesh: Mesh, n_kv_head: int) -> NamedSharding:
-    """KV cache [n_layer, cells, n_kv, head_dim]: heads over tp."""
+    """KV cache [n_layer, n_kv, cells, head_dim]: heads over tp."""
     tp = mesh.shape["tp"]
     if tp > 1 and n_kv_head % tp == 0:
-        return NamedSharding(mesh, P(None, None, "tp", None))
+        return NamedSharding(mesh, P(None, "tp", None, None))
     return NamedSharding(mesh, P())
 
 
 def shard_cache(cache, mesh: Mesh) -> Any:
-    n_kv = cache.k.shape[2]
+    n_kv = cache.k.shape[1]
     sh = cache_sharding(mesh, n_kv)
     return jax.tree.map(lambda a: jax.device_put(a, sh), cache)

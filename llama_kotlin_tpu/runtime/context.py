@@ -93,9 +93,9 @@ class LlamaContext:
         self.buckets = tuple(b for b in buckets if b <= max(buckets))
         self.meta = CellMetadata(n_cells, max_seqs=n_seq_max)
         kv_dtype = kv_dtype or compute_dtype
-        # +1 scratch row: padded tokens write their K/V there
+        # padded tokens carry slot index == n_cells; the scatter drops them
         self.cache = KVCache.create(
-            cfg.n_layer, n_cells + 1, cfg.n_head_kv, cfg.head_dim, dtype=kv_dtype
+            cfg.n_layer, n_cells, cfg.n_head_kv, cfg.head_dim, dtype=kv_dtype
         )
         self.timings = Timings()
         self._logits: Optional[jax.Array] = None

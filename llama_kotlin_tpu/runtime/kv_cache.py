@@ -35,19 +35,24 @@ from llama_kotlin_tpu.ops.rope import RopeParams, rope_cos_sin, ROPE_TYPE_NEOX, 
 @jax.tree_util.register_dataclass
 @dataclass
 class KVCache:
-    """Device-resident cache tensors."""
+    """Device-resident cache tensors.
 
-    k: jax.Array  # [n_layer, cells, n_kv_head, head_dim]
-    v: jax.Array  # [n_layer, cells, n_kv_head, head_dim]
+    Layout is head-major [n_layer, n_kv_head, cells, head_dim]: per-head
+    cell rows are contiguous, which is what the flash-attention kernel
+    blocks over and what TP sharding splits on.
+    """
+
+    k: jax.Array  # [n_layer, n_kv_head, cells, head_dim]
+    v: jax.Array  # [n_layer, n_kv_head, cells, head_dim]
 
     @property
     def n_cells(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[2]
 
     @staticmethod
     def create(n_layer: int, cells: int, n_kv_head: int, head_dim: int,
                dtype=jnp.bfloat16, sharding=None) -> "KVCache":
-        shape = (n_layer, cells, n_kv_head, head_dim)
+        shape = (n_layer, n_kv_head, cells, head_dim)
         if sharding is not None:
             z = jax.device_put(jnp.zeros(shape, dtype), sharding)
             return KVCache(k=z, v=jnp.zeros_like(z))
@@ -152,10 +157,12 @@ class CellMetadata:
 def _rotate_k(k: jax.Array, deltas: jax.Array,
               rope: RopeParams, neox: bool,
               freq_factors: Optional[jax.Array] = None) -> jax.Array:
-    """Rotate cached (already-roped) K by per-cell position deltas."""
+    """Rotate cached (already-roped) K by per-cell position deltas.
+
+    k layout: [n_layer, n_kv_head, cells, head_dim]."""
     cos, sin = rope_cos_sin(deltas, rope, freq_factors)  # [cells, n_rot/2]
-    cos = cos[None, :, None, :]
-    sin = sin[None, :, None, :]
+    cos = cos[None, None, :, :]
+    sin = sin[None, None, :, :]
     dtype = k.dtype
     rot = k[..., : rope.n_rot].astype(jnp.float32)
     rest = k[..., rope.n_rot :]
@@ -166,7 +173,7 @@ def _rotate_k(k: jax.Array, deltas: jax.Array,
     else:
         a, b = rot[..., 0::2], rot[..., 1::2]
         out = jnp.stack([a * cos - b * sin, a * sin + b * cos], axis=-1).reshape(rot.shape)
-    out = jnp.where((deltas != 0)[None, :, None, None], out, rot)
+    out = jnp.where((deltas != 0)[None, None, :, None], out, rot)
     res = jnp.concatenate([out.astype(dtype), rest], axis=-1) if rest.size else out.astype(dtype)
     return res
 

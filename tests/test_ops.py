@@ -70,3 +70,40 @@ def test_qmm_rejects_untileable(rng):
     w = synthetic_qtensor(rng, 100, 512, NAME_TO_TYPE["q8_0"])  # n=100 untileable
     x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
     assert qmm(x, w, interpret=True) is None
+
+
+# -- flash attention ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("nt,cells,h,kv,d", [(8, 256, 8, 4, 64), (16, 128, 4, 4, 128)])
+def test_flash_attention_matches_reference(rng, nt, cells, h, kv, d):
+    from llama_kotlin_tpu.ops.attention import attention_reference
+    from llama_kotlin_tpu.ops.pallas.flash import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((nt, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, cells, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, cells, d)), jnp.float32)
+    # realistic mask: causal-ish with some empty cells and fully-masked rows
+    mask_np = rng.random((nt, cells)) < 0.5
+    mask_np[3] = False  # fully masked row
+    mask = jnp.asarray(mask_np)
+    scale = 1.0 / np.sqrt(d)
+
+    ref = attention_reference(q, k, v, mask, scale=scale)
+    out = flash_attention(q, k, v, mask, scale=scale, interpret=True)
+    assert out is not None
+    assert nmse(out, ref) < 1e-9
+
+
+def test_flash_attention_softcap(rng):
+    from llama_kotlin_tpu.ops.attention import attention_reference
+    from llama_kotlin_tpu.ops.pallas.flash import flash_attention
+
+    nt, cells, h, kv, d = 8, 128, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((nt, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, cells, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, cells, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((nt, cells)) < 0.7)
+    ref = attention_reference(q, k, v, mask, scale=0.125, logit_softcap=30.0)
+    out = flash_attention(q, k, v, mask, scale=0.125, logit_softcap=30.0, interpret=True)
+    assert nmse(out, ref) < 1e-9

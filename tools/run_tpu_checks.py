@@ -4,8 +4,11 @@ in interpreter mode on CPU).  Usage: python tools/run_tpu_checks.py"""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
