@@ -51,23 +51,21 @@ def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 
     codes = rng.integers(0, 256, (n, cols)).astype(np.uint8)
     if probe.codes.dtype == np.int8:
         codes = (codes.view(np.int8) // 4).astype(np.int8)  # keep magnitudes sane
-    if probe.g_scale.dtype in (np.float16, np.dtype("<f2")):
-        g_scale = (rng.random((n, k_pad // g), np.float32) * scale).astype("<f2")
-    elif probe.g_scale.dtype == np.float32:
-        g_scale = (rng.random((n, k_pad // g), np.float32) * scale).astype(np.float32)
+    if np.issubdtype(probe.g_scale.dtype, np.floating):
+        g_scale = (rng.random((n, k_pad // g), np.float32) * scale).astype(probe.g_scale.dtype)
     else:
         g_scale = rng.integers(0, 64, (n, k_pad // g)).astype(probe.g_scale.dtype)
     g_min = None
     if probe.g_min is not None:
-        if probe.g_min.dtype in (np.float16, np.dtype("<f2")):
-            g_min = (rng.random((n, k_pad // g), np.float32) * scale * 0.1).astype("<f2")
+        if np.issubdtype(probe.g_min.dtype, np.floating):
+            g_min = (rng.random((n, k_pad // g), np.float32) * scale * 0.1).astype(probe.g_min.dtype)
         else:
             g_min = rng.integers(0, 16, (n, k_pad // g)).astype(probe.g_min.dtype)
     sb_scale = sb_min = None
     if probe.sb_scale is not None:
-        sb_scale = (rng.random((n, k_pad // SPAN), np.float32) * scale / 32).astype("<f2")
+        sb_scale = (rng.random((n, k_pad // SPAN), np.float32) * scale / 32).astype(probe.sb_scale.dtype)
     if probe.sb_min is not None:
-        sb_min = (rng.random((n, k_pad // SPAN), np.float32) * scale / 32).astype("<f2")
+        sb_min = (rng.random((n, k_pad // SPAN), np.float32) * scale / 32).astype(probe.sb_min.dtype)
     return QTensor(codes=codes, g_scale=g_scale, g_min=g_min, sb_scale=sb_scale,
                    sb_min=sb_min, qtype=qtype, bits=probe.bits, group_size=g,
                    code_offset=probe.code_offset, shape=(n, k))

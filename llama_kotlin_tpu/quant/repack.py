@@ -87,7 +87,7 @@ def _make(qtype, codes, bits, group_size, code_offset, n, k, g_scale, g_min=None
 
 def repack_q4_0(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q4_0, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")  # [n, k/32] f16
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)  # [n, k/32] f16
     qs = b[:, :, 2:18]
     codes = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).reshape(n, k)
     return _make(GGMLQuantType.Q4_0, codes, 4, 32, 8, n, k, g_scale=d)
@@ -95,8 +95,8 @@ def repack_q4_0(data, n, k) -> QTensor:
 
 def repack_q4_1(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q4_1, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
-    m = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)
+    m = b[:, :, 2:4].reshape(n, -1).view("<f2").astype(np.float32)
     qs = b[:, :, 4:20]
     codes = np.concatenate([qs & 0x0F, qs >> 4], axis=-1).reshape(n, k)
     # value = q*d + m  ->  q*d - (-m)
@@ -105,7 +105,7 @@ def repack_q4_1(data, n, k) -> QTensor:
 
 def repack_q5_0(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q5_0, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)
     qh = np.ascontiguousarray(b[:, :, 2:6]).view("<u4")[..., 0]  # [n, k/32]
     qs = b[:, :, 6:22]
     j = np.arange(16)
@@ -117,8 +117,8 @@ def repack_q5_0(data, n, k) -> QTensor:
 
 def repack_q5_1(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q5_1, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
-    m = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)
+    m = b[:, :, 2:4].reshape(n, -1).view("<f2").astype(np.float32)
     qh = np.ascontiguousarray(b[:, :, 4:8]).view("<u4")[..., 0]
     qs = b[:, :, 8:24]
     j = np.arange(16)
@@ -130,7 +130,7 @@ def repack_q5_1(data, n, k) -> QTensor:
 
 def repack_q8_0(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q8_0, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)
     codes = np.ascontiguousarray(b[:, :, 2:34]).view(np.int8).reshape(n, k)
     return _make(GGMLQuantType.Q8_0, codes, 8, 32, 0, n, k, g_scale=d)
 
@@ -142,8 +142,8 @@ def repack_q2_k(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q2_K, n, k)
     scales = b[:, :, 0:16]
     qs = b[:, :, 16:80]
-    d = b[:, :, 80:82].reshape(n, -1).view("<f2")
-    dmin = b[:, :, 82:84].reshape(n, -1).view("<f2")
+    d = b[:, :, 80:82].reshape(n, -1).view("<f2").astype(np.float32)
+    dmin = b[:, :, 82:84].reshape(n, -1).view("<f2").astype(np.float32)
     nsb = k // QK_K
     codes = np.empty((n, nsb, QK_K), np.uint8)
     # element order identical to dequantize_q2_k
@@ -162,7 +162,7 @@ def repack_q3_k(data, n, k) -> QTensor:
     hmask = b[:, :, 0:32]
     qs = b[:, :, 32:96]
     sc = unpack_q3k_scales(b[:, :, 96:108])  # [n, nsb, 16] signed
-    d = b[:, :, 108:110].reshape(n, -1).view("<f2")
+    d = b[:, :, 108:110].reshape(n, -1).view("<f2").astype(np.float32)
     nsb = k // QK_K
     codes = np.empty((n, nsb, QK_K), np.int8)
     m = 1
@@ -179,8 +179,8 @@ def repack_q3_k(data, n, k) -> QTensor:
 
 def repack_q4_k(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q4_K, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
-    dmin = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)
+    dmin = b[:, :, 2:4].reshape(n, -1).view("<f2").astype(np.float32)
     sc, mn = unpack_scale_min_k4(b[:, :, 4:16])  # [n, nsb, 8]
     qs = b[:, :, 16:144]
     nsb = k // QK_K
@@ -196,8 +196,8 @@ def repack_q4_k(data, n, k) -> QTensor:
 
 def repack_q5_k(data, n, k) -> QTensor:
     b = _wire_blocks(data, GGMLQuantType.Q5_K, n, k)
-    d = b[:, :, 0:2].reshape(n, -1).view("<f2")
-    dmin = b[:, :, 2:4].reshape(n, -1).view("<f2")
+    d = b[:, :, 0:2].reshape(n, -1).view("<f2").astype(np.float32)
+    dmin = b[:, :, 2:4].reshape(n, -1).view("<f2").astype(np.float32)
     sc, mn = unpack_scale_min_k4(b[:, :, 4:16])
     qh = b[:, :, 16:48]
     qs = b[:, :, 48:176]
@@ -219,7 +219,7 @@ def repack_q6_k(data, n, k) -> QTensor:
     ql = b[:, :, 0:128]
     qh = b[:, :, 128:192]
     scales = np.ascontiguousarray(b[:, :, 192:208]).view(np.int8)
-    d = b[:, :, 208:210].reshape(n, -1).view("<f2")
+    d = b[:, :, 208:210].reshape(n, -1).view("<f2").astype(np.float32)
     nsb = k // QK_K
     codes = np.empty((n, nsb, QK_K), np.int8)
     for half in (0, 1):

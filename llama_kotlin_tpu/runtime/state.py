@@ -1,0 +1,136 @@
+"""Context state serialization.
+
+Parity target: the reference's llama_state_* API (llama.h:701-790, impl
+src/llama.cpp:18423-19040): full-context state blobs, session files with
+magic/version + prompt tokens, and per-sequence state extraction/injection
+(used by server slot save/restore and prompt caching).
+
+Format: a small struct header + npz payload (numpy arrays are already the
+host representation of our cache).  Per-sequence blobs store cells sorted
+by position so they can be injected into any context with free cells.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from llama_kotlin_tpu.runtime.context import LlamaContext
+from dataclasses import replace
+
+STATE_MAGIC = b"LKTS"
+STATE_VERSION = 1
+SESSION_MAGIC = b"LKTN"
+
+
+def _pack(payload: dict, magic: bytes) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    body = buf.getvalue()
+    return magic + struct.pack("<I", STATE_VERSION) + body
+
+
+def _unpack(data: bytes, magic: bytes) -> dict:
+    if data[:4] != magic:
+        raise ValueError("bad state magic")
+    (version,) = struct.unpack("<I", data[4:8])
+    if version != STATE_VERSION:
+        raise ValueError(f"unsupported state version {version}")
+    return dict(np.load(io.BytesIO(data[8:]), allow_pickle=False))
+
+
+def _meta_dict(ctx: LlamaContext) -> dict:
+    return {
+        "cell_pos": ctx.meta.pos.copy(),
+        "cell_seq": ctx.meta.seq.copy(),
+        "cache_k": np.asarray(ctx.cache.k, np.float32),
+        "cache_v": np.asarray(ctx.cache.v, np.float32),
+    }
+
+
+def get_state_data(ctx: LlamaContext) -> bytes:
+    """Full context state (cf. llama_state_get_data)."""
+    payload = _meta_dict(ctx)
+    if ctx._logits is not None:
+        payload["logits"] = np.asarray(ctx._logits, np.float32)
+        payload["logits_rows"] = ctx._logits_rows
+    return _pack(payload, STATE_MAGIC)
+
+
+def set_state_data(ctx: LlamaContext, data: bytes) -> None:
+    """Restore a full context state (cf. llama_state_set_data)."""
+    p = _unpack(data, STATE_MAGIC)
+    if p["cache_k"].shape != tuple(ctx.cache.k.shape):
+        raise ValueError(
+            f"cache shape mismatch: state {p['cache_k'].shape} vs ctx {tuple(ctx.cache.k.shape)}"
+        )
+    ctx.meta.pos[:] = p["cell_pos"]
+    ctx.meta.seq[:] = p["cell_seq"]
+    ctx.cache = replace(
+        ctx.cache,
+        k=jnp.asarray(p["cache_k"], ctx.cache.k.dtype),
+        v=jnp.asarray(p["cache_v"], ctx.cache.v.dtype),
+    )
+    if "logits" in p:
+        ctx._logits = jnp.asarray(p["logits"])
+        ctx._logits_rows = p["logits_rows"]
+
+
+def save_session_file(ctx: LlamaContext, path, tokens) -> None:
+    """State + prompt tokens (cf. llama_state_save_file)."""
+    payload = _meta_dict(ctx)
+    payload["tokens"] = np.asarray(tokens, np.int32)
+    with open(path, "wb") as f:
+        f.write(_pack(payload, SESSION_MAGIC))
+
+
+def load_session_file(ctx: LlamaContext, path) -> np.ndarray:
+    """Restore state; returns the stored prompt tokens."""
+    data = open(path, "rb").read()
+    p = _unpack(data, SESSION_MAGIC)
+    ctx.meta.pos[:] = p["cell_pos"]
+    ctx.meta.seq[:] = p["cell_seq"]
+    ctx.cache = replace(
+        ctx.cache,
+        k=jnp.asarray(p["cache_k"], ctx.cache.k.dtype),
+        v=jnp.asarray(p["cache_v"], ctx.cache.v.dtype),
+    )
+    return p["tokens"]
+
+
+# -- per-sequence state (cf. llama_state_seq_get_data / set_data) ------------
+
+
+def get_seq_data(ctx: LlamaContext, seq_id: int) -> bytes:
+    has = ((ctx.meta.seq >> seq_id) & 1) == 1
+    cells = np.nonzero(has)[0]
+    order = np.argsort(ctx.meta.pos[cells], kind="stable")
+    cells = cells[order].astype(np.int32)
+    payload = {
+        "pos": ctx.meta.pos[cells],
+        "k": np.asarray(ctx.cache.k[:, :, cells], np.float32),  # [L, KV, n, D]
+        "v": np.asarray(ctx.cache.v[:, :, cells], np.float32),
+    }
+    return _pack(payload, STATE_MAGIC)
+
+
+def set_seq_data(ctx: LlamaContext, data: bytes, dest_seq: int) -> int:
+    """Inject a saved sequence; returns 0 ok, 1 if not enough free cells
+    (same error contract as llama_state_seq_set_data)."""
+    p = _unpack(data, STATE_MAGIC)
+    n = int(p["pos"].shape[0])
+    slots = ctx.meta.find_slots(n)
+    if slots is None:
+        return 1
+    ctx.meta.commit(slots, p["pos"], np.full(n, dest_seq, np.int32))
+    ctx.cache = replace(
+        ctx.cache,
+        k=ctx.cache.k.at[:, :, slots].set(jnp.asarray(p["k"], ctx.cache.k.dtype)),
+        v=ctx.cache.v.at[:, :, slots].set(jnp.asarray(p["v"], ctx.cache.v.dtype)),
+    )
+    return 0

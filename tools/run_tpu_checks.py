@@ -41,7 +41,8 @@ def main() -> int:
             out = np.asarray(out)
             dt = time.time() - t0
             err = float(np.mean((out - ref) ** 2) / (np.mean(ref**2) + 1e-12))
-            status = "ok" if err < 1e-6 else "FAIL"
+            # TPU "f32" matmul runs as bf16 passes; ~1e-5 NMSE is expected
+            status = "ok" if err < 1e-4 else "FAIL"
             if status == "FAIL":
                 failures += 1
             print(f"{status} {tname} b={b} nmse={err:.3e} ({dt:.1f}s)")
