@@ -1,0 +1,280 @@
+"""Continuous-batching serving engine.
+
+Parity target: the reference server's slot machinery (server_slot
+server.cpp:128, server_queue :381, update_slots :1884): N slots share one
+context; every engine step packs prompt chunks and one token per
+generating slot into a single Batch, decodes once, then samples/streams
+per slot.  Our unified cell cache makes the packing trivial — any mix of
+prompt and decode tokens is one flat ubatch (SURVEY.md §2.7).
+
+Also implements: prompt-cache longest-common-prefix reuse (server.cpp:847),
+context shift for full slots (:1947), stop strings, n_keep, and
+per-request sampling params.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from llama_kotlin_tpu.runtime.batch import Batch
+from llama_kotlin_tpu.runtime.context import LlamaContext
+from llama_kotlin_tpu.sampling.samplers import SamplerChain, SamplingParams
+
+
+class SlotState(Enum):
+    IDLE = 0
+    PROMPT = 1
+    GENERATING = 2
+
+
+@dataclass
+class Request:
+    prompt_tokens: np.ndarray
+    params: SamplingParams
+    n_predict: int = 128
+    stop_strings: tuple[str, ...] = ()
+    stream: Optional[Callable[[int, str, bool], None]] = None  # (token, text, done)
+    n_keep: int = 0
+    id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    # results
+    done: threading.Event = field(default_factory=threading.Event)
+    output_tokens: list[int] = field(default_factory=list)
+    output_text: str = ""
+    stop_reason: str = ""
+    error: Optional[str] = None
+    t_start: float = field(default_factory=time.time)
+    t_first_token: float = 0.0
+    t_done: float = 0.0
+
+
+@dataclass
+class Slot:
+    id: int
+    seq_id: int
+    state: SlotState = SlotState.IDLE
+    request: Optional[Request] = None
+    tokens: list[int] = field(default_factory=list)  # full token history (prompt+gen)
+    n_past: int = 0  # tokens already in cache
+    n_prompt: int = 0
+    sampler: Optional[SamplerChain] = None
+    pending_text: str = ""
+
+    def reset(self):
+        self.state = SlotState.IDLE
+        self.request = None
+        self.tokens = []
+        self.n_past = 0
+        self.n_prompt = 0
+        self.sampler = None
+        self.pending_text = ""
+
+
+class Engine:
+    """Drives a LlamaContext with n_slots parallel sequences."""
+
+    def __init__(self, ctx: LlamaContext, tokenizer, n_slots: int = 4,
+                 n_batch: int = 256):
+        self.ctx = ctx
+        self.tokenizer = tokenizer
+        self.n_batch = n_batch
+        self.slots = [Slot(id=i, seq_id=i) for i in range(n_slots)]
+        self.queue: list[Request] = []
+        self.lock = threading.Lock()
+        self.running = False
+        self.metrics = {
+            "prompt_tokens_processed": 0,
+            "tokens_predicted": 0,
+            "requests_processed": 0,
+            "n_decode_steps": 0,
+        }
+        # per-slot context budget, like server's n_ctx / n_parallel
+        self.slot_ctx = ctx.n_cells // n_slots
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, req: Request) -> Request:
+        with self.lock:
+            self.queue.append(req)
+        return req
+
+    def step(self) -> bool:
+        """One update_slots iteration; returns True if any work was done."""
+        with self.lock:
+            self._assign_requests()
+            batch = self._build_batch()
+        if batch is None:
+            return False
+        rc = self.ctx.decode(batch)
+        if rc != 0:
+            self._handle_cache_full()
+            return True
+        self._consume_results(batch)
+        self.metrics["n_decode_steps"] += 1
+        return True
+
+    def run_loop(self, stop_event: threading.Event) -> None:
+        self.running = True
+        while not stop_event.is_set():
+            if not self.step():
+                time.sleep(0.002)
+        self.running = False
+
+    def slots_info(self) -> list[dict]:
+        return [
+            {
+                "id": s.id,
+                "state": s.state.name,
+                "n_past": s.n_past,
+                "request": s.request.id if s.request else None,
+            }
+            for s in self.slots
+        ]
+
+    # -- internals -----------------------------------------------------------
+
+    def _assign_requests(self) -> None:
+        for slot in self.slots:
+            if slot.state != SlotState.IDLE or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = list(map(int, req.prompt_tokens))
+            if len(prompt) >= self.slot_ctx:
+                # keep the tail (cf. server truncating long prompts)
+                keep = max(req.n_keep, 0)
+                tail = prompt[-(self.slot_ctx - keep - 4):]
+                prompt = prompt[:keep] + tail
+            # prompt-cache reuse: longest common prefix with what this
+            # slot's sequence still holds (server.cpp common_part)
+            common = 0
+            if slot.tokens:
+                limit = min(len(slot.tokens), len(prompt) - 1, slot.n_past)
+                while common < limit and slot.tokens[common] == prompt[common]:
+                    common += 1
+            if common > 0:
+                self.ctx.seq_rm(slot.seq_id, common, -1)
+            else:
+                self.ctx.seq_rm(slot.seq_id, 0, -1)
+            slot.request = req
+            slot.tokens = prompt
+            slot.n_past = common
+            slot.n_prompt = len(prompt)
+            slot.state = SlotState.PROMPT
+            slot.sampler = SamplerChain(req.params, self.ctx.cfg.vocab_size)
+            for t in prompt[:common]:
+                slot.sampler.accept(t, apply_grammar=False)
+            slot.pending_text = ""
+
+    def _build_batch(self) -> Optional[Batch]:
+        tokens, pos, seqs, outs = [], [], [], []
+        budget = self.n_batch
+        for slot in self.slots:
+            if slot.state == SlotState.PROMPT and budget > 0:
+                chunk = slot.tokens[slot.n_past : slot.n_past + budget]
+                for i, t in enumerate(chunk):
+                    is_last = slot.n_past + i == slot.n_prompt - 1
+                    tokens.append(t)
+                    pos.append(slot.n_past + i)
+                    seqs.append(slot.seq_id)
+                    outs.append(is_last)
+                budget -= len(chunk)
+                slot._batch_n = len(chunk)  # type: ignore[attr-defined]
+            elif slot.state == SlotState.GENERATING:
+                t = slot.tokens[-1]
+                tokens.append(t)
+                pos.append(slot.n_past)
+                seqs.append(slot.seq_id)
+                outs.append(True)
+                slot._batch_n = 1  # type: ignore[attr-defined]
+            else:
+                slot._batch_n = 0  # type: ignore[attr-defined]
+        if not tokens:
+            return None
+        return Batch(np.array(tokens, np.int32), np.array(pos, np.int32),
+                     np.array(seqs, np.int32), np.array(outs, bool))
+
+    def _consume_results(self, batch: Batch) -> None:
+        logits = self.ctx.get_logits() if batch.output.any() else None
+        rows = self.ctx._logits_rows if logits is not None else None
+        row_of = {int(r): i for i, r in enumerate(rows)} if rows is not None else {}
+        row = 0
+        for slot in self.slots:
+            n = getattr(slot, "_batch_n", 0)
+            if n == 0:
+                continue
+            first = row
+            row += n
+            if slot.state == SlotState.PROMPT:
+                slot.n_past += n
+                self.metrics["prompt_tokens_processed"] += n
+                if slot.n_past < slot.n_prompt:
+                    continue
+                slot.state = SlotState.GENERATING
+            else:  # GENERATING: its one token entered the cache
+                slot.n_past += 1
+            # the slot's output row is its last token in this batch
+            out_row = first + n - 1
+            if out_row not in row_of:
+                continue
+            tok = self._sample(slot, logits[row_of[out_row]])
+            self._emit(slot, tok)
+
+    def _sample(self, slot: Slot, logits: np.ndarray) -> int:
+        tok = slot.sampler.sample(logits, tokenizer=self.tokenizer)
+        slot.sampler.accept(tok, tokenizer=self.tokenizer)
+        slot.tokens.append(tok)
+        self.metrics["tokens_predicted"] += 1
+        return tok
+
+    def _emit(self, slot: Slot, tok: int) -> None:
+        req = slot.request
+        if req.t_first_token == 0.0:
+            req.t_first_token = time.time()
+        req.output_tokens.append(tok)
+        piece = self.tokenizer.decode([tok], skip_special=False)
+        eos = self._is_eos(tok)
+        if not eos:
+            slot.pending_text += piece
+            req.output_text += piece
+        stopped = None
+        for s in req.stop_strings:
+            idx = req.output_text.find(s)
+            if idx >= 0:
+                req.output_text = req.output_text[:idx]
+                stopped = s
+                break
+        n_gen = len(req.output_tokens)
+        done = eos or stopped is not None or n_gen >= req.n_predict \
+            or slot.n_past >= self.slot_ctx - 1
+        if req.stream:
+            req.stream(tok, "" if eos else piece, done)
+        if done:
+            req.stop_reason = ("eos" if eos else "stop" if stopped else "length")
+            req.t_done = time.time()
+            self.metrics["requests_processed"] += 1
+            req.done.set()
+            slot.state = SlotState.IDLE
+            slot.request = None
+            slot.sampler = None
+
+    def _is_eos(self, tok: int) -> bool:
+        v = getattr(self.tokenizer, "vocab", None)
+        return v is not None and tok == v.eos_id
+
+    def _handle_cache_full(self) -> None:
+        """Shift contexts of generating slots (server.cpp:1947)."""
+        for slot in self.slots:
+            if slot.state != SlotState.GENERATING or slot.request is None:
+                continue
+            n_keep = slot.request.n_keep
+            n_discard = max(1, (slot.n_past - n_keep) // 2)
+            self.ctx.seq_rm(slot.seq_id, n_keep, n_keep + n_discard)
+            self.ctx.seq_add(slot.seq_id, n_keep + n_discard, -1, -n_discard)
+            slot.n_past -= n_discard
+            del slot.tokens[n_keep : n_keep + n_discard]

@@ -67,7 +67,10 @@ class _Parser:
 
     def _name(self) -> str:
         start = self.pos
-        while self._peek().isalnum() or self._peek() in "-_":
+        while True:
+            ch = self._peek()
+            if not ch or not (ch.isalnum() or ch in "-_"):
+                break
             self.pos += 1
         if self.pos == start:
             raise GrammarParseError(f"expected name at {start}")

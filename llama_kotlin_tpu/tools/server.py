@@ -1,0 +1,324 @@
+"""OpenAI-compatible HTTP server.
+
+Parity target: examples/server/server.cpp (3,472 LoC): slots + continuous
+batching (runtime/engine.py), SSE streaming, /completion, /v1/completions,
+/v1/chat/completions, /tokenize, /detokenize, /health, /slots, /metrics
+(Prometheus text format), /props.  Stdlib-only (ThreadingHTTPServer).
+
+Usage:
+    python -m llama_kotlin_tpu.tools.server --model model.gguf --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+import numpy as np
+
+from llama_kotlin_tpu.runtime.chat import apply_chat_template, detect_template
+from llama_kotlin_tpu.runtime.engine import Engine, Request
+from llama_kotlin_tpu.sampling.samplers import SamplingParams
+
+
+def sampling_params_from_json(d: dict) -> SamplingParams:
+    p = SamplingParams()
+    mapping = {
+        "temperature": "temp", "temp": "temp", "top_k": "top_k", "top_p": "top_p",
+        "min_p": "min_p", "tfs_z": "tfs_z", "typical_p": "typical_p",
+        "repeat_penalty": "penalty_repeat", "frequency_penalty": "penalty_freq",
+        "presence_penalty": "penalty_present", "repeat_last_n": "penalty_last_n",
+        "mirostat": "mirostat", "mirostat_tau": "mirostat_tau",
+        "mirostat_eta": "mirostat_eta", "seed": "seed", "grammar": "grammar",
+    }
+    kwargs: dict[str, Any] = {}
+    for k, attr in mapping.items():
+        if k in d and d[k] is not None:
+            kwargs[attr] = d[k]
+    if "logit_bias" in d and d["logit_bias"]:
+        kwargs["logit_bias"] = {int(k): float(v) for k, v in d["logit_bias"].items()}
+    if d.get("json_schema"):
+        from llama_kotlin_tpu.sampling.json_schema import json_schema_to_gbnf
+
+        kwargs["grammar"] = json_schema_to_gbnf(d["json_schema"])
+    return SamplingParams(**kwargs)
+
+
+class ServerState:
+    def __init__(self, engine: Engine, tokenizer, model_name: str, template: str):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.template = template
+        self.stop = threading.Event()
+        self.thread = threading.Thread(
+            target=engine.run_loop, args=(self.stop,), daemon=True
+        )
+        self.t_start = time.time()
+
+    def start(self):
+        self.thread.start()
+
+    def shutdown(self):
+        self.stop.set()
+
+
+def make_handler(state: ServerState):
+    engine = state.engine
+    tokenizer = state.tokenizer
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        # -- helpers ---------------------------------------------------------
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "keep-alive")
+            self.end_headers()
+
+        def _sse(self, obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        # -- routes ----------------------------------------------------------
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"status": "ok"})
+            elif self.path in ("/v1/models", "/models"):
+                self._json({"object": "list", "data": [
+                    {"id": state.model_name, "object": "model", "owned_by": "lktpu"}
+                ]})
+            elif self.path == "/slots":
+                self._json(engine.slots_info())
+            elif self.path == "/metrics":
+                m = engine.metrics
+                lines = [
+                    "# TYPE llamacpp:prompt_tokens_total counter",
+                    f"llamacpp:prompt_tokens_total {m['prompt_tokens_processed']}",
+                    "# TYPE llamacpp:tokens_predicted_total counter",
+                    f"llamacpp:tokens_predicted_total {m['tokens_predicted']}",
+                    "# TYPE llamacpp:requests_processed_total counter",
+                    f"llamacpp:requests_processed_total {m['requests_processed']}",
+                    "# TYPE llamacpp:n_decode_total counter",
+                    f"llamacpp:n_decode_total {m['n_decode_steps']}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/props":
+                self._json({
+                    "model": state.model_name,
+                    "n_slots": len(engine.slots),
+                    "chat_template": state.template,
+                })
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                if self.path == "/tokenize":
+                    d = self._read_json()
+                    ids = tokenizer.encode(d.get("content", ""),
+                                           add_special=bool(d.get("add_special", False)),
+                                           parse_special=True)
+                    self._json({"tokens": ids})
+                elif self.path == "/detokenize":
+                    d = self._read_json()
+                    self._json({"content": tokenizer.decode(d.get("tokens", []))})
+                elif self.path == "/completion" or self.path == "/v1/completions":
+                    self._completion(openai=self.path.startswith("/v1"))
+                elif self.path == "/v1/chat/completions":
+                    self._chat()
+                else:
+                    self._json({"error": "not found"}, 404)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self._json({"error": repr(e)}, 500)
+                except Exception:
+                    pass
+
+        # -- completion logic -------------------------------------------------
+
+        def _submit_and_respond(self, prompt_text, d, openai_kind: Optional[str]):
+            params = sampling_params_from_json(d)
+            n_predict = int(d.get("n_predict", d.get("max_tokens", 128)) or 128)
+            stops = d.get("stop", [])
+            if isinstance(stops, str):
+                stops = [stops]
+            tokens = np.asarray(
+                tokenizer.encode(prompt_text, add_special=True, parse_special=True),
+                np.int32,
+            )
+            stream = bool(d.get("stream", False))
+            created = int(time.time())
+            rid = "cmpl-" + time.strftime("%H%M%S")
+
+            if stream:
+                q: queue.Queue = queue.Queue()
+                req = Request(
+                    prompt_tokens=tokens, params=params, n_predict=n_predict,
+                    stop_strings=tuple(stops),
+                    stream=lambda tok, text, done: q.put((tok, text, done)),
+                )
+                engine.submit(req)
+                self._sse_start()
+                while True:
+                    tok, text, done = q.get()
+                    if openai_kind == "chat":
+                        payload = {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "created": created, "model": state.model_name,
+                            "choices": [{
+                                "index": 0,
+                                "delta": ({"content": text} if text else {}),
+                                "finish_reason": req.stop_reason or None if done else None,
+                            }],
+                        }
+                    elif openai_kind == "text":
+                        payload = {
+                            "id": rid, "object": "text_completion", "created": created,
+                            "model": state.model_name,
+                            "choices": [{"index": 0, "text": text,
+                                         "finish_reason": req.stop_reason or None if done else None}],
+                        }
+                    else:  # llama.cpp native /completion
+                        payload = {"content": text, "stop": done}
+                    self._sse(payload)
+                    if done:
+                        if openai_kind:
+                            self.wfile.write(b"data: [DONE]\n\n")
+                            self.wfile.flush()
+                        break
+                return
+
+            req = Request(prompt_tokens=tokens, params=params, n_predict=n_predict,
+                          stop_strings=tuple(stops))
+            engine.submit(req)
+            req.done.wait()
+            usage = {
+                "prompt_tokens": int(tokens.size),
+                "completion_tokens": len(req.output_tokens),
+                "total_tokens": int(tokens.size) + len(req.output_tokens),
+            }
+            if openai_kind == "chat":
+                self._json({
+                    "id": rid, "object": "chat.completion", "created": created,
+                    "model": state.model_name,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant", "content": req.output_text},
+                        "finish_reason": req.stop_reason,
+                    }],
+                    "usage": usage,
+                })
+            elif openai_kind == "text":
+                self._json({
+                    "id": rid, "object": "text_completion", "created": created,
+                    "model": state.model_name,
+                    "choices": [{"index": 0, "text": req.output_text,
+                                 "finish_reason": req.stop_reason}],
+                    "usage": usage,
+                })
+            else:
+                self._json({
+                    "content": req.output_text,
+                    "stop": True,
+                    "stopped_eos": req.stop_reason == "eos",
+                    "stopped_limit": req.stop_reason == "length",
+                    "stopping_word": req.stop_reason == "stop",
+                    "tokens_predicted": len(req.output_tokens),
+                    "timings": {
+                        "prompt_n": int(tokens.size),
+                        "predicted_n": len(req.output_tokens),
+                        "ttft_ms": round((req.t_first_token - req.t_start) * 1e3, 2)
+                        if req.t_first_token else None,
+                    },
+                })
+
+        def _completion(self, openai: bool):
+            d = self._read_json()
+            prompt = d.get("prompt", "")
+            self._submit_and_respond(prompt, d, "text" if openai else None)
+
+        def _chat(self):
+            d = self._read_json()
+            messages = d.get("messages", [])
+            text = apply_chat_template(messages, state.template)
+            self._submit_and_respond(text, d, "chat")
+
+    return Handler
+
+
+def serve(ctx, tokenizer, model_name="model", template: Optional[str] = None,
+          host="127.0.0.1", port=8080, n_slots=4, n_batch=256) -> ServerState:
+    engine = Engine(ctx, tokenizer, n_slots=n_slots, n_batch=n_batch)
+    template = template or "chatml"
+    state = ServerState(engine, tokenizer, model_name, template)
+    state.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    state.httpd = httpd  # type: ignore[attr-defined]
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--n-slots", type=int, default=4)
+    ap.add_argument("--n-ctx", type=int, default=4096)
+    ap.add_argument("--n-batch", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.tokenizer import build_tokenizer
+
+    cfg, params, f = load_gguf_model(args.model)
+    tokenizer = build_tokenizer(f.metadata)
+    template = detect_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx)
+    state = serve(ctx, tokenizer, model_name=cfg.name or "model", template=template,
+                  host=args.host, port=args.port, n_slots=args.n_slots,
+                  n_batch=args.n_batch)
+    print(f"listening on http://{args.host}:{args.port}")
+    try:
+        state.httpd.serve_forever()
+    except KeyboardInterrupt:
+        state.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Engine + HTTP server integration tests over a real socket (pattern:
+reference examples/server/tests behave features — parallel requests,
+streaming, tokenize endpoints), using the tiny synthetic model and a
+whitespace-free real tokenizer vocabulary."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.gguf import GGUFFile
+from llama_kotlin_tpu.models.loader import load_gguf_model
+from llama_kotlin_tpu.runtime.context import LlamaContext
+from llama_kotlin_tpu.runtime.engine import Engine, Request
+from llama_kotlin_tpu.sampling.samplers import SamplingParams
+from llama_kotlin_tpu.tokenizer import build_tokenizer
+
+from tests.fixtures import random_llama_weights, tiny_llama_dims, write_llama_gguf
+
+
+class ToyTokenizer:
+    """Deterministic toy tokenizer over a small vocab for engine tests."""
+
+    class V:
+        eos_id = 2
+
+    vocab = V()
+
+    def __init__(self, vocab_size):
+        self.vocab_size = vocab_size
+
+    def encode(self, text, add_special=True, parse_special=False):
+        ids = [3 + (ord(c) % (self.vocab_size - 3)) for c in text]
+        return ([1] if add_special else []) + ids
+
+    def decode(self, ids, skip_special=True):
+        return "".join(chr(97 + (t % 26)) for t in ids if t > 2)
+
+    def id_to_piece(self, tid):
+        return chr(97 + (tid % 26)).encode()
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    dims = tiny_llama_dims(vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path_factory.mktemp("m") / "t.gguf"
+    write_llama_gguf(path, weights, dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+    tok = ToyTokenizer(dims["vocab"])
+
+    from llama_kotlin_tpu.tools.server import ServerState, make_handler
+    from http.server import ThreadingHTTPServer
+
+    engine = Engine(ctx, tok, n_slots=2, n_batch=64)
+    state = ServerState(engine, tok, "tiny", "chatml")
+    state.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", engine
+    state.shutdown()
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, json.dumps(payload).encode(),
+                                 {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_engine_direct(served):
+    _, engine = served
+    req = Request(
+        prompt_tokens=np.array([1, 5, 9], np.int32),
+        params=SamplingParams(temp=0.0),
+        n_predict=8,
+    )
+    engine.submit(req)
+    assert req.done.wait(timeout=120)
+    assert len(req.output_tokens) >= 1
+    assert req.stop_reason in ("length", "eos")
+
+
+def test_http_health_and_models(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(url + "/v1/models", timeout=30) as r:
+        assert json.loads(r.read())["data"][0]["id"] == "tiny"
+
+
+def test_http_completion(served):
+    url, _ = served
+    out = _post(url + "/completion", {"prompt": "hi", "n_predict": 4, "temperature": 0})
+    assert out["stop"] is True
+    assert "content" in out
+    assert out["tokens_predicted"] >= 1
+
+
+def test_http_openai_chat(served):
+    url, _ = served
+    out = _post(url + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 4, "temperature": 0,
+    })
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["finish_reason"] in ("length", "eos")
+    assert out["usage"]["completion_tokens"] >= 1
+
+
+def test_http_streaming(served):
+    url, _ = served
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 4, "temperature": 0, "stream": True}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: "):
+                if line == b"data: [DONE]":
+                    break
+                chunks.append(json.loads(line[6:]))
+    assert chunks, "no SSE chunks"
+    assert chunks[0]["object"] == "chat.completion.chunk"
+
+
+def test_http_parallel_requests(served):
+    url, _ = served
+    results = []
+    def worker(i):
+        out = _post(url + "/completion",
+                    {"prompt": f"req{i}", "n_predict": 6, "temperature": 0})
+        results.append(out)
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 4
+    assert all(r["stop"] for r in results)
+
+
+def test_http_tokenize_metrics(served):
+    url, _ = served
+    out = _post(url + "/tokenize", {"content": "abc"})
+    assert len(out["tokens"]) == 3
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "llamacpp:tokens_predicted_total" in text
+    with urllib.request.urlopen(url + "/slots", timeout=30) as r:
+        slots = json.loads(r.read())
+    assert len(slots) == 2
