@@ -72,12 +72,19 @@ def forward(
     out_ids: jnp.ndarray,  # [n_out] int32 token rows to produce logits for
     *,
     compute_dtype=jnp.bfloat16,
-) -> tuple[jnp.ndarray, KVCache]:
-    """One ubatch step. Returns (logits [n_out, vocab] f32, updated cache).
+) -> tuple[jnp.ndarray, KVCache, jnp.ndarray]:
+    """One ubatch step. Returns (logits [n_out, vocab] f32, updated cache,
+    embeddings [n_out, n_embd] f32 — final-norm hidden states, cf.
+    llama_get_embeddings).
 
     `cell_pos`/`cell_seq` must already reflect the inserted tokens
     (CellMetadata.commit before the call), mirroring how llama_set_inputs
     fills inp_KQ_mask after find_slot.
+
+    Optional extras in `params`:
+    - "control_vectors": [n_layer, n_embd] additive steering vectors
+      (parity: llama_control_vector_apply, llama.h:556)
+    - LoRA adapters ride on weights as LoraWeight wrappers (ops/qmatmul).
     """
     nt = tokens.shape[0]
     rope = cfg.rope_params()
@@ -96,7 +103,9 @@ def forward(
     )
     n_vis = cell_pos.shape[0]  # cache may carry a scratch row beyond the masked cells
 
-    def layer_body(lp: dict, h, k_layer, v_layer, mask):
+    control_vectors = params.get("control_vectors")
+
+    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None):
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
 
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
@@ -150,7 +159,10 @@ def forward(
         down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         if lp.get("post_ffn_norm") is not None:  # gemma2
             down = rms_norm(down, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
-        return h + down.astype(h.dtype), k_layer, v_layer
+        h = h + down.astype(h.dtype)
+        if cvec is not None:
+            h = h + cvec.astype(h.dtype)
+        return h, k_layer, v_layer
 
     if "layers_stacked" in params:
         # lax.scan over stacked layers: one-layer compile regardless of depth
@@ -158,15 +170,18 @@ def forward(
 
         def scan_body(carry, xs):
             h, kc, vc = carry
-            lp, i = xs
-            h, kl, vl = layer_body(lp, h, kc[i], vc[i], mask_full)
+            lp, i, cvec = xs
+            h, kl, vl = layer_body(lp, h, kc[i], vc[i], mask_full, cvec)
             kc = jax.lax.dynamic_update_index_in_dim(kc, kl, i, 0)
             vc = jax.lax.dynamic_update_index_in_dim(vc, vl, i, 0)
             return (h, kc, vc), None
 
+        cvecs = control_vectors
+        if cvecs is None:
+            cvecs = jnp.zeros((cfg.n_layer, h.shape[-1]), jnp.float32)
         (h, new_k, new_v), _ = jax.lax.scan(
             scan_body, (h, cache.k, cache.v),
-            (stacked, jnp.arange(cfg.n_layer, dtype=jnp.int32)),
+            (stacked, jnp.arange(cfg.n_layer, dtype=jnp.int32), cvecs),
         )
     else:
         new_k = cache.k
@@ -175,7 +190,8 @@ def forward(
             lp = layer_params(params, i)
             window = cfg.layer_swa_window(i)
             mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
-            h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask)
+            cvec = None if control_vectors is None else control_vectors[i]
+            h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask, cvec)
             new_k = new_k.at[i].set(kl)
             new_v = new_v.at[i].set(vl)
 
@@ -188,4 +204,4 @@ def forward(
     logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
-    return logits, replace(cache, k=new_k, v=new_v)
+    return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32)

@@ -37,8 +37,18 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
     """x [..., k] @ w[n, k]^T -> [..., n].
 
     Accumulation in f32 (preferred_element_type), inputs cast to
-    `compute_dtype` for the MXU.
+    `compute_dtype` for the MXU.  LoraWeight wrappers add their low-rank
+    delta on the fly (cf. llm_build_lora_mm, src/llama.cpp:8515).
     """
+    from llama_kotlin_tpu.models.lora import LoraWeight
+
+    if isinstance(w, LoraWeight):
+        y = qmatmul(x, w.base, compute_dtype=compute_dtype, allow_pallas=allow_pallas)
+        xa = jnp.dot(x.astype(compute_dtype), w.a.T.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+        delta = jnp.dot(xa.astype(compute_dtype), w.b.T.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+        return y + w.scale * delta
     if isinstance(w, QTensor):
         if allow_pallas and _use_pallas():
             from llama_kotlin_tpu.ops.pallas.qmm import qmm_pallas_or_none
@@ -61,6 +71,10 @@ def take_rows(w: Weight, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     Equivalent of ggml_get_rows on quantized tensors: gathers the packed
     rows first, dequantizes only the gathered rows.
     """
+    from llama_kotlin_tpu.models.lora import LoraWeight
+
+    if isinstance(w, LoraWeight):
+        w = w.base  # row gathers bypass LoRA, like ggml_get_rows
     if not isinstance(w, QTensor):
         return w[ids].astype(dtype)
     sub = QTensor(

@@ -78,14 +78,8 @@ class LlamaContext:
         forward_fn=None,
     ):
         self.cfg = cfg
-        from llama_kotlin_tpu.models.llama import can_stack, stack_layers
-
-        if "layers" in params and can_stack(params, cfg):
-            try:
-                params = stack_layers(params)
-            except (ValueError, TypeError):
-                pass  # non-uniform layers: keep the unrolled path
-        self.params = params
+        self._raw_params = params  # unstacked view kept for LoRA re-application
+        self.params = self._prepare_params(params)
         self.n_cells = n_cells
         self.n_ubatch = n_ubatch
         self.n_seq_max = n_seq_max
@@ -103,15 +97,51 @@ class LlamaContext:
         base_forward = forward_fn or llama_model.forward
 
         def _step(params, tokens, pos, seq, slots, cache, cell_pos, cell_seq, out_ids):
-            # metadata arrays cover the real cells; the scratch row is
-            # invisible (mask length = n_cells)
-            logits, cache = base_forward(
+            logits, cache, embd = base_forward(
                 params, cfg, tokens, pos, seq, slots, cache, cell_pos, cell_seq,
                 out_ids, compute_dtype=compute_dtype,
             )
-            return logits, cache
+            return logits, cache, embd
 
         self._step = jax.jit(_step, donate_argnums=(5,))
+        self._embd: Optional[jax.Array] = None
+
+    def _prepare_params(self, params: dict) -> dict:
+        from llama_kotlin_tpu.models.llama import can_stack, stack_layers
+
+        if "layers" in params and can_stack(params, self.cfg):
+            try:
+                return stack_layers(params)
+            except (ValueError, TypeError):
+                pass  # non-uniform layers: keep the unrolled path
+        return params
+
+    # -- adapters (parity: llama_lora_adapter_set/remove, control vectors) ---
+
+    def apply_lora(self, adapter, scale: float = 1.0) -> None:
+        from llama_kotlin_tpu.models.lora import apply_lora
+
+        self._raw_params = apply_lora(self._raw_params, adapter, scale)
+        cv = self.params.get("control_vectors")
+        self.params = self._prepare_params(self._raw_params)
+        if cv is not None:
+            self.params["control_vectors"] = cv
+
+    def remove_lora(self) -> None:
+        from llama_kotlin_tpu.models.lora import remove_lora
+
+        self._raw_params = remove_lora(self._raw_params)
+        cv = self.params.get("control_vectors")
+        self.params = self._prepare_params(self._raw_params)
+        if cv is not None:
+            self.params["control_vectors"] = cv
+
+    def control_vector_apply(self, vectors) -> None:
+        """vectors: [n_layer, n_embd] or None to clear."""
+        if vectors is None:
+            self.params.pop("control_vectors", None)
+        else:
+            self.params["control_vectors"] = jnp.asarray(vectors, jnp.float32)
 
     # -- decode --------------------------------------------------------------
 
@@ -153,7 +183,7 @@ class LlamaContext:
         out_ids = np.zeros(n_out, np.int32)
         out_ids[: len(out_rows)] = out_rows
 
-        logits, self.cache = self._step(
+        logits, self.cache, embd = self._step(
             self.params,
             jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
             jnp.asarray(slot_arr), self.cache,
@@ -163,6 +193,7 @@ class LlamaContext:
         if len(out_rows):
             all_logits.append(logits[: len(out_rows)])
             all_rows.append(out_rows)
+            self._embd = embd[: len(out_rows)]
         dt = (time.perf_counter() - t0) * 1e3
         if nt == 1:
             self.timings.t_eval_ms += dt
@@ -182,6 +213,23 @@ class LlamaContext:
 
     def get_logits_ith(self, i: int = -1) -> np.ndarray:
         return self.get_logits()[i]
+
+    def get_embeddings(self, pooling: str = "last") -> np.ndarray:
+        """Final-norm hidden states of the last decode's output rows
+        (parity: llama_get_embeddings + pooling types NONE/MEAN/LAST/CLS).
+
+        pooling: "none" -> [n_out, n_embd]; "mean"/"last"/"cls" -> [n_embd].
+        """
+        if self._embd is None:
+            raise RuntimeError("no embeddings: decode with output flags first")
+        e = np.asarray(self._embd)
+        if pooling == "none":
+            return e
+        if pooling == "mean":
+            return e.mean(axis=0)
+        if pooling == "cls":
+            return e[0]
+        return e[-1]
 
     # -- sequence management (parity: llama_kv_cache_seq_*) ------------------
 

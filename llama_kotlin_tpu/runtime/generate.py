@@ -75,7 +75,7 @@ def generate_loop(
         cell_seq = cell_seq.at[step_slots].set(
             (1 << seq_ids).astype(cell_seq.dtype)
         )
-        logits, cache = llama_model.forward(
+        logits, cache, _embd = llama_model.forward(
             params, cfg, tokens, pos, seq_ids, step_slots, cache,
             cell_pos, cell_seq, out_ids, compute_dtype=compute_dtype,
         )
