@@ -1,0 +1,226 @@
+"""Speculative decoding and prompt-lookup drafting.
+
+Parity targets:
+- examples/speculative/speculative.cpp (619 LoC): a draft model proposes
+  n_draft tokens, the target verifies them in one batched decode, the
+  longest agreeing prefix is accepted, and both caches are rolled back
+  (seq_rm) past the first mismatch.  Greedy verification first (the
+  reference's p_split tree drafts are a later extension).
+- examples/lookup + common/ngram-cache.cpp: prompt-lookup decoding drafts
+  from n-gram continuations already seen in the sequence, verified the
+  same way — no draft model needed.
+
+The verification step is a perfect fit for the unified cell cache: the
+draft chunk is one flat ubatch with logits at every position.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from llama_kotlin_tpu.runtime.batch import Batch
+from llama_kotlin_tpu.runtime.context import LlamaContext
+
+
+@dataclass
+class SpecStats:
+    n_drafted: int = 0
+    n_accepted: int = 0
+    n_target_calls: int = 0
+
+    @property
+    def accept_rate(self) -> float:
+        return self.n_accepted / self.n_drafted if self.n_drafted else 0.0
+
+
+def _greedy(logits: np.ndarray) -> int:
+    return int(np.argmax(logits))
+
+
+def speculative_generate(
+    target: LlamaContext,
+    draft: LlamaContext,
+    prompt_tokens,
+    n_predict: int,
+    n_draft: int = 5,
+    eos_id: int = -1,
+    sample_fn: Optional[Callable[[np.ndarray], int]] = None,
+) -> tuple[list[int], SpecStats]:
+    """Greedy speculative decoding with a draft model.
+
+    Returns (generated tokens, stats).  Output is identical to plain greedy
+    decoding of the target (same argmax decisions).
+    """
+    sample = sample_fn or _greedy
+    prompt_tokens = np.asarray(prompt_tokens, np.int32)
+    for c in (target, draft):
+        c.clear()
+        rc = c.decode(Batch.single(prompt_tokens))
+        if rc != 0:
+            raise RuntimeError("prefill failed")
+    stats = SpecStats()
+    out: list[int] = []
+    last = sample(target.get_logits()[0])
+    stats.n_target_calls += 1
+    out.append(last)
+    n_past = len(prompt_tokens)  # same for target and draft
+
+    while len(out) < n_predict and last != eos_id:
+        # 1. draft proposes a chain greedily
+        proposals: list[int] = []
+        d_tok = last
+        for i in range(n_draft):
+            rc = draft.decode(Batch(tokens=[d_tok], pos=[n_past + i],
+                                    seq_id=[0], output=[True]))
+            if rc != 0:
+                break
+            d_tok = _greedy(draft.get_logits()[0])
+            proposals.append(d_tok)
+        if not proposals:
+            # cache exhausted: fall back to plain decode of `last`
+            rc = target.decode(Batch(tokens=[last], pos=[n_past], seq_id=[0],
+                                     output=[True]))
+            if rc != 0:
+                break
+            last = sample(target.get_logits()[0])
+            stats.n_target_calls += 1
+            out.append(last)
+            n_past += 1
+            continue
+
+        # 2. target verifies the whole chain in one batch; row i predicts
+        # the token after chain[i], so row len(proposals) is the correction
+        # when everything is accepted
+        chain = [last] + proposals
+        pos = np.arange(n_past, n_past + len(chain), dtype=np.int32)
+        rc = target.decode(Batch(np.array(chain, np.int32), pos,
+                                 np.zeros(len(chain), np.int32),
+                                 np.ones(len(chain), bool)))
+        stats.n_target_calls += 1
+        if rc != 0:
+            break
+        t_logits = target.get_logits()  # [len(chain), vocab]
+        stats.n_drafted += len(proposals)
+
+        n_accept = 0
+        for i, p in enumerate(proposals):
+            t_choice = sample(t_logits[i])
+            if t_choice == p and p != eos_id and len(out) + n_accept + 1 < n_predict:
+                n_accept += 1
+            else:
+                break
+        stats.n_accepted += n_accept
+        accepted = proposals[:n_accept]
+        # the correction token comes from the target at the first mismatch
+        correction = sample(t_logits[n_accept])
+        out.extend(accepted)
+        out.append(correction)
+        new_past = n_past + n_accept + 1
+
+        # 3. roll back both caches past the accepted region
+        target.seq_rm(0, new_past, -1)
+        draft.seq_rm(0, new_past, -1)
+        # draft hasn't seen the accepted chain's last token yet: its cache
+        # holds [.. n_past + len(proposals)); trim to new_past
+        n_past = new_past
+        last = correction
+    return out[:n_predict], stats
+
+
+# -- prompt-lookup (ngram) drafting ------------------------------------------
+
+
+@dataclass
+class NgramCache:
+    """min..max-order n-gram continuation cache (cf. common/ngram-cache.h)."""
+
+    n_min: int = 2
+    n_max: int = 4
+    table: dict[tuple, dict[int, int]] = field(default_factory=dict)
+
+    def update(self, tokens: list[int]) -> None:
+        for n in range(self.n_min, self.n_max + 1):
+            for i in range(len(tokens) - n):
+                key = tuple(tokens[i : i + n])
+                nxt = tokens[i + n]
+                self.table.setdefault(key, {}).setdefault(nxt, 0)
+                self.table[key][nxt] += 1
+
+    def draft(self, tokens: list[int], n_draft: int) -> list[int]:
+        out: list[int] = []
+        cur = list(tokens)
+        for _ in range(n_draft):
+            best = None
+            for n in range(self.n_max, self.n_min - 1, -1):
+                key = tuple(cur[-n:])
+                cands = self.table.get(key)
+                if cands:
+                    best = max(cands.items(), key=lambda kv: kv[1])[0]
+                    break
+            if best is None:
+                break
+            out.append(best)
+            cur.append(best)
+        return out
+
+
+def lookup_generate(
+    target: LlamaContext,
+    prompt_tokens,
+    n_predict: int,
+    n_draft: int = 4,
+    eos_id: int = -1,
+) -> tuple[list[int], SpecStats]:
+    """Prompt-lookup decoding: n-gram drafts verified by the target.
+
+    Output equals plain greedy decoding of the target.
+    """
+    prompt_tokens = np.asarray(prompt_tokens, np.int32)
+    target.clear()
+    rc = target.decode(Batch.single(prompt_tokens))
+    if rc != 0:
+        raise RuntimeError("prefill failed")
+    cache = NgramCache()
+    history = [int(t) for t in prompt_tokens]
+    cache.update(history)
+    stats = SpecStats()
+    out: list[int] = []
+    last = _greedy(target.get_logits()[0])
+    stats.n_target_calls += 1
+    out.append(last)
+    history.append(last)
+    n_past = len(prompt_tokens)
+
+    while len(out) < n_predict and last != eos_id:
+        proposals = cache.draft(history, n_draft)
+        chain = [last] + proposals
+        pos = np.arange(n_past, n_past + len(chain), dtype=np.int32)
+        rc = target.decode(Batch(np.array(chain, np.int32), pos,
+                                 np.zeros(len(chain), np.int32),
+                                 np.ones(len(chain), bool)))
+        stats.n_target_calls += 1
+        if rc != 0:
+            break
+        t_logits = target.get_logits()
+        stats.n_drafted += len(proposals)
+        n_accept = 0
+        for i, p in enumerate(proposals):
+            if _greedy(t_logits[i]) == p and p != eos_id \
+                    and len(out) + n_accept + 1 < n_predict:
+                n_accept += 1
+            else:
+                break
+        stats.n_accepted += n_accept
+        correction = _greedy(t_logits[n_accept])
+        accepted = proposals[:n_accept]
+        out.extend(accepted)
+        out.append(correction)
+        history.extend(accepted + [correction])
+        cache.update(history[-(n_accept + cache.n_max + 2):])
+        n_past += n_accept + 1
+        target.seq_rm(0, n_past, -1)
+        last = correction
+    return out[:n_predict], stats

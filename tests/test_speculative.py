@@ -1,0 +1,88 @@
+"""Speculative + lookup decoding tests: outputs must equal plain greedy
+decoding of the target (the core correctness invariant of both)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.models.loader import load_gguf_model
+from llama_kotlin_tpu.runtime.batch import Batch
+from llama_kotlin_tpu.runtime.context import LlamaContext
+from llama_kotlin_tpu.runtime.speculative import (
+    NgramCache,
+    lookup_generate,
+    speculative_generate,
+)
+
+from tests.fixtures import random_llama_weights, tiny_llama_dims, write_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    dims = tiny_llama_dims()
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path_factory.mktemp("m") / "t.gguf"
+    write_llama_gguf(path, weights, dims)
+    return path
+
+
+def _ctx(path):
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    return LlamaContext(cfg, params, n_cells=128, compute_dtype=jnp.float32)
+
+
+def _plain_greedy(ctx, prompt, n):
+    ctx.clear()
+    ctx.decode(Batch.single(np.asarray(prompt, np.int32)))
+    out = []
+    tok = int(np.argmax(ctx.get_logits()[0]))
+    out.append(tok)
+    pos = len(prompt)
+    while len(out) < n:
+        ctx.decode(Batch(tokens=[tok], pos=[pos], seq_id=[0], output=[True]))
+        tok = int(np.argmax(ctx.get_logits()[0]))
+        out.append(tok)
+        pos += 1
+    return out
+
+
+def test_speculative_same_model_all_accepted(model):
+    """Draft == target: every draft token must be accepted and the output
+    must equal plain greedy."""
+    prompt = [3, 17, 42, 9]
+    ref = _plain_greedy(_ctx(model), prompt, 12)
+    out, stats = speculative_generate(_ctx(model), _ctx(model), prompt, 12, n_draft=4)
+    assert out == ref
+    assert stats.accept_rate > 0.6  # boundary chunks truncate acceptance
+    assert stats.n_target_calls < 12  # fewer target calls than tokens
+
+
+def test_speculative_output_matches_greedy_even_with_bad_draft(model, tmp_path):
+    """A different (random) draft model must not change the output."""
+    rng = np.random.default_rng(99)
+    dims = tiny_llama_dims()
+    weights = random_llama_weights(dims, rng)
+    dpath = tmp_path / "draft.gguf"
+    write_llama_gguf(dpath, weights, dims)
+    prompt = [5, 9, 3]
+    ref = _plain_greedy(_ctx(model), prompt, 10)
+    out, stats = speculative_generate(_ctx(model), _ctx(dpath), prompt, 10, n_draft=3)
+    assert out == ref
+
+
+def test_ngram_cache():
+    c = NgramCache(n_min=2, n_max=3)
+    c.update([1, 2, 3, 1, 2, 3, 1, 2])
+    assert c.draft([9, 1, 2], 2) == [3, 1]
+    assert c.draft([7, 8], 3)[:0] == []
+
+
+def test_lookup_generate_matches_greedy(model):
+    prompt = [4, 8, 15, 16, 23, 42, 4, 8, 15]
+    ref = _plain_greedy(_ctx(model), prompt, 10)
+    out, stats = lookup_generate(_ctx(model), prompt, 10, n_draft=3)
+    assert out == ref
