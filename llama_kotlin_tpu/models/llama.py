@@ -150,13 +150,34 @@ def forward(
 
         x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
         act = ACTIVATIONS[cfg.act]
-        if cfg.ffn_gated and lp.get("ffn_gate") is not None:
+        if lp.get("ffn_gate_inp") is not None:
+            # MoE: top-k routed experts (cf. llm_build_moe_ffn + mul_mat_id,
+            # src/llama.cpp:8725-8824).  Dense expert sweep with per-token
+            # routing weights — every expert computed, non-routed tokens
+            # weighted 0 (XLA-friendly static shapes; grouped-matmul kernel
+            # is a later optimisation for large n_expert).
+            router = qmatmul(x, lp["ffn_gate_inp"], compute_dtype=compute_dtype)
+            probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+            top_w, top_i = jax.lax.top_k(probs, cfg.n_expert_used)  # [nt, k]
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_w
+            down = jnp.zeros((nt, cfg.n_embd), jnp.float32)
+            for e in range(cfg.n_expert):
+                w_tok = jnp.sum(jnp.where(top_i == e, top_w, 0.0), axis=-1)  # [nt]
+                gate_e = qmatmul(x, lp["ffn_gate_exps"][e], compute_dtype=compute_dtype)
+                up_e = qmatmul(x, lp["ffn_up_exps"][e], compute_dtype=compute_dtype)
+                ffn_e = act(gate_e) * up_e
+                down_e = qmatmul(ffn_e.astype(compute_dtype), lp["ffn_down_exps"][e],
+                                 compute_dtype=compute_dtype)
+                down = down + w_tok[:, None] * down_e.astype(jnp.float32)
+            down = down.astype(h.dtype)
+        elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
             ffn = act(gate) * up
+            down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         else:
             ffn = act(qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype))
-        down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
+            down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         if lp.get("post_ffn_norm") is not None:  # gemma2
             down = rms_norm(down, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
         h = h + down.astype(h.dtype)

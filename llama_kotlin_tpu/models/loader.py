@@ -73,12 +73,15 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype) -> Any:
     if len(np_shape) == 2:
         n, k = np_shape
         return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
-    # >2-D quantized tensors (MoE expert stacks): flatten outer dims
-    k = np_shape[-1]
-    n = info.n_elements // k
-    qtens = repack(data, qt, n, k)
-    qtens.shape = np_shape  # type: ignore[misc]
-    return jax.tree.map(jnp.asarray, qtens)
+    if len(np_shape) == 3:
+        # MoE expert stacks [n_expert, n, k] -> list of per-expert QTensors
+        n_exp, n, k = np_shape
+        from llama_kotlin_tpu.quant.formats import row_byte_size
+
+        per = n * row_byte_size(k, qt)
+        flat = np.ascontiguousarray(data, np.uint8).reshape(n_exp, per)
+        return [jax.tree.map(jnp.asarray, repack(flat[e], qt, n, k)) for e in range(n_exp)]
+    raise NotImplementedError(f"{name}: {len(np_shape)}-D quantized tensor")
 
 
 def load_gguf_model(

@@ -142,3 +142,96 @@ def build_hf_llama(weights: dict[str, np.ndarray], dims: dict):
     model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
     model.eval()
     return model
+
+
+def tiny_mixtral_dims(n_embd=64, n_layer=2, n_head=4, n_head_kv=2, n_ff=96,
+                      vocab=160, n_expert=4, n_expert_used=2, n_ctx=256,
+                      rope_base=10000.0):
+    d = tiny_llama_dims(n_embd, n_layer, n_head, n_head_kv, n_ff, vocab, n_ctx, rope_base)
+    d["n_expert"] = n_expert
+    d["n_expert_used"] = n_expert_used
+    return d
+
+
+def random_mixtral_weights(dims: dict, rng, scale=0.05) -> dict[str, np.ndarray]:
+    ws = random_llama_weights(dims, rng, scale)
+    E, F = dims["n_embd"], dims["n_ff"]
+    ne = dims["n_expert"]
+    for i in range(dims["n_layer"]):
+        del ws[f"blk.{i}.ffn_gate.weight"]
+        del ws[f"blk.{i}.ffn_up.weight"]
+        del ws[f"blk.{i}.ffn_down.weight"]
+        ws[f"blk.{i}.ffn_gate_inp.weight"] = (rng.standard_normal((ne, E)) * scale).astype(np.float32)
+        ws[f"blk.{i}.ffn_gate_exps.weight"] = (rng.standard_normal((ne, F, E)) * scale).astype(np.float32)
+        ws[f"blk.{i}.ffn_up_exps.weight"] = (rng.standard_normal((ne, F, E)) * scale).astype(np.float32)
+        ws[f"blk.{i}.ffn_down_exps.weight"] = (rng.standard_normal((ne, E, F)) * scale).astype(np.float32)
+    return ws
+
+
+def write_mixtral_gguf(path, weights, dims, qtype=GGMLQuantType.F32):
+    from llama_kotlin_tpu.gguf import GGUFWriter
+
+    w = GGUFWriter()
+    w.add_kv("general.architecture", "llama")
+    w.add_kv("general.name", "tiny-moe")
+    w.add_kv("llama.embedding_length", np.uint32(dims["n_embd"]))
+    w.add_kv("llama.block_count", np.uint32(dims["n_layer"]))
+    w.add_kv("llama.attention.head_count", np.uint32(dims["n_head"]))
+    w.add_kv("llama.attention.head_count_kv", np.uint32(dims["n_head_kv"]))
+    w.add_kv("llama.feed_forward_length", np.uint32(dims["n_ff"]))
+    w.add_kv("llama.context_length", np.uint32(dims["n_ctx"]))
+    w.add_kv("llama.rope.freq_base", np.float32(dims["rope_base"]))
+    w.add_kv("llama.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    w.add_kv("llama.vocab_size", np.uint32(dims["vocab"]))
+    w.add_kv("llama.expert_count", np.uint32(dims["n_expert"]))
+    w.add_kv("llama.expert_used_count", np.uint32(dims["n_expert_used"]))
+    for name, arr in weights.items():
+        t = GGMLQuantType.F32 if (arr.ndim == 1 or "norm" in name) else qtype
+        from llama_kotlin_tpu.quant.formats import TYPE_TRAITS
+
+        if arr.shape[-1] % TYPE_TRAITS[t].block_size != 0:
+            t = GGMLQuantType.F32
+        w.add_tensor(name, arr.astype(np.float32), t)
+    w.write(path)
+
+
+def build_hf_mixtral(weights: dict, dims: dict):
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    E, H, KV = dims["n_embd"], dims["n_head"], dims["n_head_kv"]
+    cfg = MixtralConfig(
+        vocab_size=dims["vocab"], hidden_size=E, intermediate_size=dims["n_ff"],
+        num_hidden_layers=dims["n_layer"], num_attention_heads=H,
+        num_key_value_heads=KV, max_position_embeddings=dims["n_ctx"],
+        rope_theta=dims["rope_base"], rms_norm_eps=1e-5,
+        num_local_experts=dims["n_expert"], num_experts_per_tok=dims["n_expert_used"],
+        tie_word_embeddings=False, router_aux_loss_coef=0.0,
+    )
+    model = MixtralForCausalLM(cfg)
+    sd = {}
+
+    def inv_permute(w, n_head):
+        out_dim = w.shape[0]
+        return (w.reshape(n_head, out_dim // n_head // 2, 2, *w.shape[1:])
+                .swapaxes(1, 2).reshape(w.shape))
+
+    sd["model.embed_tokens.weight"] = weights["token_embd.weight"]
+    sd["model.norm.weight"] = weights["output_norm.weight"]
+    sd["lm_head.weight"] = weights["output.weight"]
+    for i in range(dims["n_layer"]):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = weights[f"blk.{i}.attn_norm.weight"]
+        sd[p + "self_attn.q_proj.weight"] = inv_permute(weights[f"blk.{i}.attn_q.weight"], H)
+        sd[p + "self_attn.k_proj.weight"] = inv_permute(weights[f"blk.{i}.attn_k.weight"], KV)
+        sd[p + "self_attn.v_proj.weight"] = weights[f"blk.{i}.attn_v.weight"]
+        sd[p + "self_attn.o_proj.weight"] = weights[f"blk.{i}.attn_output.weight"]
+        sd[p + "post_attention_layernorm.weight"] = weights[f"blk.{i}.ffn_norm.weight"]
+        sd[p + "block_sparse_moe.gate.weight"] = weights[f"blk.{i}.ffn_gate_inp.weight"]
+        for e in range(dims["n_expert"]):
+            sd[p + f"block_sparse_moe.experts.{e}.w1.weight"] = weights[f"blk.{i}.ffn_gate_exps.weight"][e]
+            sd[p + f"block_sparse_moe.experts.{e}.w2.weight"] = weights[f"blk.{i}.ffn_down_exps.weight"][e]
+            sd[p + f"block_sparse_moe.experts.{e}.w3.weight"] = weights[f"blk.{i}.ffn_up_exps.weight"][e]
+    model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+    model.eval()
+    return model

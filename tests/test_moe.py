@@ -1,0 +1,56 @@
+"""MoE (Mixtral-style) tests vs transformers MixtralForCausalLM oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.models.loader import load_gguf_model
+from llama_kotlin_tpu.runtime.batch import Batch
+from llama_kotlin_tpu.runtime.context import LlamaContext
+
+from tests.fixtures import (
+    build_hf_mixtral,
+    random_mixtral_weights,
+    tiny_mixtral_dims,
+    write_mixtral_gguf,
+)
+
+
+@pytest.fixture(scope="module")
+def moe_model(tmp_path_factory):
+    rng = np.random.default_rng(31)
+    dims = tiny_mixtral_dims()
+    weights = random_mixtral_weights(dims, rng)
+    path = tmp_path_factory.mktemp("m") / "moe.gguf"
+    write_mixtral_gguf(path, weights, dims)
+    return path, weights, dims
+
+
+def test_moe_config_and_load(moe_model):
+    path, _, dims = moe_model
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.n_expert == dims["n_expert"]
+    assert cfg.n_expert_used == dims["n_expert_used"]
+    layer = params["layers"][0]
+    assert len(layer["ffn_gate_exps"]) == dims["n_expert"]
+    assert layer["ffn_gate_inp"].shape == (dims["n_expert"], dims["n_embd"])
+
+
+def test_moe_logits_match_transformers(moe_model):
+    import torch
+
+    path, weights, dims = moe_model
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    hf = build_hf_mixtral(weights, dims)
+
+    toks = np.array([3, 17, 42, 9, 101], np.int32)
+    assert ctx.decode(Batch.single(toks, logits_last_only=False)) == 0
+    ours = ctx.get_logits()
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(toks[None].astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)

@@ -65,10 +65,12 @@ def main():
         x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
         nbytes = w.nbytes()
 
-        f_pal = jax.jit(lambda x, w=w: qmm(x, w))
-        t_pal = timed(f_pal, x)
-        f_xla = jax.jit(lambda x, w=w: qmatmul(x, w, allow_pallas=False))
-        t_xla = timed(f_xla, x)
+        # weights must be ARGUMENTS (a closure would bake them as HLO
+        # constants and ship them in the compile payload)
+        f_pal = jax.jit(lambda x, w: qmm(x, w))
+        t_pal = timed(f_pal, x, w)
+        f_xla = jax.jit(lambda x, w: qmatmul(x, w, allow_pallas=False))
+        t_xla = timed(f_xla, x, w)
         gbps = nbytes / t_pal / 1e9
         print(f"{name:9s} [{n:6d},{k:5d}] {nbytes/1e6:7.1f}MB  "
               f"pallas {t_pal*1e3:7.3f}ms ({gbps:6.1f} GB/s)  "
