@@ -72,6 +72,7 @@ def forward(
     out_ids: jnp.ndarray,  # [n_out] int32 token rows to produce logits for
     *,
     compute_dtype=jnp.bfloat16,
+    collect_stats: bool = False,
 ) -> tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One ubatch step. Returns (logits [n_out, vocab] f32, updated cache,
     embeddings [n_out, n_embd] f32 — final-norm hidden states, cf.
@@ -104,9 +105,15 @@ def forward(
     n_vis = cell_pos.shape[0]  # cache may carry a scratch row beyond the masked cells
 
     control_vectors = params.get("control_vectors")
+    stats: dict[str, jnp.ndarray] = {}  # imatrix activation sums (collect_stats)
 
-    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None):
+    def record(name: str, x):
+        if collect_stats:
+            stats[name] = jnp.sum(x.astype(jnp.float32) ** 2, axis=0)
+
+    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1):
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+        record(f"blk.{li}.attn_qkv", x)
 
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
         k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
@@ -140,6 +147,7 @@ def forward(
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
         )
         attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
+        record(f"blk.{li}.attn_output", attn)
         attn_out = qmatmul(attn, lp["wo"], compute_dtype=compute_dtype)
         if lp.get("bo") is not None:
             attn_out = attn_out + lp["bo"]
@@ -149,6 +157,7 @@ def forward(
         h = h + attn_out.astype(h.dtype)
 
         x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+        record(f"blk.{li}.ffn_gate_up", x)
         act = ACTIVATIONS[cfg.act]
         if lp.get("ffn_gate_inp") is not None:
             # MoE: top-k routed experts (cf. llm_build_moe_ffn + mul_mat_id,
@@ -174,6 +183,7 @@ def forward(
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
             ffn = act(gate) * up
+            record(f"blk.{li}.ffn_down", ffn)
             down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         else:
             ffn = act(qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype))
@@ -212,7 +222,7 @@ def forward(
             window = cfg.layer_swa_window(i)
             mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
             cvec = None if control_vectors is None else control_vectors[i]
-            h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask, cvec)
+            h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask, cvec, li=i)
             new_k = new_k.at[i].set(kl)
             new_v = new_v.at[i].set(vl)
 
@@ -225,4 +235,6 @@ def forward(
     logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    if collect_stats:
+        return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32), stats
     return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32)

@@ -117,3 +117,17 @@ def test_llama_bench_tool(f32_model, capsys):
     rows = json.loads(capsys.readouterr().out)
     assert {r["test"] for r in rows} == {"pp16", "tg4"}
     assert all(r["avg"] > 0 for r in rows)
+
+
+def test_imatrix_collection(f32_model):
+    src, dims = f32_model
+    from llama_kotlin_tpu.tools.imatrix import collect_imatrix
+
+    cfg, params, fh = load_gguf_model(src, compute_dtype=jnp.float32)
+    fh.close()
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, dims["vocab"], 64).astype(np.int32)
+    im = collect_imatrix(cfg, params, tokens, n_ctx=32, compute_dtype=jnp.float32)
+    assert f"blk.0.attn_qkv" in im and f"blk.{dims['n_layer']-1}.ffn_down" in im
+    assert im["blk.0.attn_qkv"].shape == (dims["n_embd"],)
+    assert all(np.isfinite(v).all() and (v >= 0).all() for v in im.values())
