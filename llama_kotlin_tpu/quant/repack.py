@@ -264,10 +264,58 @@ REPACKERS = {
 }
 
 
+def _native_repack(data: np.ndarray, qtype: GGMLQuantType, n: int, k: int):
+    """C++ fast path for the large-model formats; None -> numpy fallback."""
+    from llama_kotlin_tpu.native import get_native
+
+    lib = get_native()
+    if lib is None or k % TYPE_TRAITS[qtype].block_size != 0:
+        return None
+    k_pad = _k_pad_of(k)
+    src = np.ascontiguousarray(data, np.uint8)
+    c = lambda a: a.ctypes.data_as(__import__("ctypes").c_void_p)
+    if qtype == GGMLQuantType.Q8_0:
+        codes = np.zeros((n, k_pad), np.int8)
+        d = np.zeros((n, k_pad // 32), np.float32)
+        lib.repack_q8_0(c(src), n, k, k_pad, c(codes), c(d))
+        return QTensor(codes=codes, g_scale=d, g_min=None, sb_scale=None,
+                       sb_min=None, qtype=qtype, bits=8, group_size=32,
+                       code_offset=0, shape=(n, k))
+    if qtype == GGMLQuantType.Q4_0:
+        packed = np.zeros((n, k_pad // 2), np.uint8)
+        d = np.zeros((n, k_pad // 32), np.float32)
+        lib.repack_q4_0(c(src), n, k, k_pad, c(packed), c(d))
+        return QTensor(codes=packed, g_scale=d, g_min=None, sb_scale=None,
+                       sb_min=None, qtype=qtype, bits=4, group_size=32,
+                       code_offset=8, shape=(n, k))
+    if qtype == GGMLQuantType.Q4_K and k % 256 == 0:
+        packed = np.zeros((n, k_pad // 2), np.uint8)
+        sc = np.zeros((n, k_pad // 32), np.uint8)
+        mn = np.zeros((n, k_pad // 32), np.uint8)
+        d = np.zeros((n, k_pad // 256), np.float32)
+        dmin = np.zeros((n, k_pad // 256), np.float32)
+        lib.repack_q4_k(c(src), n, k, k_pad, c(packed), c(sc), c(mn), c(d), c(dmin))
+        return QTensor(codes=packed, g_scale=sc, g_min=mn, sb_scale=d,
+                       sb_min=dmin, qtype=qtype, bits=4, group_size=32,
+                       code_offset=0, shape=(n, k))
+    if qtype == GGMLQuantType.Q6_K and k % 256 == 0:
+        codes = np.zeros((n, k_pad), np.int8)
+        sc = np.zeros((n, k_pad // 16), np.int8)
+        d = np.zeros((n, k_pad // 256), np.float32)
+        lib.repack_q6_k(c(src), n, k, k_pad, c(codes), c(sc), c(d))
+        return QTensor(codes=codes, g_scale=sc, g_min=None, sb_scale=d,
+                       sb_min=None, qtype=qtype, bits=8, group_size=16,
+                       code_offset=0, shape=(n, k))
+    return None
+
+
 def repack(data: np.ndarray, qtype: GGMLQuantType, n: int, k: int) -> QTensor:
     """Repack wire bytes of an [n, k] row-major tensor into a QTensor."""
     if qtype not in REPACKERS:
         raise NotImplementedError(f"repack not implemented for {qtype!r}")
+    native = _native_repack(data, qtype, n, k)
+    if native is not None:
+        return native
     return REPACKERS[qtype](data, n, k)
 
 

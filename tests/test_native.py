@@ -1,0 +1,51 @@
+"""Native C++ repack vs numpy repack: bit-exact equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from llama_kotlin_tpu.native import get_native
+from llama_kotlin_tpu.quant import numpy_ref as Q
+from llama_kotlin_tpu.quant import repack as R
+from llama_kotlin_tpu.quant.formats import NAME_TO_TYPE
+
+NATIVE_TYPES = ["q8_0", "q4_0", "q4_K", "q6_K"]
+
+
+@pytest.mark.parametrize("tname", NATIVE_TYPES)
+@pytest.mark.parametrize("k", [512, 1280])
+def test_native_matches_numpy(rng, tname, k):
+    if get_native() is None:
+        pytest.skip("native toolchain unavailable")
+    qt = NAME_TO_TYPE[tname]
+    n = 8
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    wire = Q.quantize(x, qt)
+
+    native = R._native_repack(wire, qt, n, k)
+    assert native is not None, "native path refused a supported shape"
+    ref = R.REPACKERS[qt](wire, n, k)
+
+    np.testing.assert_array_equal(np.asarray(native.codes), np.asarray(ref.codes))
+    np.testing.assert_array_equal(np.asarray(native.g_scale), np.asarray(ref.g_scale))
+    for field in ("g_min", "sb_scale", "sb_min"):
+        a, b = getattr(native, field), getattr(ref, field)
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (native.bits, native.group_size, native.code_offset) == \
+        (ref.bits, ref.group_size, ref.code_offset)
+
+
+def test_native_used_by_default(rng):
+    if get_native() is None:
+        pytest.skip("native toolchain unavailable")
+    qt = NAME_TO_TYPE["q4_K"]
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    wire = Q.quantize(x, qt)
+    out = R.repack(wire, qt, 4, 512)
+    ref_f = Q.dequantize(wire, qt, shape=(4, 512))
+    from llama_kotlin_tpu.quant.qtensor import dequantize
+
+    np.testing.assert_array_equal(np.asarray(dequantize(out)), ref_f)
