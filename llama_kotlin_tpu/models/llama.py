@@ -196,12 +196,29 @@ def forward(
         return h, k_layer, v_layer
 
     if "layers_stacked" in params:
-        # lax.scan over stacked layers: one-layer compile regardless of depth
+        # lax.scan over stacked layers: one-layer compile regardless of
+        # depth.  Big matmul weights stay OUT of the scan carries/xs — they
+        # are closed over whole and layer-indexed inside the qmm_stacked
+        # kernel via scalar prefetch, avoiding a per-layer dynamic-slice
+        # copy of every weight tile.  Small per-layer tensors (norms,
+        # biases) ride as scan xs and are sliced normally.
+        from llama_kotlin_tpu.ops.qmatmul import StackedSlice
+
         stacked = params["layers_stacked"]
+        BIG = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down",
+               "ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}
+        small = {k: v for k, v in stacked.items() if k not in BIG}
+        big = {k: v for k, v in stacked.items() if k in BIG}
 
         def scan_body(carry, xs):
             h, kc, vc = carry
-            lp, i, cvec = xs
+            small_sliced, i, cvec = xs
+            lp = dict(small_sliced)
+            for key, v in big.items():
+                if isinstance(v, list):
+                    lp[key] = [StackedSlice(e, i) for e in v]
+                else:
+                    lp[key] = StackedSlice(v, i)
             h, kl, vl = layer_body(lp, h, kc[i], vc[i], mask_full, cvec)
             kc = jax.lax.dynamic_update_index_in_dim(kc, kl, i, 0)
             vc = jax.lax.dynamic_update_index_in_dim(vc, vl, i, 0)
@@ -212,7 +229,7 @@ def forward(
             cvecs = jnp.zeros((cfg.n_layer, h.shape[-1]), jnp.float32)
         (h, new_k, new_v), _ = jax.lax.scan(
             scan_body, (h, cache.k, cache.v),
-            (stacked, jnp.arange(cfg.n_layer, dtype=jnp.int32), cvecs),
+            (small, jnp.arange(cfg.n_layer, dtype=jnp.int32), cvecs),
         )
     else:
         new_k = cache.k

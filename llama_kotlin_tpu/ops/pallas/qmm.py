@@ -9,14 +9,16 @@ kernel family over the uniform QTensor layout (quant/qtensor.py):
 - packed codes stream HBM->VMEM tile by tile (the decode path is
   weight-bandwidth-bound; dequantized weights never touch HBM)
 - nibble planes unpack with integer shifts on the VPU
-- scale planes have narrow trailing dims that neither tile nor slice
-  cleanly on the lane axis, so ALL scale addressing runs on the MXU:
-  a blocked identity matrix selects the k-step's group columns
-  (sc_step = sc_full @ I_blk^T), a blocked nesting matrix expands
-  superblock scales to group granularity, and a constant expansion
-  matrix broadcasts group scales to byte columns.  No lane shuffles,
-  no unaligned vector loads.
-- the dequantized tile feeds jax.lax.dot_general with f32 accumulation
+- all scale addressing runs on the MXU with 0/1 selection/expansion
+  matrices: a blocked identity picks the k-step's group columns, and
+  constant maps broadcast group/superblock scales to byte columns.
+  Every such matmul is EXACT in bfloat16 because each output element has
+  exactly one nonzero contribution: integer scale planes (<=8 bits) take
+  one bf16 dot, float planes take a hi/lo bf16 split (16 mantissa bits
+  cover the f16 wire scales).  f32 MXU matmuls here were the original
+  decode bottleneck (~4x slower passes, ~20M MAC per tile).
+- superblock scales expand at span granularity (8-padded rows), so their
+  per-column cost is ~n_planes x smaller than the group expansion
 - grid (n, k), output block revisited across k and accumulated in VMEM
 
 Supported: every repacked format with group_size <= 128 (4-bit planes,
@@ -36,6 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
 
+SB_ROWS = 8  # padded rows per k-step in the superblock selection matrix
+
+
+def _codes_i32(x: jnp.ndarray) -> jnp.ndarray:
+    if x.dtype == jnp.uint8:
+        return pltpu.bitcast(x, jnp.int8).astype(jnp.int32) & 0xFF
+    return x.astype(jnp.int32)
+
+
+def _is_int_dtype(dt) -> bool:
+    return dt in (np.uint8, np.int8, jnp.uint8, jnp.int8) or \
+        np.dtype(dt) in (np.dtype(np.uint8), np.dtype(np.int8))
+
 
 def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
     """Mosaic-safe cast to f32 (no direct u8->f32 support)."""
@@ -46,14 +61,23 @@ def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32)
 
 
-def _codes_i32(x: jnp.ndarray) -> jnp.ndarray:
-    if x.dtype == jnp.uint8:
-        return pltpu.bitcast(x, jnp.int8).astype(jnp.int32) & 0xFF
-    return x.astype(jnp.int32)
+def _exact_dot(mat_f32: jnp.ndarray, e_bf16: jnp.ndarray, dims, is_int: bool) -> jnp.ndarray:
+    """f32 matrix x 0/1 matrix on the bf16 MXU, exactly (see module doc)."""
+    d = lambda m: jax.lax.dot_general(m, e_bf16, dims, preferred_element_type=jnp.float32)
+    if is_int:
+        return d(mat_f32.astype(jnp.bfloat16))
+    hi = mat_f32.astype(jnp.bfloat16)
+    lo = (mat_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(hi) + d(lo)
+
+
+_CONTRACT_T = (((1,), (1,)), ((), ()))  # [bn, X] x [rows, X] -> [bn, rows]
+_CONTRACT = (((1,), (0,)), ((), ()))  # [bn, rows] x [rows, BC] -> [bn, BC]
 
 
 def _expansion_matrices(bits: int, group_size: int, bc: int, n_planes: int, gk: int):
-    """E_p [gk, bc]: step-local group column -> byte column map per plane."""
+    """E_p [gk, bc]: step-local group column -> byte column map per plane,
+    and E_sb [SB_ROWS, bc]: step-local span -> byte column (plane-agnostic)."""
     bytes_per_span = SPAN // n_planes if bits != 8 else SPAN
     groups_per_span = SPAN // group_size
     e_g = []
@@ -64,23 +88,28 @@ def _expansion_matrices(bits: int, group_size: int, bc: int, n_planes: int, gk: 
             elem = span * SPAN + p * bytes_per_span + j
             e[span * groups_per_span + (elem % SPAN) // group_size, c] = 1.0
         e_g.append(e)
-    return e_g
+    e_sb = np.zeros((SB_ROWS, bc), np.float32)
+    for c in range(bc):
+        e_sb[c // bytes_per_span, c] = 1.0
+    return e_g, e_sb
 
 
-def _nesting_matrix(g_total: int, sb_total: int, group_size: int) -> np.ndarray:
-    """EXP [G_total, SB_total]: group column -> its superblock column."""
-    exp = np.zeros((g_total, sb_total), np.float32)
-    per = SPAN // group_size
-    for g in range(g_total):
-        exp[g, g // per] = 1.0
-    return exp
+def _sb_selection(sb_total: int, sbk: int) -> np.ndarray:
+    """[n_ksteps * SB_ROWS, sb_total]: rows j*8..j*8+sbk select step j's
+    superblock columns (8-padded so BlockSpec rows stay sublane-aligned)."""
+    n_ksteps = sb_total // sbk
+    sel = np.zeros((n_ksteps * SB_ROWS, sb_total), np.float32)
+    for j in range(n_ksteps):
+        for r in range(sbk):
+            sel[j * SB_ROWS + r, j * sbk + r] = 1.0
+    return sel
 
 
 def _plan_tiles(n: int, k_pad: int, group_size: int) -> Optional[tuple[int, int]]:
     if group_size > 128:
         return None  # q8_K-style giant groups: XLA path
     for bk in (1024, 512, 256):
-        if k_pad % bk == 0 and bk // group_size >= 8:
+        if k_pad % bk == 0 and bk // group_size >= 8 and bk >= SPAN:
             for bn in (256, 128):
                 if n % bn == 0:
                     return bn, bk
@@ -115,7 +144,10 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     gk = bk // g
     g_total = k_pad // g
     sb_total = k_pad // SPAN
+    sbk = bk // SPAN
     n_ksteps = k_pad // bk
+    sc_int = _is_int_dtype(w.g_scale.dtype)
+    mn_int = has_min and _is_int_dtype(w.g_min.dtype)
 
     x2 = x.reshape(b_real, k)
     if b != b_real or k_pad != k:
@@ -127,9 +159,11 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
         xr = x2.reshape(b, k_pad // SPAN, n_planes, s)
         x_planes = [xr[:, :, p, :].reshape(b, k_pad // n_planes) for p in range(n_planes)]
 
-    e_g = [jnp.asarray(e) for e in _expansion_matrices(bits, g, bc, n_planes, gk)]
-    sel_g = jnp.eye(g_total, dtype=jnp.float32)
-    exp_sb = jnp.asarray(_nesting_matrix(g_total, sb_total, g)) if has_sb else None
+    e_g_np, e_sb_np = _expansion_matrices(bits, g, bc, n_planes, gk)
+    e_g = [jnp.asarray(e, jnp.bfloat16) for e in e_g_np]
+    e_sb = jnp.asarray(e_sb_np, jnp.bfloat16)
+    sel_g = jnp.eye(g_total, dtype=jnp.bfloat16)
+    sel_sb = jnp.asarray(_sb_selection(sb_total, sbk), jnp.bfloat16) if has_sb else None
 
     grid = (n // bn, n_ksteps)
 
@@ -156,8 +190,11 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     in_specs.append(pl.BlockSpec((gk, g_total), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM))
     operands.append(sel_g)
     if has_sb:
-        in_specs.append(pl.BlockSpec((gk, sb_total), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM))
-        operands.append(exp_sb)
+        in_specs.append(pl.BlockSpec((SB_ROWS, sb_total), (lambda i, j: (j, 0)),
+                                     memory_space=pltpu.VMEM))
+        operands.append(sel_sb)
+        in_specs.append(pl.BlockSpec(e_sb.shape, (lambda i, j: (0, 0)), memory_space=pltpu.VMEM))
+        operands.append(e_sb)
     for e in e_g:
         in_specs.append(pl.BlockSpec(e.shape, (lambda i, j: (0, 0)), memory_space=pltpu.VMEM))
         operands.append(e)
@@ -171,7 +208,8 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
         sb_ref = next(it) if has_sb else None
         sbm_ref = next(it) if has_sbm else None
         sel_ref = next(it)
-        exp_ref = next(it) if has_sb else None
+        selsb_ref = next(it) if has_sb else None
+        esb_ref = next(it) if has_sb else None
         e_refs = [next(it) for _ in range(n_planes)]
         out_ref = next(it)
 
@@ -179,29 +217,23 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        sel = sel_ref[...]  # [gk, G_total]
+        sel = sel_ref[...]  # [gk, G_total] bf16 0/1
 
-        def pick(full_ref):  # [bn, G_total] -> this step's [bn, gk] via MXU
-            return jax.lax.dot_general(
-                _to_f32(full_ref[...]), sel, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        sc_step = pick(sc_ref)
-        mn_step = pick(mn_ref) if mn_ref is not None else None
+        # this step's group scales [bn, gk] (exact)
+        sc_step = _exact_dot(_to_f32(sc_ref[...]), sel, _CONTRACT_T, sc_int)
+        mn_step = (
+            _exact_dot(_to_f32(mn_ref[...]), sel, _CONTRACT_T, mn_int)
+            if mn_ref is not None else None
+        )
+        # superblock scales expand at span granularity (cheap): [bn, BC]
+        sb_cols = None
+        sbm_cols = None
         if sb_ref is not None:
-            exp = exp_ref[...]  # [gk, SB_total]
-            sb_grp = jax.lax.dot_general(
-                _to_f32(sb_ref[...]), exp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sc_step = sc_step * sb_grp
-            if sbm_ref is not None and mn_step is not None:
-                sbm_grp = jax.lax.dot_general(
-                    _to_f32(sbm_ref[...]), exp, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                mn_step = mn_step * sbm_grp
+            sb_step = _exact_dot(_to_f32(sb_ref[...]), selsb_ref[...], _CONTRACT_T, False)
+            sb_cols = _exact_dot(sb_step, esb_ref[...], _CONTRACT, False)
+            if sbm_ref is not None:
+                sbm_step = _exact_dot(_to_f32(sbm_ref[...]), selsb_ref[...], _CONTRACT_T, False)
+                sbm_cols = _exact_dot(sbm_step, esb_ref[...], _CONTRACT, False)
 
         codes = _codes_i32(codes_ref[...])
         acc = jnp.zeros_like(out_ref)
@@ -212,15 +244,15 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
                 shift = (4 if bits == 4 else 2) * p
                 mask = 0xF if bits == 4 else 0x3
                 plane = ((codes >> shift) & mask).astype(jnp.float32)
-            e = e_refs[p][...]  # [gk, BC]
-            sc_cols = jax.lax.dot_general(
-                sc_step, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
+            e = e_refs[p][...]  # [gk, BC] bf16 0/1
+            sc_cols = _exact_dot(sc_step, e, _CONTRACT, sc_int)
+            if sb_cols is not None:
+                sc_cols = sc_cols * sb_cols
             w_tile = (plane - off) * sc_cols
             if mn_step is not None:
-                mn_cols = jax.lax.dot_general(
-                    mn_step, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                )
+                mn_cols = _exact_dot(mn_step, e, _CONTRACT, mn_int)
+                if sbm_cols is not None:
+                    mn_cols = mn_cols * sbm_cols
                 w_tile = w_tile - mn_cols
             acc = acc + jax.lax.dot_general(
                 x_refs[p][...].astype(compute_dtype), w_tile.astype(compute_dtype),

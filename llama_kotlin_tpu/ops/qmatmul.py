@@ -25,6 +25,20 @@ from llama_kotlin_tpu.quant.qtensor import QTensor, dequantize
 Weight = Union[QTensor, jax.Array]
 
 
+class StackedSlice:
+    """Deferred layer selection on stacked [L, ...] weights (scan path).
+
+    Instead of letting lax.scan dynamic-slice each layer's weights (which
+    materialises a copy of every tile before the pallas_call), qmatmul
+    resolves this marker with the qmm_stacked kernel, which indexes the
+    layer inside its BlockSpecs via scalar prefetch — zero copies.
+    """
+
+    def __init__(self, w, index):
+        self.w = w
+        self.index = index
+
+
 def _use_pallas() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)
@@ -42,6 +56,21 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
     """
     from llama_kotlin_tpu.models.lora import LoraWeight
 
+    if isinstance(w, StackedSlice):
+        inner = w.w
+        if isinstance(inner, QTensor):
+            if allow_pallas and _use_pallas():
+                from llama_kotlin_tpu.ops.pallas.qmm_stacked import qmm_stacked_or_none
+
+                y = qmm_stacked_or_none(x, inner, w.index, compute_dtype=compute_dtype)
+                if y is not None:
+                    return y
+            sliced = jax.tree.map(lambda a: a[w.index], inner)
+        elif isinstance(inner, LoraWeight):
+            sliced = jax.tree.map(lambda a: a[w.index], inner)
+        else:
+            sliced = inner[w.index]
+        return qmatmul(x, sliced, compute_dtype=compute_dtype, allow_pallas=allow_pallas)
     if isinstance(w, LoraWeight):
         y = qmatmul(x, w.base, compute_dtype=compute_dtype, allow_pallas=allow_pallas)
         xa = jnp.dot(x.astype(compute_dtype), w.a.T.astype(compute_dtype),
