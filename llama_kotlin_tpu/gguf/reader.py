@@ -212,7 +212,11 @@ class GGUFFile:
         return flat.reshape(tuple(reversed(info.shape)))
 
     def close(self) -> None:
-        self._mm.close()
+        try:
+            self._mm.close()
+        except BufferError:
+            pass  # zero-copy tensor views still alive; the mmap is freed
+            # when they are collected (mmap keeps the fd internally)
         self._file.close()
 
     def __enter__(self):

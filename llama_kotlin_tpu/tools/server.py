@@ -156,6 +156,8 @@ def make_handler(state: ServerState):
                     self._completion(openai=self.path.startswith("/v1"))
                 elif self.path == "/v1/chat/completions":
                     self._chat()
+                elif self.path in ("/embedding", "/embeddings", "/v1/embeddings"):
+                    self._embeddings()
                 else:
                     self._json({"error": "not found"}, 404)
             except BrokenPipeError:
@@ -263,6 +265,32 @@ def make_handler(state: ServerState):
                         if req.t_first_token else None,
                     },
                 })
+
+        def _embeddings(self):
+            """Pooled embeddings (uses a dedicated seq on the shared ctx)."""
+            d = self._read_json()
+            inputs = d.get("input", d.get("content", ""))
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            from llama_kotlin_tpu.runtime.batch import Batch
+
+            data = []
+            ctx = engine.ctx
+            seq = len(engine.slots)  # a seq id the slots never use
+            with engine.lock:
+                for i, text in enumerate(inputs):
+                    ids = tokenizer.encode(text, add_special=True, parse_special=True)
+                    ctx.seq_rm(seq)
+                    rc = ctx.decode(Batch.single(np.asarray(ids, np.int32),
+                                                 seq_id=seq, logits_last_only=False))
+                    if rc != 0:
+                        self._json({"error": "kv cache full"}, 503)
+                        return
+                    emb = ctx.get_embeddings("mean")
+                    ctx.seq_rm(seq)
+                    data.append({"object": "embedding", "index": i,
+                                 "embedding": [float(v) for v in emb]})
+            self._json({"object": "list", "data": data, "model": state.model_name})
 
         def _completion(self, openai: bool):
             d = self._read_json()

@@ -131,3 +131,35 @@ def test_imatrix_collection(f32_model):
     assert f"blk.0.attn_qkv" in im and f"blk.{dims['n_layer']-1}.ffn_down" in im
     assert im["blk.0.attn_qkv"].shape == (dims["n_embd"],)
     assert all(np.isfinite(v).all() and (v >= 0).all() for v in im.values())
+
+
+def test_gguf_split_merge_hash(f32_model, tmp_path):
+    src, dims = f32_model
+    from llama_kotlin_tpu.tools.gguf_tools import hash_file, merge, split
+
+    shards = split(str(src), str(tmp_path / "shard"), max_tensors=5)
+    assert len(shards) > 1
+    with GGUFFile(shards[0]) as f:
+        assert f.metadata["split.count"] == len(shards)
+    merged = tmp_path / "merged.gguf"
+    merge(shards[0], str(merged))
+    h_src = hash_file(str(src))
+    h_merged = hash_file(str(merged))
+    assert h_src == h_merged  # tensor bytes identical through split+merge
+
+    # merged model still loads and decodes
+    cfg, params, fh = load_gguf_model(merged, compute_dtype=jnp.float32)
+    fh.close()
+    ctx = LlamaContext(cfg, params, n_cells=32, compute_dtype=jnp.float32)
+    assert ctx.decode(Batch.single(np.array([1, 2, 3], np.int32))) == 0
+
+
+def test_server_embeddings_endpoint(f32_model):
+    # exercised via the engine-level API (HTTP covered in test_server.py)
+    src, dims = f32_model
+    cfg, params, fh = load_gguf_model(src, compute_dtype=jnp.float32)
+    fh.close()
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    ctx.decode(Batch.single(np.array([5, 6, 7], np.int32), logits_last_only=False))
+    emb = ctx.get_embeddings("mean")
+    assert emb.shape == (dims["n_embd"],)
