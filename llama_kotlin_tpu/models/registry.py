@@ -1,0 +1,55 @@
+"""Architecture registry.
+
+Tracks coverage of the reference's 44-arch zoo (llm_arch,
+src/llama.cpp:171-216).  An arch is SUPPORTED when config_from_metadata +
+the decoder in llama.py reproduce its forward pass; PLANNED archs need the
+listed structural features.
+
+The llama-family decoder already covers every arch whose block is
+RMSNorm -> (GQA attention + RoPE) -> gated/ungated FFN with optional
+qk-norms, biases, softcaps, sliding windows and MoE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ArchInfo:
+    name: str
+    status: str  # "supported" | "planned" | "out-of-scope"
+    notes: str = ""
+
+
+ARCHES = [
+    ArchInfo("llama", "supported", "LLaMA 1/2/3, Mistral, TinyLlama; rope freq-factors; MoE (Mixtral)"),
+    ArchInfo("gemma", "supported", "gelu, embd scale sqrt(E), (1+w) norms, tied head"),
+    ArchInfo("gemma2", "supported", "logit softcaps, pre/post-ffn norms, alternating SWA"),
+    ArchInfo("qwen2", "supported", "qkv bias, NEOX rope"),
+    ArchInfo("qwen2moe", "planned", "shared expert branch"),
+    ArchInfo("stablelm", "supported", "qkv bias, NEOX rope, partial rotary via rope_dim"),
+    ArchInfo("phi3", "supported", "NEOX rope, SWA; fused qkv split at load planned"),
+    ArchInfo("internlm2", "supported", "llama-shaped"),
+    ArchInfo("minicpm", "supported", "llama-shaped + scale factors"),
+    ArchInfo("command-r", "planned", "parallel attn+ffn block, attn qk norms"),
+    ArchInfo("deepseek2", "planned", "MLA attention, yarn rope variant"),
+    ArchInfo("falcon", "planned", "LayerNorm (not RMS), parallel residual"),
+    ArchInfo("gpt2", "planned", "LayerNorm, learned positions, fused qkv"),
+    ArchInfo("gptneox", "planned", "LayerNorm, parallel residual"),
+    ArchInfo("mpt", "planned", "ALiBi attention (ops support exists), LayerNorm"),
+    ArchInfo("starcoder", "planned", "MQA, LayerNorm, learned positions"),
+    ArchInfo("starcoder2", "supported", "llama-shaped with biases"),
+    ArchInfo("olmo", "supported", "non-parametric norm via unit weights"),
+    ArchInfo("bert", "planned", "encoder-only; WPM tokenizer done"),
+    ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
+    ArchInfo("mamba", "out-of-scope", "SSM scan; round-3+ per SURVEY non-goals"),
+    ArchInfo("bitnet", "planned", "1.58-bit weights; quant format groundwork exists"),
+]
+
+
+def support_status(arch: str) -> str:
+    for a in ARCHES:
+        if a.name == arch:
+            return a.status
+    return "unknown"
