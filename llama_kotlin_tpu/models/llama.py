@@ -111,10 +111,10 @@ def forward(
         if collect_stats:
             stats[name] = jnp.sum(x.astype(jnp.float32) ** 2, axis=0)
 
-    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1):
+    def qkv(lp, h, li):
+        """Shared attention front half: norms, projections, rope."""
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
         record(f"blk.{li}.attn_qkv", x)
-
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
         k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
         v = qmatmul(x, lp["wv"], compute_dtype=compute_dtype)
@@ -125,28 +125,15 @@ def forward(
         q = q.reshape(nt, cfg.n_head, cfg.head_dim)
         k = k.reshape(nt, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(nt, cfg.n_head_kv, cfg.head_dim)
-
         if lp.get("attn_q_norm") is not None:
             q = rms_norm(q, lp["attn_q_norm"], cfg.rms_eps, cfg.norm_weight_offset)
             k = rms_norm(k, lp["attn_k_norm"], cfg.rms_eps, cfg.norm_weight_offset)
-
         q = apply_rope(q, token_pos, rope, freq_factors)
         k = apply_rope(k, token_pos, rope, freq_factors)
+        return q, k, v
 
-        # cache layout is head-major [n_kv, cells, head_dim]; padded batch
-        # rows carry slot == n_cells, dropped by the OOB scatter mode
-        k_layer = k_layer.at[:, slots].set(
-            k.swapaxes(0, 1).astype(k_layer.dtype), mode="drop"
-        )
-        v_layer = v_layer.at[:, slots].set(
-            v.swapaxes(0, 1).astype(v_layer.dtype), mode="drop"
-        )
-
-        attn = attention(
-            q.astype(compute_dtype), k_layer[:, :n_vis], v_layer[:, :n_vis], mask,
-            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
-        )
-        attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
+    def post_attn_ffn(lp: dict, h, attn, cvec, li):
+        """Shared second half: output projection, FFN/MoE, residuals."""
         record(f"blk.{li}.attn_output", attn)
         attn_out = qmatmul(attn, lp["wo"], compute_dtype=compute_dtype)
         if lp.get("bo") is not None:
@@ -193,16 +180,43 @@ def forward(
         h = h + down.astype(h.dtype)
         if cvec is not None:
             h = h + cvec.astype(h.dtype)
+        return h
+
+    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1):
+        """Unrolled-path layer: scatter K/V into the carried cache layer,
+        then attend over it (per-layer masks, e.g. gemma2 SWA)."""
+        q, k, v = qkv(lp, h, li)
+        # cache layout is head-major [n_kv, cells, head_dim]; padded batch
+        # rows carry slot == n_cells, dropped by the OOB scatter mode
+        k_layer = k_layer.at[:, slots].set(
+            k.swapaxes(0, 1).astype(k_layer.dtype), mode="drop"
+        )
+        v_layer = v_layer.at[:, slots].set(
+            v.swapaxes(0, 1).astype(v_layer.dtype), mode="drop"
+        )
+        attn = attention(
+            q.astype(compute_dtype), k_layer[:, :n_vis], v_layer[:, :n_vis], mask,
+            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+        )
+        attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
+        h = post_attn_ffn(lp, h, attn, cvec, li)
         return h, k_layer, v_layer
 
     if "layers_stacked" in params:
         # lax.scan over stacked layers: one-layer compile regardless of
-        # depth.  Big matmul weights stay OUT of the scan carries/xs — they
-        # are closed over whole and layer-indexed inside the qmm_stacked
-        # kernel via scalar prefetch, avoiding a per-layer dynamic-slice
-        # copy of every weight tile.  Small per-layer tensors (norms,
-        # biases) ride as scan xs and are sliced normally.
+        # depth, and NOTHING big moves per layer:
+        # - matmul weights are closed over whole and layer-indexed inside
+        #   the qmm_stacked kernel (scalar prefetch) — no slice copies
+        # - the KV cache is NOT carried: attention reads the old cache via
+        #   flash_attention_stacked (new tokens' cells masked out) and the
+        #   fresh K/V rows merge in the kernel's final step; the per-layer
+        #   rows come back as scan outputs and scatter into the cache once
+        # - only norms/biases ride as scan xs
         from llama_kotlin_tpu.ops.qmatmul import StackedSlice
+        from llama_kotlin_tpu.ops.attention import attention_reference
+        from llama_kotlin_tpu.ops.pallas.flash_stacked import (
+            flash_attention_stacked_or_none,
+        )
 
         stacked = params["layers_stacked"]
         BIG = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down",
@@ -210,8 +224,37 @@ def forward(
         small = {k: v for k, v in stacked.items() if k not in BIG}
         big = {k: v for k, v in stacked.items() if k in BIG}
 
-        def scan_body(carry, xs):
-            h, kc, vc = carry
+        # visibility: old cells (new tokens' cells excluded) + intra-batch
+        slot_taken = jnp.zeros(n_vis, bool).at[slots].set(True, mode="drop")
+        mask_cells = mask_full & ~slot_taken[None, :]
+        mask_new = (
+            (token_seq[:, None] == token_seq[None, :])
+            & (token_pos[None, :] <= token_pos[:, None])
+            & (token_pos[None, :] >= 0)
+        )
+
+        use_flash = jax.default_backend() not in ("cpu",)
+
+        def attend(q, k, v, i):
+            qc = q.astype(compute_dtype)
+            kc_ = k.astype(cache.k.dtype)
+            vc_ = v.astype(cache.v.dtype)
+            if use_flash:
+                out = flash_attention_stacked_or_none(
+                    qc, cache.k, cache.v, i, kc_, vc_, mask_cells, mask_new,
+                    scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+                )
+                if out is not None:
+                    return out
+            k_cat = jnp.concatenate([cache.k[i], kc_.swapaxes(0, 1)], axis=1)
+            v_cat = jnp.concatenate([cache.v[i], vc_.swapaxes(0, 1)], axis=1)
+            m_cat = jnp.concatenate([mask_cells, mask_new], axis=1)
+            return attention_reference(
+                qc, k_cat, v_cat, m_cat,
+                scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+            )
+
+        def scan_body(h, xs):
             small_sliced, i, cvec = xs
             lp = dict(small_sliced)
             for key, v in big.items():
@@ -219,18 +262,22 @@ def forward(
                     lp[key] = [StackedSlice(e, i) for e in v]
                 else:
                     lp[key] = StackedSlice(v, i)
-            h, kl, vl = layer_body(lp, h, kc[i], vc[i], mask_full, cvec)
-            kc = jax.lax.dynamic_update_index_in_dim(kc, kl, i, 0)
-            vc = jax.lax.dynamic_update_index_in_dim(vc, vl, i, 0)
-            return (h, kc, vc), None
+            q, k, v = qkv(lp, h, i)
+            attn = attend(q, k, v, i).reshape(nt, cfg.n_head * cfg.head_dim)
+            h = post_attn_ffn(lp, h, attn, cvec, i)
+            return h, (k.swapaxes(0, 1).astype(cache.k.dtype),
+                       v.swapaxes(0, 1).astype(cache.v.dtype))
 
         cvecs = control_vectors
         if cvecs is None:
             cvecs = jnp.zeros((cfg.n_layer, h.shape[-1]), jnp.float32)
-        (h, new_k, new_v), _ = jax.lax.scan(
-            scan_body, (h, cache.k, cache.v),
+        h, (k_rows, v_rows) = jax.lax.scan(
+            scan_body, h,
             (small, jnp.arange(cfg.n_layer, dtype=jnp.int32), cvecs),
         )
+        # one scatter for all layers: k_rows [L, KV, nt, D] -> cache cells
+        new_k = cache.k.at[:, :, slots].set(k_rows, mode="drop")
+        new_v = cache.v.at[:, :, slots].set(v_rows, mode="drop")
     else:
         new_k = cache.k
         new_v = cache.v

@@ -51,6 +51,8 @@ def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 
     codes = rng.integers(0, 256, (n, cols)).astype(np.uint8)
     if probe.codes.dtype == np.int8:
         codes = (codes.view(np.int8) // 4).astype(np.int8)  # keep magnitudes sane
+    elif probe.bits == 8:
+        codes &= 0x1F  # unsigned byte-stored formats (q5_*) top out at 31
     if np.issubdtype(probe.g_scale.dtype, np.floating):
         g_scale = (rng.random((n, k_pad // g), np.float32) * scale).astype(probe.g_scale.dtype)
     else:

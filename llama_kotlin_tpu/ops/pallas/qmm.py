@@ -47,6 +47,56 @@ def _codes_i32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32)
 
 
+def _codes_i8(x: jnp.ndarray) -> jnp.ndarray:
+    return pltpu.bitcast(x, jnp.int8) if x.dtype == jnp.uint8 else x
+
+
+def _unpack_plane_f32(codes: jnp.ndarray, bits: int, p: int) -> jnp.ndarray:
+    """One bit-plane of packed codes -> f32, staying in 8-bit vectors for
+    the shifts/masks (the i32 path quadruples VPU register pressure and was
+    the decode bottleneck).  Mosaic has no i8 arithmetic shift (shrsi), so
+    sub-byte planes shift logically in uint8 and bitcast to i8 (nibble
+    values <= 15 are sign-safe) before the i8->f32 convert."""
+    if bits == 8:
+        return _codes_i8(codes).astype(jnp.float32)
+    # Mosaic legalizes neither shrsi nor shrui on 8-bit vectors, so the
+    # nibble extraction widens to i32 (shift there is supported)
+    c32 = _codes_i32(codes)
+    shift = (4 if bits == 4 else 2) * p
+    mask = 0xF if bits == 4 else 0x3
+    return ((c32 >> shift) & mask).astype(jnp.float32)
+
+
+def _tile_dequant_dot(x_refs, c8, sc_step, mn_step, sb_cols, sbm_cols, e_refs,
+                      out_like, *, bits, n_planes, off, sc_int, mn_int,
+                      compute_dtype):
+    """Shared per-tile math: unpack planes, build per-column scales on the
+    MXU, single FMA dequant, accumulate x @ w^T."""
+    acc = jnp.zeros_like(out_like)
+    for p in range(n_planes):
+        plane = _unpack_plane_f32(c8, bits, p)
+        e = e_refs[p][...]
+        sc_cols = _exact_dot(sc_step, e, _CONTRACT, sc_int)
+        if sb_cols is not None:
+            sc_cols = sc_cols * sb_cols
+        adj = None
+        if off != 0.0:
+            adj = sc_cols * off
+        if mn_step is not None:
+            mn_cols = _exact_dot(mn_step, e, _CONTRACT, mn_int)
+            if sbm_cols is not None:
+                mn_cols = mn_cols * sbm_cols
+            adj = mn_cols if adj is None else adj + mn_cols
+        w_tile = plane * sc_cols
+        if adj is not None:
+            w_tile = w_tile - adj
+        acc = acc + jax.lax.dot_general(
+            x_refs[p][...].astype(compute_dtype), w_tile.astype(compute_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
 def _is_int_dtype(dt) -> bool:
     return dt in (np.uint8, np.int8, jnp.uint8, jnp.int8) or \
         np.dtype(dt) in (np.dtype(np.uint8), np.dtype(np.int8))
@@ -235,29 +285,11 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
                 sbm_step = _exact_dot(_to_f32(sbm_ref[...]), selsb_ref[...], _CONTRACT_T, False)
                 sbm_cols = _exact_dot(sbm_step, esb_ref[...], _CONTRACT, False)
 
-        codes = _codes_i32(codes_ref[...])
-        acc = jnp.zeros_like(out_ref)
-        for p in range(n_planes):
-            if bits == 8:
-                plane = codes.astype(jnp.float32)
-            else:
-                shift = (4 if bits == 4 else 2) * p
-                mask = 0xF if bits == 4 else 0x3
-                plane = ((codes >> shift) & mask).astype(jnp.float32)
-            e = e_refs[p][...]  # [gk, BC] bf16 0/1
-            sc_cols = _exact_dot(sc_step, e, _CONTRACT, sc_int)
-            if sb_cols is not None:
-                sc_cols = sc_cols * sb_cols
-            w_tile = (plane - off) * sc_cols
-            if mn_step is not None:
-                mn_cols = _exact_dot(mn_step, e, _CONTRACT, mn_int)
-                if sbm_cols is not None:
-                    mn_cols = mn_cols * sbm_cols
-                w_tile = w_tile - mn_cols
-            acc = acc + jax.lax.dot_general(
-                x_refs[p][...].astype(compute_dtype), w_tile.astype(compute_dtype),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            )
+        acc = _tile_dequant_dot(
+            x_refs, codes_ref[...], sc_step, mn_step, sb_cols,
+            sbm_cols, e_refs, out_ref, bits=bits, n_planes=n_planes, off=off,
+            sc_int=sc_int, mn_int=mn_int, compute_dtype=compute_dtype,
+        )
         out_ref[...] += acc
 
     out = pl.pallas_call(

@@ -26,12 +26,13 @@ from llama_kotlin_tpu.ops.pallas.qmm import (
     SB_ROWS,
     _CONTRACT,
     _CONTRACT_T,
-    _codes_i32,
+    _codes_i8,
     _exact_dot,
     _expansion_matrices,
     _is_int_dtype,
     _plan_tiles,
     _sb_selection,
+    _tile_dequant_dot,
     _to_f32,
 )
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
@@ -167,29 +168,11 @@ def qmm_stacked(x: jnp.ndarray, w: QTensor, layer: jnp.ndarray, *,
                 sbm_step = _exact_dot(_to_f32(sbm_ref[0]), selsb_ref[...], _CONTRACT_T, False)
                 sbm_cols = _exact_dot(sbm_step, esb_ref[...], _CONTRACT, False)
 
-        codes = _codes_i32(codes_ref[0])
-        acc = jnp.zeros_like(out_ref)
-        for p in range(n_planes):
-            if bits == 8:
-                plane = codes.astype(jnp.float32)
-            else:
-                shift = (4 if bits == 4 else 2) * p
-                mask = 0xF if bits == 4 else 0x3
-                plane = ((codes >> shift) & mask).astype(jnp.float32)
-            e = e_refs[p][...]
-            sc_cols = _exact_dot(sc_step, e, _CONTRACT, sc_int)
-            if sb_cols is not None:
-                sc_cols = sc_cols * sb_cols
-            w_tile = (plane - off) * sc_cols
-            if mn_step is not None:
-                mn_cols = _exact_dot(mn_step, e, _CONTRACT, mn_int)
-                if sbm_cols is not None:
-                    mn_cols = mn_cols * sbm_cols
-                w_tile = w_tile - mn_cols
-            acc = acc + jax.lax.dot_general(
-                x_refs[p][...].astype(compute_dtype), w_tile.astype(compute_dtype),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            )
+        acc = _tile_dequant_dot(
+            x_refs, codes_ref[0], sc_step, mn_step, sb_cols,
+            sbm_cols, e_refs, out_ref, bits=bits, n_planes=n_planes, off=off,
+            sc_int=sc_int, mn_int=mn_int, compute_dtype=compute_dtype,
+        )
         out_ref[...] += acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
