@@ -25,7 +25,7 @@ import time
 BASELINE_TPS = 132.19
 
 
-def run(preset: str, steps: int, prefill: int) -> dict:
+def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,16 +52,23 @@ def run(preset: str, steps: int, prefill: int) -> dict:
     tok = int(np.argmax(ctx.get_logits()[0]))
     prefill_s = time.time() - t0
 
+    # replicate the prefilled sequence for batched decode (seq_cp)
+    for s_id in range(1, batch):
+        ctx.seq_cp(0, s_id)
+
     # decode measured with the on-device generation loop (tg path)
     def run_loop(n):
-        slots_flat = ctx.meta.find_slots(n)
-        pos = np.arange(prefill, prefill + n, dtype=np.int32)
-        ctx.meta.commit(slots_flat, pos, np.zeros(n, np.int32))
+        slots_flat = ctx.meta.find_slots(n * batch)
+        pos = np.repeat(np.arange(prefill, prefill + n, dtype=np.int32), batch)
+        seqs = np.tile(np.arange(batch, dtype=np.int32), n)
+        ctx.meta.commit(slots_flat, pos, seqs)
         out, cache, *_ = generate_loop(
             ctx.params, ctx.cfg, ctx.cache,
             jnp.asarray(ctx.meta.pos), jnp.asarray(ctx.meta.seq),
-            jnp.asarray([tok], jnp.int32), jnp.asarray([prefill], jnp.int32),
-            jnp.asarray([0], jnp.int32), jnp.asarray(slots_flat.reshape(n, 1)),
+            jnp.full((batch,), tok, jnp.int32),
+            jnp.full((batch,), prefill, jnp.int32),
+            jnp.arange(batch, dtype=jnp.int32),
+            jnp.asarray(slots_flat.reshape(n, batch)),
             n, SampleParams(), jnp.bfloat16,
         )
         ctx.cache = cache
@@ -78,9 +85,9 @@ def run(preset: str, steps: int, prefill: int) -> dict:
     t0 = time.time()
     run_loop(steps)
     dt = time.time() - t0
-    tps = steps / dt
+    tps = steps * batch / dt
     return {
-        "metric": f"decode_tps_{preset}_q4_k",
+        "metric": f"decode_tps_{preset}_q4_k" + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TPS, 3),
@@ -99,8 +106,9 @@ def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "llama3-8b")
     steps = int(os.environ.get("BENCH_STEPS", "64"))
     prefill = int(os.environ.get("BENCH_PREFILL", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     try:
-        result = run(preset, steps, prefill)
+        result = run(preset, steps, prefill, batch)
     except Exception as e:  # robust fallback so the driver always gets a line
         sys.stderr.write(f"bench {preset} failed: {e!r}; falling back\n")
         try:
