@@ -91,13 +91,21 @@ def load_gguf_model(
     *,
     compute_dtype=jnp.bfloat16,
     progress_callback=None,
+    metadata_overrides: Optional[dict] = None,
 ) -> tuple[ModelConfig, dict, GGUFFile]:
     """Load a GGUF model file into (config, params pytree, open gguf).
 
     The GGUFFile stays open (mmap) so callers can read the tokenizer
     metadata; close it when done.
+
+    `metadata_overrides` patches metadata KVs before config mapping
+    (parity: llama_model_kv_override, llama.h:245-263).
+    `progress_callback(fraction)` returning False cancels the load
+    (parity: llama_progress_callback cancellation, llama.h:281-285).
     """
     f = GGUFFile(path)
+    if metadata_overrides:
+        f.metadata.update(metadata_overrides)
     cfg = config_from_metadata(f.metadata)
     params: dict[str, Any] = {"layers": [dict() for _ in range(cfg.n_layer)]}
     total = len(f.tensors)

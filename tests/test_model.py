@@ -190,3 +190,20 @@ def test_context_shift_matches_repositioned_decode(tiny_model):
     ctx2.decode(Batch(tokens=[61], pos=[3], seq_id=[0], output=[True]))
     ref = ctx2.get_logits()[0]
     np.testing.assert_allclose(shifted, ref, atol=1e-3, rtol=1e-2)
+
+
+def test_metadata_overrides_and_load_cancel(tiny_model):
+    """KV overrides (llama_model_kv_override parity) and cancellation via
+    progress callback (test-model-load-cancel pattern)."""
+    path, _, dims = tiny_model
+    cfg, params, f = load_gguf_model(
+        path, compute_dtype=jnp.float32,
+        metadata_overrides={"llama.rope.freq_base": 123456.0},
+    )
+    f.close()
+    assert cfg.rope_freq_base == 123456.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(InterruptedError):
+        load_gguf_model(path, progress_callback=lambda frac: False)
