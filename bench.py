@@ -41,8 +41,10 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16)
     build_s = time.time() - t0
 
+    unrolled = os.environ.get("BENCH_UNROLLED", "1") == "1"
     ctx = LlamaContext(cfg, params, n_cells=1024, compute_dtype=jnp.bfloat16,
-                       buckets=(8, 16, 32, 64, 128, 256, 512))
+                       buckets=(8, 16, 32, 64, 128, 256, 512),
+                       prefer_unrolled=unrolled)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, prefill).astype(np.int32)
 

@@ -219,8 +219,12 @@ def forward(
         )
 
         stacked = params["layers_stacked"]
-        BIG = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down",
-               "ffn_gate_exps", "ffn_up_exps", "ffn_down_exps"}
+        # NOTE: the zero-copy StackedSlice/qmm_stacked path measured ~20x
+        # slower than plain qmm (scalar-prefetch-indexed blocks defeat
+        # Mosaic's pipelining), so big weights ride as scan xs again
+        # (slice copies); the unrolled path below avoids both costs and is
+        # preferred for serving (LlamaContext(prefer_unrolled=True)).
+        BIG: set = set()
         small = {k: v for k, v in stacked.items() if k not in BIG}
         big = {k: v for k, v in stacked.items() if k in BIG}
 

@@ -76,9 +76,14 @@ class LlamaContext:
         kv_dtype=None,
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         forward_fn=None,
+        prefer_unrolled: bool = False,
     ):
         self.cfg = cfg
         self._raw_params = params  # unstacked view kept for LoRA re-application
+        # unrolled = fastest decode (no scan slice copies, plain kernels)
+        # at the price of an O(n_layer) one-time compile; stacked scan =
+        # fast compile, used for tests/dev
+        self.prefer_unrolled = prefer_unrolled
         self.params = self._prepare_params(params)
         self.n_cells = n_cells
         self.n_ubatch = n_ubatch
@@ -109,6 +114,8 @@ class LlamaContext:
     def _prepare_params(self, params: dict) -> dict:
         from llama_kotlin_tpu.models.llama import can_stack, stack_layers
 
+        if self.prefer_unrolled:
+            return params
         if "layers" in params and can_stack(params, self.cfg):
             try:
                 return stack_layers(params)
