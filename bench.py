@@ -38,7 +38,9 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
 
     t0 = time.time()
     cfg = preset_config(preset)
-    params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16)
+    fast_int8 = os.environ.get("BENCH_MODE", "") == "int8"
+    params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
+                              fast_int8=fast_int8)
     build_s = time.time() - t0
 
     unrolled = os.environ.get("BENCH_UNROLLED", "1") == "1"
@@ -89,7 +91,7 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     dt = time.time() - t0
     tps = steps * batch / dt
     return {
-        "metric": f"decode_tps_{preset}_q4_k" + (f"_b{batch}" if batch > 1 else ""),
+        "metric": f"decode_tps_{preset}_" + ("w8a8" if fast_int8 else "q4_k") + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TPS, 3),

@@ -59,7 +59,8 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "bq", "bk", "bv", "bo", "ffn_gate_inp"}
 
 
-def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype) -> Any:
+def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
+                 fast_mode: str | None = None) -> Any:
     """Load one tensor: QTensor for quantized matmul weights, dense array
     otherwise."""
     info = f.tensors[name]
@@ -74,6 +75,10 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype) -> Any:
         return jnp.asarray(x, dtype=dt)
     if len(np_shape) == 2:
         n, k = np_shape
+        if fast_mode == "int8":
+            from llama_kotlin_tpu.quant.repack import repack_q8flat
+
+            return jax.tree.map(jnp.asarray, repack_q8flat(data, qt, n, k))
         return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
     if len(np_shape) == 3:
         # MoE expert stacks [n_expert, n, k] -> list of per-expert QTensors
@@ -92,6 +97,7 @@ def load_gguf_model(
     compute_dtype=jnp.bfloat16,
     progress_callback=None,
     metadata_overrides: Optional[dict] = None,
+    fast_mode: Optional[str] = None,
 ) -> tuple[ModelConfig, dict, GGUFFile]:
     """Load a GGUF model file into (config, params pytree, open gguf).
 
@@ -115,13 +121,13 @@ def load_gguf_model(
                 raise InterruptedError("model load cancelled")  # cf. llama.h:281
         if name in _GLOBAL_TENSORS:
             key = _GLOBAL_TENSORS[name]
-            params[key] = _load_tensor(f, name, key, compute_dtype)
+            params[key] = _load_tensor(f, name, key, compute_dtype, fast_mode)
             continue
         if name.startswith("blk."):
             _, i_str, suffix = name.split(".", 2)
             key = _LAYER_TENSORS.get(suffix)
             if key is not None:
-                params["layers"][int(i_str)][key] = _load_tensor(f, name, key, compute_dtype)
+                params["layers"][int(i_str)][key] = _load_tensor(f, name, key, compute_dtype, fast_mode)
                 continue
         # unknown tensors are tolerated (vision towers etc. until supported)
     if "rope_freqs" not in params:

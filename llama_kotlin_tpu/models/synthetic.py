@@ -35,6 +35,18 @@ def preset_config(name: str, **overrides) -> ModelConfig:
     return ModelConfig(**kw)
 
 
+def synthetic_q8flat(rng, n: int, k: int, scale: float = 0.02):
+    """Random Q8F (W8A8 fast-mode) weight: int8 codes + f32/256 scales."""
+    from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
+
+    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    codes = rng.integers(-127, 128, (n, k_pad)).astype(np.int8)
+    scales = (rng.random((n, k_pad // SPAN), np.float32) * scale / 127.0).astype(np.float32)
+    return QTensor(codes=codes, g_scale=scales, g_min=None, sb_scale=None,
+                   sb_min=None, qtype=GGMLQuantType.Q8_0, bits=8,
+                   group_size=SPAN, code_offset=0, shape=(n, k))
+
+
 def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 0.02):
     """Build a QTensor with random codes/scales directly (no float
     quantization pass) — fast enough for billion-parameter synthetic
@@ -73,18 +85,20 @@ def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 
                    code_offset=probe.code_offset, shape=(n, k))
 
 
-def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype):
+def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=False):
     import jax
 
     if qtype is None or not TYPE_TRAITS[qtype].is_quantized:
         x = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
         return jax.device_put(jnp.asarray(x, dtype=dtype))
+    if fast_int8:
+        return jax.tree.map(jnp.asarray, synthetic_q8flat(rng, n, k))
     return jax.tree.map(jnp.asarray, synthetic_qtensor(rng, n, k, qtype))
 
 
 def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
                      seed: int = 0, compute_dtype=jnp.bfloat16,
-                     tie_output: bool = False) -> dict:
+                     tie_output: bool = False, fast_int8: bool = False) -> dict:
     """Random params pytree for `cfg`, with matmul weights in `qtype`."""
     rng = np.random.default_rng(seed)
     E, F, V = cfg.n_embd, cfg.n_ff, cfg.vocab_size
@@ -95,25 +109,25 @@ def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
         return jnp.asarray(1.0 + 0.01 * rng.standard_normal(E), jnp.float32)
 
     params: dict = {
-        "tok_embd": _rand_weight(rng, V, E, qtype, compute_dtype),
+        "tok_embd": _rand_weight(rng, V, E, qtype, compute_dtype, fast_int8),
         "output_norm": norm_w(),
         "rope_freqs": None,
     }
     if not tie_output:
-        params["output"] = _rand_weight(rng, V, E, qtype, compute_dtype)
+        params["output"] = _rand_weight(rng, V, E, qtype, compute_dtype, fast_int8)
     params["layers"] = []
     for _ in range(cfg.n_layer):
         params["layers"].append(
             {
                 "attn_norm": norm_w(),
-                "wq": _rand_weight(rng, qdim, E, qtype, compute_dtype),
-                "wk": _rand_weight(rng, kvdim, E, qtype, compute_dtype),
-                "wv": _rand_weight(rng, kvdim, E, qtype, compute_dtype),
-                "wo": _rand_weight(rng, E, qdim, qtype, compute_dtype),
+                "wq": _rand_weight(rng, qdim, E, qtype, compute_dtype, fast_int8),
+                "wk": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8),
+                "wv": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8),
+                "wo": _rand_weight(rng, E, qdim, qtype, compute_dtype, fast_int8),
                 "ffn_norm": norm_w(),
-                "ffn_gate": _rand_weight(rng, F, E, qtype, compute_dtype),
-                "ffn_up": _rand_weight(rng, F, E, qtype, compute_dtype),
-                "ffn_down": _rand_weight(rng, E, F, qtype, compute_dtype),
+                "ffn_gate": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8),
+                "ffn_up": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8),
+                "ffn_down": _rand_weight(rng, E, F, qtype, compute_dtype, fast_int8),
             }
         )
     return params

@@ -156,11 +156,14 @@ def _sb_selection(sb_total: int, sbk: int) -> np.ndarray:
 
 
 def _plan_tiles(n: int, k_pad: int, group_size: int) -> Optional[tuple[int, int]]:
+    """Prefer big tiles: per-tile fixed costs (small scale dots, pipeline
+    bubbles) dominate at small tiles; VMEM comfortably fits (bn*bk/2 codes
+    double-buffered <= 1MB at (512, 2048))."""
     if group_size > 128:
         return None  # q8_K-style giant groups: XLA path
-    for bk in (1024, 512, 256):
+    for bk in (2048, 1024, 512, 256):
         if k_pad % bk == 0 and bk // group_size >= 8 and bk >= SPAN:
-            for bn in (256, 128):
+            for bn in (512, 256, 128):
                 if n % bn == 0:
                     return bn, bk
     return None
@@ -269,21 +272,42 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
 
         sel = sel_ref[...]  # [gk, G_total] bf16 0/1
 
-        # this step's group scales [bn, gk] (exact)
-        sc_step = _exact_dot(_to_f32(sc_ref[...]), sel, _CONTRACT_T, sc_int)
-        mn_step = (
-            _exact_dot(_to_f32(mn_ref[...]), sel, _CONTRACT_T, mn_int)
-            if mn_ref is not None else None
-        )
-        # superblock scales expand at span granularity (cheap): [bn, BC]
+        # batch the group-scale selection+expansion: sc and mn stack along
+        # rows so each needs ONE pick and ONE expansion dot (per-tile small
+        # matmuls carry fixed MXU issue cost and were a decode bottleneck)
+        if mn_ref is not None and mn_int == sc_int:
+            both = jnp.concatenate(
+                [_to_f32(sc_ref[...]), _to_f32(mn_ref[...])], axis=0
+            )
+            both_step = _exact_dot(both, sel, _CONTRACT_T, sc_int)
+            sc_step = both_step[:bn]
+            mn_step = both_step[bn:]
+        else:
+            sc_step = _exact_dot(_to_f32(sc_ref[...]), sel, _CONTRACT_T, sc_int)
+            mn_step = (
+                _exact_dot(_to_f32(mn_ref[...]), sel, _CONTRACT_T, mn_int)
+                if mn_ref is not None else None
+            )
+        # superblock scales: hi/lo rows of (sb, sbm) batch the same way
         sb_cols = None
         sbm_cols = None
         if sb_ref is not None:
-            sb_step = _exact_dot(_to_f32(sb_ref[...]), selsb_ref[...], _CONTRACT_T, False)
-            sb_cols = _exact_dot(sb_step, esb_ref[...], _CONTRACT, False)
+            mats = [_to_f32(sb_ref[...])]
             if sbm_ref is not None:
-                sbm_step = _exact_dot(_to_f32(sbm_ref[...]), selsb_ref[...], _CONTRACT_T, False)
-                sbm_cols = _exact_dot(sbm_step, esb_ref[...], _CONTRACT, False)
+                mats.append(_to_f32(sbm_ref[...]))
+            stackf = jnp.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
+            hi = stackf.astype(jnp.bfloat16)
+            lo = (stackf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            hilo = jnp.concatenate([hi, lo], axis=0)  # [2*len*bn, SB]
+            step = jax.lax.dot_general(hilo, selsb_ref[...], _CONTRACT_T,
+                                       preferred_element_type=jnp.float32)
+            cols = jax.lax.dot_general(step.astype(jnp.bfloat16), esb_ref[...],
+                                       _CONTRACT, preferred_element_type=jnp.float32)
+            half = cols.shape[0] // 2
+            cols = cols[:half] + cols[half:]  # hi + lo reconstruction
+            sb_cols = cols[:bn]
+            if sbm_ref is not None:
+                sbm_cols = cols[bn:]
 
         acc = _tile_dequant_dot(
             x_refs, codes_ref[...], sc_step, mn_step, sb_cols,

@@ -80,6 +80,13 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
         return y + w.scale * delta
     if isinstance(w, QTensor):
         if allow_pallas and _use_pallas():
+            if w.bits == 8 and w.group_size == 256 and w.g_min is None \
+                    and w.sb_scale is None:
+                from llama_kotlin_tpu.ops.pallas.qmm_int8 import qmm_int8_or_none
+
+                y = qmm_int8_or_none(x, w)
+                if y is not None:
+                    return y
             from llama_kotlin_tpu.ops.pallas.qmm import qmm_pallas_or_none
 
             y = qmm_pallas_or_none(x, w, compute_dtype=compute_dtype)

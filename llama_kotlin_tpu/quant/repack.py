@@ -326,3 +326,32 @@ def repack_float(x: np.ndarray, qtype: GGMLQuantType) -> QTensor:
     n, k = x.shape
     wire = numpy_ref.quantize(np.ascontiguousarray(x, np.float32), qtype)
     return repack(wire, qtype, n, k)
+
+
+# -- Q8F fast-mode conversion ------------------------------------------------
+
+
+def float_to_q8flat(x: np.ndarray) -> QTensor:
+    """float [n, k] -> flat int8 codes with one f32 scale per 256-superblock
+    (the W8A8 fast-mode layout; see ops/pallas/qmm_int8.py)."""
+    n, k = x.shape
+    k_pad = _k_pad_of(k)
+    xf = _pad_k(np.ascontiguousarray(x, np.float32), k_pad)
+    xr = xf.reshape(n, k_pad // SPAN, SPAN)
+    amax = np.abs(xr).max(axis=-1)
+    scale = (amax / 127.0).astype(np.float32)
+    safe = np.where(scale > 0, scale, 1.0)
+    codes = np.clip(np.rint(xr / safe[..., None]), -127, 127).astype(np.int8)
+    return QTensor(codes=codes.reshape(n, k_pad), g_scale=scale, g_min=None,
+                   sb_scale=None, sb_min=None, qtype=GGMLQuantType.Q8_0,
+                   bits=8, group_size=SPAN, code_offset=0, shape=(n, k))
+
+
+def repack_q8flat(data: np.ndarray, qtype: GGMLQuantType, n: int, k: int) -> QTensor:
+    """Wire format -> Q8F: decode then flat-int8 requantize.  The added
+    requant noise is ~(sb_range/254)^2/12 — below the source quantization
+    noise for <=6-bit formats (KL-validated in tests)."""
+    from llama_kotlin_tpu.quant import numpy_ref
+
+    w = numpy_ref.dequantize(data, qtype, shape=(n, k))
+    return float_to_q8flat(w)
