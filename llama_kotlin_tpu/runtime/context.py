@@ -45,6 +45,11 @@ class Timings:
     n_p_eval: int = 0
     n_eval: int = 0
 
+    def yaml(self) -> str:
+        """YAML timing dump (parity: llama_dump_timing_info_yaml)."""
+        d = self.summary()
+        return "\n".join(f"{k}: {v}" for k, v in d.items()) + "\n"
+
     def summary(self) -> dict:
         return {
             "load_ms": round(self.t_load_ms, 2),

@@ -158,6 +158,8 @@ def make_handler(state: ServerState):
                     self._chat()
                 elif self.path in ("/embedding", "/embeddings", "/v1/embeddings"):
                     self._embeddings()
+                elif self.path.startswith("/slots/"):
+                    self._slot_action()
                 else:
                     self._json({"error": "not found"}, 404)
             except BrokenPipeError:
@@ -265,6 +267,46 @@ def make_handler(state: ServerState):
                         if req.t_first_token else None,
                     },
                 })
+
+        def _slot_action(self):
+            """POST /slots/{id}?action=save|restore|erase (parity:
+            server slot save/restore, slotsave.feature)."""
+            import re as _re
+            from urllib.parse import parse_qs, urlparse
+
+            from llama_kotlin_tpu.runtime import state as state_io
+
+            u = urlparse(self.path)
+            m = _re.match(r"^/slots/(\d+)$", u.path)
+            if not m:
+                self._json({"error": "bad slot path"}, 400)
+                return
+            slot_id = int(m.group(1))
+            if slot_id >= len(engine.slots):
+                self._json({"error": "no such slot"}, 404)
+                return
+            action = (parse_qs(u.query).get("action") or ["?"])[0]
+            d = self._read_json()
+            filename = d.get("filename", f"slot{slot_id}.bin")
+            slot = engine.slots[slot_id]
+            with engine.lock:
+                if action == "save":
+                    blob = state_io.get_seq_data(engine.ctx, slot.seq_id)
+                    with open(filename, "wb") as fh:
+                        fh.write(blob)
+                    self._json({"id_slot": slot_id, "filename": filename,
+                                "n_saved": len(slot.tokens)})
+                elif action == "restore":
+                    blob = open(filename, "rb").read()
+                    engine.ctx.seq_rm(slot.seq_id)
+                    rc = state_io.set_seq_data(engine.ctx, blob, slot.seq_id)
+                    self._json({"id_slot": slot_id, "success": rc == 0})
+                elif action == "erase":
+                    engine.ctx.seq_rm(slot.seq_id)
+                    slot.reset()
+                    self._json({"id_slot": slot_id, "erased": True})
+                else:
+                    self._json({"error": f"unknown action {action}"}, 400)
 
         def _embeddings(self):
             """Pooled embeddings (uses a dedicated seq on the shared ctx)."""

@@ -166,3 +166,17 @@ def test_http_tokenize_metrics(served):
     with urllib.request.urlopen(url + "/slots", timeout=30) as r:
         slots = json.loads(r.read())
     assert len(slots) == 2
+
+
+def test_slot_save_restore(served, tmp_path):
+    url, engine = served
+    # run one request on slot 0 so its sequence has cache state
+    out = _post(url + "/completion", {"prompt": "abc", "n_predict": 3, "temperature": 0})
+    assert out["stop"]
+    fn = str(tmp_path / "slot0.bin")
+    saved = _post(url + "/slots/0?action=save", {"filename": fn})
+    assert saved["id_slot"] == 0
+    restored = _post(url + "/slots/0?action=restore", {"filename": fn})
+    assert restored["success"] is True
+    erased = _post(url + "/slots/0?action=erase", {})
+    assert erased["erased"] is True
