@@ -38,7 +38,10 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
 
     t0 = time.time()
     cfg = preset_config(preset)
-    fast_int8 = os.environ.get("BENCH_MODE", "") == "int8"
+    # default = W8A8 fast mode (int8 MXU dots; same HBM traffic class as the
+    # reference's Q4_K CUDA path).  BENCH_MODE=exact measures the bit-exact
+    # per-32-group dequant kernels instead (~4.5x slower, VPU-bound).
+    fast_int8 = os.environ.get("BENCH_MODE", "int8") == "int8"
     params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
                               fast_int8=fast_int8)
     build_s = time.time() - t0
