@@ -11,7 +11,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-from llama_kotlin_tpu.ops.rope import ROPE_TYPE_NEOX, ROPE_TYPE_NORM, RopeParams
+from llama_kotlin_tpu.ops.rope import (
+    ROPE_TYPE_NEOX,
+    ROPE_TYPE_NONE,
+    ROPE_TYPE_NORM,
+    RopeParams,
+)
 
 
 @dataclass(eq=False)  # identity hash/eq: usable as a jit static argument
@@ -51,6 +56,11 @@ class ModelConfig:
     attn_qkv_bias: bool = False
     attn_out_bias: bool = False
     tie_word_embeddings: bool = False
+    # LayerNorm-family arch knobs (gpt2/gptneox/falcon/mpt/starcoder/phi2/bloom)
+    parallel_residual: bool = False  # h = h + attn(x) + ffn(x') (falcon/neox/phi2)
+    learned_pos_embd: bool = False  # absolute position embedding table (gpt2)
+    max_alibi_bias: float = 0.0  # ALiBi slope max (mpt/bloom); 0 = off
+    token_embd_norm: bool = False  # LayerNorm right after embedding (bloom)
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -152,4 +162,25 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.swa_pattern = 2
     if arch in ("qwen2", "qwen2moe", "stablelm", "phi2"):
         cfg.attn_qkv_bias = True
+
+    # LayerNorm family (cf. build_gpt2/build_gptneox/build_falcon/build_mpt/
+    # build_starcoder/build_phi2/build_bloom in reference src/llama.cpp)
+    if arch in ("gpt2", "gptneox", "falcon", "mpt", "starcoder", "phi2", "bloom"):
+        cfg.use_rms_norm = False
+        cfg.act = "gelu"
+        cfg.ffn_gated = False
+    if arch in ("gpt2", "starcoder", "mpt", "bloom"):
+        cfg.rope_type = ROPE_TYPE_NONE
+    if arch in ("gpt2", "starcoder"):
+        cfg.learned_pos_embd = True
+    if arch in ("mpt", "bloom"):
+        cfg.max_alibi_bias = float(
+            _get(md, arch, "attention.max_alibi_bias", 8.0) or 8.0
+        )
+    if arch == "bloom":
+        cfg.token_embd_norm = True
+    if arch == "gptneox":
+        cfg.parallel_residual = bool(_get(md, arch, "use_parallel_residual", True))
+    if arch in ("falcon", "phi2"):
+        cfg.parallel_residual = True
     return cfg

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from llama_kotlin_tpu.models.config import ModelConfig
 from llama_kotlin_tpu.ops.activations import ACTIVATIONS
-from llama_kotlin_tpu.ops.attention import attention, visibility_mask
-from llama_kotlin_tpu.ops.norms import rms_norm
+from llama_kotlin_tpu.ops.attention import alibi_slopes, attention, visibility_mask
+from llama_kotlin_tpu.ops.norms import layer_norm, rms_norm
 from llama_kotlin_tpu.ops.qmatmul import qmatmul, take_rows
 from llama_kotlin_tpu.ops.rope import apply_rope
 from llama_kotlin_tpu.runtime.kv_cache import KVCache
@@ -40,6 +40,8 @@ def can_stack(params: dict, cfg: ModelConfig) -> bool:
     with per-layer mask patterns like gemma2 SWA use the unrolled path)."""
     layers = params.get("layers")
     if not layers or len(layers) < 2 or cfg.swa_window > 0:
+        return False
+    if cfg.max_alibi_bias > 0:  # ALiBi needs the reference attention path
         return False
     keys = set(layers[0])
     return all(set(l) == keys for l in layers)
@@ -94,6 +96,13 @@ def forward(
     h = take_rows(params["tok_embd"], tokens, dtype=compute_dtype)
     if cfg.embd_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
+    if cfg.learned_pos_embd and params.get("pos_embd") is not None:
+        # absolute position embedding (gpt2/starcoder); padded rows carry
+        # pos == -1 and are never read, clamp keeps the gather in-bounds
+        h = h + take_rows(params["pos_embd"], jnp.maximum(token_pos, 0),
+                          dtype=compute_dtype)
+    if cfg.token_embd_norm and params.get("tok_norm") is not None:
+        h = layer_norm(h, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
 
     # visibility masks shared across layers (full + sliding-window variants)
     mask_full = visibility_mask(token_pos, token_seq, cell_pos, cell_seq)
@@ -105,15 +114,33 @@ def forward(
     n_vis = cell_pos.shape[0]  # cache may carry a scratch row beyond the masked cells
 
     control_vectors = params.get("control_vectors")
+    alibi = (
+        alibi_slopes(cfg.n_head, cfg.max_alibi_bias)
+        if cfg.max_alibi_bias > 0
+        else None
+    )
     stats: dict[str, jnp.ndarray] = {}  # imatrix activation sums (collect_stats)
 
     def record(name: str, x):
         if collect_stats:
             stats[name] = jnp.sum(x.astype(jnp.float32) ** 2, axis=0)
 
-    def qkv(lp, h, li):
-        """Shared attention front half: norms, projections, rope."""
-        x = rms_norm(h, lp["attn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+    def lnorm(lp, key, x):
+        """Arch norm: RMSNorm (llama family) or biased LayerNorm (gpt2
+        family) — cf. llm_build_norm's LLM_NORM vs LLM_NORM_RMS."""
+        if cfg.use_rms_norm:
+            return rms_norm(x, lp[key], cfg.rms_eps, cfg.norm_weight_offset)
+        return layer_norm(x, lp[key], lp.get(key + "_b"), cfg.norm_eps)
+
+    def attn_in(lp, h):
+        """Attention input norm.  attn_norm_2 (falcon-40b's ln_attn) wins
+        when present; attn_norm then feeds the parallel FFN branch."""
+        key = "attn_norm_2" if lp.get("attn_norm_2") is not None else "attn_norm"
+        return lnorm(lp, key, h)
+
+    def qkv(lp, x, li):
+        """Shared attention front half: projections, rope (input already
+        normed by attn_in)."""
         record(f"blk.{li}.attn_qkv", x)
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
         k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
@@ -133,7 +160,13 @@ def forward(
         return q, k, v
 
     def post_attn_ffn(lp: dict, h, attn, cvec, li):
-        """Shared second half: output projection, FFN/MoE, residuals."""
+        """Shared second half: output projection, FFN/MoE, residuals.
+
+        Sequential (llama): h += attn; h += ffn(ffn_norm(h)).
+        Parallel (falcon/gptneox/phi2): h += attn + ffn(x'), where x' is
+        ffn_norm(h) when present (gptneox) else the shared attn norm of h
+        (falcon/phi2) — cf. build_falcon's use of attn_norm for the FFN.
+        """
         record(f"blk.{li}.attn_output", attn)
         attn_out = qmatmul(attn, lp["wo"], compute_dtype=compute_dtype)
         if lp.get("bo") is not None:
@@ -141,9 +174,13 @@ def forward(
         if lp.get("post_attn_norm") is not None:  # gemma2
             attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps,
                                 cfg.norm_weight_offset)
-        h = h + attn_out.astype(h.dtype)
-
-        x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+        if cfg.parallel_residual:
+            key = "ffn_norm" if lp.get("ffn_norm") is not None else "attn_norm"
+            x = lnorm(lp, key, h)
+            h = h + attn_out.astype(h.dtype)
+        else:
+            h = h + attn_out.astype(h.dtype)
+            x = lnorm(lp, "ffn_norm", h)
         record(f"blk.{li}.ffn_gate_up", x)
         act = ACTIVATIONS[cfg.act]
         if lp.get("ffn_gate_inp") is not None:
@@ -168,13 +205,22 @@ def forward(
             down = down.astype(h.dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
+            if lp.get("ffn_gate_b") is not None:
+                gate = gate + lp["ffn_gate_b"]
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
+            if lp.get("ffn_up_b") is not None:
+                up = up + lp["ffn_up_b"]
             ffn = act(gate) * up
             record(f"blk.{li}.ffn_down", ffn)
             down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         else:
-            ffn = act(qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype))
+            up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
+            if lp.get("ffn_up_b") is not None:
+                up = up + lp["ffn_up_b"]
+            ffn = act(up)
             down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
+        if lp.get("ffn_down_b") is not None:
+            down = down + lp["ffn_down_b"]
         if lp.get("post_ffn_norm") is not None:  # gemma2
             down = rms_norm(down, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
         h = h + down.astype(h.dtype)
@@ -185,7 +231,7 @@ def forward(
     def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1):
         """Unrolled-path layer: scatter K/V into the carried cache layer,
         then attend over it (per-layer masks, e.g. gemma2 SWA)."""
-        q, k, v = qkv(lp, h, li)
+        q, k, v = qkv(lp, attn_in(lp, h), li)
         # cache layout is head-major [n_kv, cells, head_dim]; padded batch
         # rows carry slot == n_cells, dropped by the OOB scatter mode
         k_layer = k_layer.at[:, slots].set(
@@ -197,6 +243,7 @@ def forward(
         attn = attention(
             q.astype(compute_dtype), k_layer[:, :n_vis], v_layer[:, :n_vis], mask,
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+            alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
         )
         attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
         h = post_attn_ffn(lp, h, attn, cvec, li)
@@ -266,7 +313,7 @@ def forward(
                     lp[key] = [StackedSlice(e, i) for e in v]
                 else:
                     lp[key] = StackedSlice(v, i)
-            q, k, v = qkv(lp, h, i)
+            q, k, v = qkv(lp, attn_in(lp, h), i)
             attn = attend(q, k, v, i).reshape(nt, cfg.n_head * cfg.head_dim)
             h = post_attn_ffn(lp, h, attn, cvec, i)
             return h, (k.swapaxes(0, 1).astype(cache.k.dtype),
@@ -296,11 +343,17 @@ def forward(
 
     # logits only for requested rows (cf. inp_out_ids, llama.cpp:9637)
     h_out = h[out_ids]
-    h_out = rms_norm(h_out, params["output_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+    if cfg.use_rms_norm:
+        h_out = rms_norm(h_out, params["output_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+    else:
+        h_out = layer_norm(h_out, params["output_norm"], params.get("output_norm_b"),
+                           cfg.norm_eps)
     out_w = params.get("output")
     if out_w is None:
         out_w = params["tok_embd"]  # tied embeddings
     logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
+    if params.get("output_b") is not None:
+        logits = logits + params["output_b"]
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     if collect_stats:

@@ -25,6 +25,9 @@ from llama_kotlin_tpu.quant.repack import repack
 # tensor-name suffix -> params key (cf. LLM_TN table, src/llama.cpp:1369)
 _LAYER_TENSORS = {
     "attn_norm.weight": "attn_norm",
+    "attn_norm.bias": "attn_norm_b",
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_b",
     "attn_q.weight": "wq",
     "attn_k.weight": "wk",
     "attn_v.weight": "wv",
@@ -36,9 +39,13 @@ _LAYER_TENSORS = {
     "attn_q_norm.weight": "attn_q_norm",
     "attn_k_norm.weight": "attn_k_norm",
     "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_b",
     "ffn_gate.weight": "ffn_gate",
+    "ffn_gate.bias": "ffn_gate_b",
     "ffn_up.weight": "ffn_up",
+    "ffn_up.bias": "ffn_up_b",
     "ffn_down.weight": "ffn_down",
+    "ffn_down.bias": "ffn_down_b",
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
     "ffn_gate_inp.weight": "ffn_gate_inp",
@@ -49,14 +56,22 @@ _LAYER_TENSORS = {
 
 _GLOBAL_TENSORS = {
     "token_embd.weight": "tok_embd",
+    "token_embd_norm.weight": "tok_norm",
+    "token_embd_norm.bias": "tok_norm_b",
+    "position_embd.weight": "pos_embd",
     "output_norm.weight": "output_norm",
+    "output_norm.bias": "output_norm_b",
     "output.weight": "output",
+    "output.bias": "output_b",
     "rope_freqs.weight": "rope_freqs",
 }
 
 _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_norm",
                  "post_attn_norm", "post_ffn_norm", "rope_freqs",
-                 "bq", "bk", "bv", "bo", "ffn_gate_inp"}
+                 "bq", "bk", "bv", "bo", "ffn_gate_inp",
+                 "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
+                 "ffn_gate_b", "ffn_up_b", "ffn_down_b",
+                 "output_norm_b", "output_b", "tok_norm", "tok_norm_b"}
 
 
 def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
@@ -89,6 +104,50 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
         flat = np.ascontiguousarray(data, np.uint8).reshape(n_exp, per)
         return [jax.tree.map(jnp.asarray, repack(flat[e], qt, n, k)) for e in range(n_exp)]
     raise NotImplementedError(f"{name}: {len(np_shape)}-D quantized tensor")
+
+
+def _load_fused_qkv(f: GGUFFile, name: str, cfg: ModelConfig, compute_dtype,
+                    fast_mode: str | None) -> dict:
+    """Split a fused attn_qkv tensor into wq/wk/wv (+ biases).
+
+    GGUF conversions store fused QKV with contiguous q|k|v output rows
+    (the HF converters de-interleave per-head layouts first), so a row
+    split is exact — quantized rows are block-aligned and independent
+    (cf. build_gpt2/build_falcon views into the wqkv result,
+    reference src/llama.cpp).
+    """
+    info = f.tensors[name]
+    qt = info.ggml_type
+    data = f.tensor_data(name)
+    np_shape = tuple(reversed(info.shape))
+    qdim = cfg.n_head * cfg.head_dim
+    kvdim = cfg.n_head_kv * cfg.head_dim
+    if name.endswith(".bias"):
+        b = numpy_ref.dequantize(data, qt, shape=np_shape)
+        return {
+            "bq": jnp.asarray(b[:qdim], jnp.float32),
+            "bk": jnp.asarray(b[qdim : qdim + kvdim], jnp.float32),
+            "bv": jnp.asarray(b[qdim + kvdim :], jnp.float32),
+        }
+    n, k = np_shape
+    assert n == qdim + 2 * kvdim, f"{name}: rows {n} != q+2kv {qdim + 2 * kvdim}"
+    bounds = [(0, qdim), (qdim, qdim + kvdim), (qdim + kvdim, n)]
+    out = {}
+    if TYPE_TRAITS[qt].is_quantized:
+        from llama_kotlin_tpu.quant.formats import row_byte_size
+        from llama_kotlin_tpu.quant.repack import repack, repack_q8flat
+
+        row_b = row_byte_size(k, qt)
+        flat = np.ascontiguousarray(data, np.uint8).reshape(n, row_b)
+        for key, (r0, r1) in zip(("wq", "wk", "wv"), bounds):
+            part = np.ascontiguousarray(flat[r0:r1]).reshape(-1)
+            rp = repack_q8flat(part, qt, r1 - r0, k) if fast_mode == "int8" else repack(part, qt, r1 - r0, k)
+            out[key] = jax.tree.map(jnp.asarray, rp)
+    else:
+        x = numpy_ref.dequantize(data, qt, shape=np_shape)
+        for key, (r0, r1) in zip(("wq", "wk", "wv"), bounds):
+            out[key] = jnp.asarray(x[r0:r1], dtype=compute_dtype)
+    return out
 
 
 def load_gguf_model(
@@ -125,6 +184,11 @@ def load_gguf_model(
             continue
         if name.startswith("blk."):
             _, i_str, suffix = name.split(".", 2)
+            if suffix in ("attn_qkv.weight", "attn_qkv.bias"):
+                params["layers"][int(i_str)].update(
+                    _load_fused_qkv(f, name, cfg, compute_dtype, fast_mode)
+                )
+                continue
             key = _LAYER_TENSORS.get(suffix)
             if key is not None:
                 params["layers"][int(i_str)][key] = _load_tensor(f, name, key, compute_dtype, fast_mode)

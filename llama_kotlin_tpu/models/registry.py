@@ -34,11 +34,13 @@ ARCHES = [
     ArchInfo("minicpm", "supported", "llama-shaped + scale factors"),
     ArchInfo("command-r", "planned", "parallel attn+ffn block, attn qk norms"),
     ArchInfo("deepseek2", "planned", "MLA attention, yarn rope variant"),
-    ArchInfo("falcon", "planned", "LayerNorm (not RMS), parallel residual"),
-    ArchInfo("gpt2", "planned", "LayerNorm, learned positions, fused qkv"),
-    ArchInfo("gptneox", "planned", "LayerNorm, parallel residual"),
-    ArchInfo("mpt", "planned", "ALiBi attention (ops support exists), LayerNorm"),
-    ArchInfo("starcoder", "planned", "MQA, LayerNorm, learned positions"),
+    ArchInfo("falcon", "supported", "LayerNorm, dual norms (40B), parallel residual, GQA"),
+    ArchInfo("gpt2", "supported", "LayerNorm, learned positions, fused qkv split at load"),
+    ArchInfo("gptneox", "supported", "LayerNorm, parallel residual, partial rope"),
+    ArchInfo("mpt", "supported", "ALiBi attention, LayerNorm, fused qkv"),
+    ArchInfo("starcoder", "supported", "MQA, LayerNorm, learned positions"),
+    ArchInfo("phi2", "supported", "parallel residual w/ shared norm, partial rope, output bias"),
+    ArchInfo("bloom", "supported", "embedding LayerNorm, ALiBi, per-head fused qkv"),
     ArchInfo("starcoder2", "supported", "llama-shaped with biases"),
     ArchInfo("olmo", "supported", "non-parametric norm via unit weights"),
     ArchInfo("bert", "planned", "encoder-only; WPM tokenizer done"),

@@ -29,6 +29,22 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def alibi_slopes(n_head: int, max_bias: float) -> jnp.ndarray:
+    """Per-head ALiBi slopes, matching ggml_compute_forward_soft_max's
+    m0/m1 geometric schedule (reference ggml/src/ggml.c soft_max_ext):
+    heads below the largest power of two get m0^(h+1); the rest interleave
+    with m1^(2(h-n0)+1)."""
+    import math
+
+    n0 = 2 ** math.floor(math.log2(n_head))
+    m0 = 2.0 ** (-max_bias / n0)
+    m1 = 2.0 ** (-max_bias / 2.0 / n0)
+    heads = jnp.arange(n_head)
+    lo = m0 ** (heads + 1).astype(jnp.float32)
+    hi = m1 ** (2 * (heads - n0) + 1).astype(jnp.float32)
+    return jnp.where(heads < n0, lo, hi).astype(jnp.float32)
+
+
 def visibility_mask(token_pos: jnp.ndarray, token_seq: jnp.ndarray,
                     cell_pos: jnp.ndarray, cell_seq_mask: jnp.ndarray,
                     window: int = 0) -> jnp.ndarray:

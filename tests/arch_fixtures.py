@@ -1,0 +1,561 @@
+"""Fixtures for the LayerNorm arch family (gpt2/gptneox/falcon/mpt/
+starcoder/phi2/bloom): build a tiny random model simultaneously as a GGUF
+weight dict (our naming, [out, in] orientation, contiguous q|k|v fused QKV
+— what the reference's HF converters emit) and as the matching transformers
+model, so logits can be cross-checked against an independent oracle.
+
+Covers the per-arch HF quirks: Conv1D transposition (gpt2), per-head QKV
+interleaving (gptneox/bloom), per-kv-group interleaving (falcon new
+decoder), MQA (starcoder), parallel residual with shared norm (phi2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from llama_kotlin_tpu.gguf import GGUFWriter
+from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+
+def write_arch_gguf(path, arch: str, md: dict, weights: dict) -> None:
+    w = GGUFWriter()
+    w.add_kv("general.architecture", arch)
+    w.add_kv("general.name", f"tiny-{arch}")
+    for k, v in md.items():
+        w.add_kv(k, v)
+    for name, arr in weights.items():
+        w.add_tensor(name, arr.astype(np.float32), GGMLQuantType.F32)
+    w.write(path)
+
+
+def interleave_head_qkv(q, k, v, n_head, hd):
+    """Contiguous q|k|v -> per-head [q_h, k_h, v_h] (HF gptneox/bloom)."""
+    rest = q.shape[1:]
+    qh = q.reshape(n_head, hd, *rest)
+    kh = k.reshape(n_head, hd, *rest)
+    vh = v.reshape(n_head, hd, *rest)
+    return np.stack([qh, kh, vh], axis=1).reshape(3 * n_head * hd, *rest)
+
+
+def interleave_group_qkv(q, k, v, n_kv, rep, hd):
+    """Contiguous q|k|v -> per-kv-group [q_g..., k_g, v_g] (HF falcon
+    new_decoder_architecture)."""
+    rest = q.shape[1:]
+    qg = q.reshape(n_kv, rep, hd, *rest)
+    kg = k.reshape(n_kv, 1, hd, *rest)
+    vg = v.reshape(n_kv, 1, hd, *rest)
+    return np.concatenate([qg, kg, vg], axis=1).reshape((rep + 2) * n_kv * hd, *rest)
+
+
+class _W:
+    """Weight factory with deterministic rng helpers."""
+
+    def __init__(self, rng, scale=0.05):
+        self.rng, self.scale = rng, scale
+
+    def mat(self, n, k):
+        return (self.rng.standard_normal((n, k)) * self.scale).astype(np.float32)
+
+    def vec(self, n):
+        return (self.rng.standard_normal(n) * self.scale).astype(np.float32)
+
+    def norm(self, n):
+        return (1.0 + 0.1 * self.rng.standard_normal(n)).astype(np.float32)
+
+
+def _to_torch(sd):
+    import torch
+
+    return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------- gpt2
+
+
+def make_gpt2(rng, E=64, L=2, H=4, F=128, V=160, n_ctx=128):
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "position_embd.weight": w.mat(n_ctx, E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_qkv.weight"] = w.mat(3 * E, E)
+        ws[p + "attn_qkv.bias"] = w.vec(3 * E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_norm.bias"] = w.vec(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+    md = {
+        "gpt2.embedding_length": np.uint32(E),
+        "gpt2.block_count": np.uint32(L),
+        "gpt2.attention.head_count": np.uint32(H),
+        "gpt2.feed_forward_length": np.uint32(F),
+        "gpt2.context_length": np.uint32(n_ctx),
+        "gpt2.attention.layer_norm_epsilon": np.float32(1e-5),
+        "gpt2.vocab_size": np.uint32(V),
+    }
+    cfg = GPT2Config(
+        vocab_size=V, n_positions=n_ctx, n_embd=E, n_layer=L, n_head=H, n_inner=F,
+        activation_function="gelu_new", layer_norm_epsilon=1e-5,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    m = GPT2LMHeadModel(cfg)
+    sd = {
+        "transformer.wte.weight": ws["token_embd.weight"],
+        "transformer.wpe.weight": ws["position_embd.weight"],
+        "transformer.ln_f.weight": ws["output_norm.weight"],
+        "transformer.ln_f.bias": ws["output_norm.bias"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"transformer.h.{i}."
+        sd[hf + "ln_1.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "ln_1.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "attn.c_attn.weight"] = ws[p + "attn_qkv.weight"].T  # Conv1D
+        sd[hf + "attn.c_attn.bias"] = ws[p + "attn_qkv.bias"]
+        sd[hf + "attn.c_proj.weight"] = ws[p + "attn_output.weight"].T
+        sd[hf + "attn.c_proj.bias"] = ws[p + "attn_output.bias"]
+        sd[hf + "ln_2.weight"] = ws[p + "ffn_norm.weight"]
+        sd[hf + "ln_2.bias"] = ws[p + "ffn_norm.bias"]
+        sd[hf + "mlp.c_fc.weight"] = ws[p + "ffn_up.weight"].T
+        sd[hf + "mlp.c_fc.bias"] = ws[p + "ffn_up.bias"]
+        sd[hf + "mlp.c_proj.weight"] = ws[p + "ffn_down.weight"].T
+        sd[hf + "mlp.c_proj.bias"] = ws[p + "ffn_down.bias"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "gpt2", md, ws, m
+
+
+# ------------------------------------------------------------- gptneox
+
+
+def make_gptneox(rng, E=64, L=2, H=4, F=128, V=160, n_ctx=128, rotary_pct=0.5):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    hd = E // H
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+        "output.weight": w.mat(V, E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_qkv.weight"] = w.mat(3 * E, E)
+        ws[p + "attn_qkv.bias"] = w.vec(3 * E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_norm.bias"] = w.vec(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+    md = {
+        "gptneox.embedding_length": np.uint32(E),
+        "gptneox.block_count": np.uint32(L),
+        "gptneox.attention.head_count": np.uint32(H),
+        "gptneox.feed_forward_length": np.uint32(F),
+        "gptneox.context_length": np.uint32(n_ctx),
+        "gptneox.attention.layer_norm_epsilon": np.float32(1e-5),
+        "gptneox.rope.dimension_count": np.uint32(int(hd * rotary_pct)),
+        "gptneox.use_parallel_residual": True,
+        "gptneox.vocab_size": np.uint32(V),
+    }
+    cfg = GPTNeoXConfig(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=F, rotary_pct=rotary_pct, max_position_embeddings=n_ctx,
+        layer_norm_eps=1e-5, hidden_act="gelu_new", use_parallel_residual=True,
+        rope_theta=10000.0, attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    m = GPTNeoXForCausalLM(cfg)
+    sd = {
+        "gpt_neox.embed_in.weight": ws["token_embd.weight"],
+        "gpt_neox.final_layer_norm.weight": ws["output_norm.weight"],
+        "gpt_neox.final_layer_norm.bias": ws["output_norm.bias"],
+        "embed_out.weight": ws["output.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"gpt_neox.layers.{i}."
+        q, k, v = np.split(ws[p + "attn_qkv.weight"], 3, axis=0)
+        bq, bk, bv = np.split(ws[p + "attn_qkv.bias"], 3, axis=0)
+        sd[hf + "input_layernorm.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "input_layernorm.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "attention.query_key_value.weight"] = interleave_head_qkv(q, k, v, H, hd)
+        sd[hf + "attention.query_key_value.bias"] = interleave_head_qkv(bq, bk, bv, H, hd)
+        sd[hf + "attention.dense.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "attention.dense.bias"] = ws[p + "attn_output.bias"]
+        sd[hf + "post_attention_layernorm.weight"] = ws[p + "ffn_norm.weight"]
+        sd[hf + "post_attention_layernorm.bias"] = ws[p + "ffn_norm.bias"]
+        sd[hf + "mlp.dense_h_to_4h.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.dense_h_to_4h.bias"] = ws[p + "ffn_up.bias"]
+        sd[hf + "mlp.dense_4h_to_h.weight"] = ws[p + "ffn_down.weight"]
+        sd[hf + "mlp.dense_4h_to_h.bias"] = ws[p + "ffn_down.bias"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "gptneox", md, ws, m
+
+
+# -------------------------------------------------------------- falcon
+
+
+def make_falcon(rng, E=64, L=2, H=4, KV=2, V=160, n_ctx=128):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    hd = E // H
+    F = 4 * E
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)  # ln_mlp (feeds the FFN)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_norm_2.weight"] = w.norm(E)  # ln_attn (feeds attention)
+        ws[p + "attn_norm_2.bias"] = w.vec(E)
+        ws[p + "attn_qkv.weight"] = w.mat((H + 2 * KV) * hd, E)
+        ws[p + "attn_output.weight"] = w.mat(E, H * hd)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+    md = {
+        "falcon.embedding_length": np.uint32(E),
+        "falcon.block_count": np.uint32(L),
+        "falcon.attention.head_count": np.uint32(H),
+        "falcon.attention.head_count_kv": np.uint32(KV),
+        "falcon.feed_forward_length": np.uint32(F),
+        "falcon.context_length": np.uint32(n_ctx),
+        "falcon.attention.layer_norm_epsilon": np.float32(1e-5),
+        "falcon.vocab_size": np.uint32(V),
+    }
+    cfg = FalconConfig(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L, num_attention_heads=H,
+        num_kv_heads=KV, new_decoder_architecture=True, parallel_attn=True,
+        bias=False, alibi=False, rope_theta=10000.0, layer_norm_epsilon=1e-5,
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    m = FalconForCausalLM(cfg)
+    sd = {
+        "transformer.word_embeddings.weight": ws["token_embd.weight"],
+        "transformer.ln_f.weight": ws["output_norm.weight"],
+        "transformer.ln_f.bias": ws["output_norm.bias"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"transformer.h.{i}."
+        fused = ws[p + "attn_qkv.weight"]
+        q, k, v = fused[: H * hd], fused[H * hd : (H + KV) * hd], fused[(H + KV) * hd :]
+        sd[hf + "ln_attn.weight"] = ws[p + "attn_norm_2.weight"]
+        sd[hf + "ln_attn.bias"] = ws[p + "attn_norm_2.bias"]
+        sd[hf + "ln_mlp.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "ln_mlp.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "self_attention.query_key_value.weight"] = interleave_group_qkv(
+            q, k, v, KV, H // KV, hd
+        )
+        sd[hf + "self_attention.dense.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "mlp.dense_h_to_4h.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.dense_4h_to_h.weight"] = ws[p + "ffn_down.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "falcon", md, ws, m
+
+
+# ----------------------------------------------------------------- mpt
+
+
+def make_mpt(rng, E=64, L=2, H=4, V=160, n_ctx=128):
+    from transformers import MptConfig, MptForCausalLM
+    from transformers.models.mpt.configuration_mpt import MptAttentionConfig
+
+    F = 4 * E
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_qkv.weight"] = w.mat(3 * E, E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+    md = {
+        "mpt.embedding_length": np.uint32(E),
+        "mpt.block_count": np.uint32(L),
+        "mpt.attention.head_count": np.uint32(H),
+        "mpt.feed_forward_length": np.uint32(F),
+        "mpt.context_length": np.uint32(n_ctx),
+        "mpt.attention.layer_norm_epsilon": np.float32(1e-5),
+        "mpt.attention.max_alibi_bias": np.float32(8.0),
+        "mpt.vocab_size": np.uint32(V),
+    }
+    cfg = MptConfig(
+        d_model=E, n_heads=H, n_layers=L, expansion_ratio=4, max_seq_len=n_ctx,
+        vocab_size=V, layer_norm_epsilon=1e-5, no_bias=True,
+        attn_config=MptAttentionConfig(alibi=True, alibi_bias_max=8, attn_pdrop=0.0),
+        emb_pdrop=0.0, resid_pdrop=0.0,
+    )
+    m = MptForCausalLM(cfg)
+    sd = {
+        "transformer.wte.weight": ws["token_embd.weight"],
+        "transformer.norm_f.weight": ws["output_norm.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"transformer.blocks.{i}."
+        sd[hf + "norm_1.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "attn.Wqkv.weight"] = ws[p + "attn_qkv.weight"]
+        sd[hf + "attn.out_proj.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "norm_2.weight"] = ws[p + "ffn_norm.weight"]
+        sd[hf + "ffn.up_proj.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "ffn.down_proj.weight"] = ws[p + "ffn_down.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "mpt", md, ws, m
+
+
+# ----------------------------------------------------- starcoder (MQA)
+
+
+def make_starcoder(rng, E=64, L=2, H=4, F=128, V=160, n_ctx=128):
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    hd = E // H
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "position_embd.weight": w.mat(n_ctx, E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_qkv.weight"] = w.mat(E + 2 * hd, E)  # MQA: 1 kv head
+        ws[p + "attn_qkv.bias"] = w.vec(E + 2 * hd)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_norm.bias"] = w.vec(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+    md = {
+        "starcoder.embedding_length": np.uint32(E),
+        "starcoder.block_count": np.uint32(L),
+        "starcoder.attention.head_count": np.uint32(H),
+        "starcoder.attention.head_count_kv": np.uint32(1),
+        "starcoder.feed_forward_length": np.uint32(F),
+        "starcoder.context_length": np.uint32(n_ctx),
+        "starcoder.attention.layer_norm_epsilon": np.float32(1e-5),
+        "starcoder.vocab_size": np.uint32(V),
+    }
+    cfg = GPTBigCodeConfig(
+        vocab_size=V, n_positions=n_ctx, n_embd=E, n_layer=L, n_head=H, n_inner=F,
+        activation_function="gelu_pytorch_tanh", multi_query=True,
+        layer_norm_epsilon=1e-5, attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    m = GPTBigCodeForCausalLM(cfg)
+    sd = {
+        "transformer.wte.weight": ws["token_embd.weight"],
+        "transformer.wpe.weight": ws["position_embd.weight"],
+        "transformer.ln_f.weight": ws["output_norm.weight"],
+        "transformer.ln_f.bias": ws["output_norm.bias"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"transformer.h.{i}."
+        sd[hf + "ln_1.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "ln_1.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "attn.c_attn.weight"] = ws[p + "attn_qkv.weight"]
+        sd[hf + "attn.c_attn.bias"] = ws[p + "attn_qkv.bias"]
+        sd[hf + "attn.c_proj.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "attn.c_proj.bias"] = ws[p + "attn_output.bias"]
+        sd[hf + "ln_2.weight"] = ws[p + "ffn_norm.weight"]
+        sd[hf + "ln_2.bias"] = ws[p + "ffn_norm.bias"]
+        sd[hf + "mlp.c_fc.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.c_fc.bias"] = ws[p + "ffn_up.bias"]
+        sd[hf + "mlp.c_proj.weight"] = ws[p + "ffn_down.weight"]
+        sd[hf + "mlp.c_proj.bias"] = ws[p + "ffn_down.bias"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "starcoder", md, ws, m
+
+
+# ---------------------------------------------------------------- phi2
+
+
+def make_phi2(rng, E=64, L=2, H=4, F=128, V=160, n_ctx=128):
+    from transformers import PhiConfig, PhiForCausalLM
+
+    hd = E // H
+    rot = hd // 2
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+        "output.weight": w.mat(V, E),
+        "output.bias": w.vec(V),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_q.weight"] = w.mat(E, E)
+        ws[p + "attn_q.bias"] = w.vec(E)
+        ws[p + "attn_k.weight"] = w.mat(E, E)
+        ws[p + "attn_k.bias"] = w.vec(E)
+        ws[p + "attn_v.weight"] = w.mat(E, E)
+        ws[p + "attn_v.bias"] = w.vec(E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+    md = {
+        "phi2.embedding_length": np.uint32(E),
+        "phi2.block_count": np.uint32(L),
+        "phi2.attention.head_count": np.uint32(H),
+        "phi2.attention.head_count_kv": np.uint32(H),
+        "phi2.feed_forward_length": np.uint32(F),
+        "phi2.context_length": np.uint32(n_ctx),
+        "phi2.attention.layer_norm_epsilon": np.float32(1e-5),
+        "phi2.rope.dimension_count": np.uint32(rot),
+        "phi2.vocab_size": np.uint32(V),
+    }
+    cfg = PhiConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=F, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=H,
+        partial_rotary_factor=rot / hd, layer_norm_eps=1e-5, hidden_act="gelu_new",
+        tie_word_embeddings=False, rope_theta=10000.0, attention_dropout=0.0,
+        embd_pdrop=0.0, resid_pdrop=0.0, qk_layernorm=False,
+    )
+    m = PhiForCausalLM(cfg)
+    sd = {
+        "model.embed_tokens.weight": ws["token_embd.weight"],
+        "model.final_layernorm.weight": ws["output_norm.weight"],
+        "model.final_layernorm.bias": ws["output_norm.bias"],
+        "lm_head.weight": ws["output.weight"],
+        "lm_head.bias": ws["output.bias"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"model.layers.{i}."
+        sd[hf + "input_layernorm.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "input_layernorm.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "self_attn.q_proj.weight"] = ws[p + "attn_q.weight"]
+        sd[hf + "self_attn.q_proj.bias"] = ws[p + "attn_q.bias"]
+        sd[hf + "self_attn.k_proj.weight"] = ws[p + "attn_k.weight"]
+        sd[hf + "self_attn.k_proj.bias"] = ws[p + "attn_k.bias"]
+        sd[hf + "self_attn.v_proj.weight"] = ws[p + "attn_v.weight"]
+        sd[hf + "self_attn.v_proj.bias"] = ws[p + "attn_v.bias"]
+        sd[hf + "self_attn.dense.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "self_attn.dense.bias"] = ws[p + "attn_output.bias"]
+        sd[hf + "mlp.fc1.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.fc1.bias"] = ws[p + "ffn_up.bias"]
+        sd[hf + "mlp.fc2.weight"] = ws[p + "ffn_down.weight"]
+        sd[hf + "mlp.fc2.bias"] = ws[p + "ffn_down.bias"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "phi2", md, ws, m
+
+
+# --------------------------------------------------------------- bloom
+
+
+def make_bloom(rng, E=64, L=2, H=4, V=160, n_ctx=128):
+    from transformers import BloomConfig, BloomForCausalLM
+
+    hd = E // H
+    F = 4 * E
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "token_embd_norm.weight": w.norm(E),
+        "token_embd_norm.bias": w.vec(E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_qkv.weight"] = w.mat(3 * E, E)
+        ws[p + "attn_qkv.bias"] = w.vec(3 * E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_norm.bias"] = w.vec(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+    md = {
+        "bloom.embedding_length": np.uint32(E),
+        "bloom.block_count": np.uint32(L),
+        "bloom.attention.head_count": np.uint32(H),
+        "bloom.feed_forward_length": np.uint32(F),
+        "bloom.context_length": np.uint32(n_ctx),
+        "bloom.attention.layer_norm_epsilon": np.float32(1e-5),
+        "bloom.vocab_size": np.uint32(V),
+    }
+    cfg = BloomConfig(
+        vocab_size=V, hidden_size=E, n_layer=L, n_head=H, layer_norm_epsilon=1e-5,
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    m = BloomForCausalLM(cfg)
+    sd = {
+        "transformer.word_embeddings.weight": ws["token_embd.weight"],
+        "transformer.word_embeddings_layernorm.weight": ws["token_embd_norm.weight"],
+        "transformer.word_embeddings_layernorm.bias": ws["token_embd_norm.bias"],
+        "transformer.ln_f.weight": ws["output_norm.weight"],
+        "transformer.ln_f.bias": ws["output_norm.bias"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"transformer.h.{i}."
+        q, k, v = np.split(ws[p + "attn_qkv.weight"], 3, axis=0)
+        bq, bk, bv = np.split(ws[p + "attn_qkv.bias"], 3, axis=0)
+        sd[hf + "input_layernorm.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "input_layernorm.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "self_attention.query_key_value.weight"] = interleave_head_qkv(q, k, v, H, hd)
+        sd[hf + "self_attention.query_key_value.bias"] = interleave_head_qkv(bq, bk, bv, H, hd)
+        sd[hf + "self_attention.dense.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "self_attention.dense.bias"] = ws[p + "attn_output.bias"]
+        sd[hf + "post_attention_layernorm.weight"] = ws[p + "ffn_norm.weight"]
+        sd[hf + "post_attention_layernorm.bias"] = ws[p + "ffn_norm.bias"]
+        sd[hf + "mlp.dense_h_to_4h.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.dense_h_to_4h.bias"] = ws[p + "ffn_up.bias"]
+        sd[hf + "mlp.dense_4h_to_h.weight"] = ws[p + "ffn_down.weight"]
+        sd[hf + "mlp.dense_4h_to_h.bias"] = ws[p + "ffn_down.bias"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "bloom", md, ws, m
+
+
+MAKERS = {
+    "gpt2": make_gpt2,
+    "gptneox": make_gptneox,
+    "falcon": make_falcon,
+    "mpt": make_mpt,
+    "starcoder": make_starcoder,
+    "phi2": make_phi2,
+    "bloom": make_bloom,
+}

@@ -1,0 +1,77 @@
+"""LayerNorm arch family parity tests vs transformers oracles.
+
+Covers gpt2 (learned pos embd, fused Conv1D qkv), gptneox (parallel
+residual, partial rope), falcon (dual norms, GQA, parallel), mpt (ALiBi),
+starcoder (MQA), phi2 (shared-norm parallel residual, output bias) and
+bloom (embedding LayerNorm + ALiBi) — the reference's build_* graph
+builders for these arches (src/llama.cpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.models.loader import load_gguf_model
+from llama_kotlin_tpu.runtime.batch import Batch
+from llama_kotlin_tpu.runtime.context import LlamaContext
+
+from tests.arch_fixtures import MAKERS, write_arch_gguf
+
+# erf-GELU archs in HF vs ggml's tanh GELU: small systematic activation
+# difference, absorbed by a looser tolerance
+_ATOL = {"falcon": 6e-3, "mpt": 6e-3}
+
+
+@pytest.mark.parametrize("arch", sorted(MAKERS))
+def test_arch_logits_match_transformers(arch, tmp_path):
+    import torch
+
+    rng = np.random.default_rng(hash(arch) % 2**31)
+    name, md, ws, hf = MAKERS[arch](rng)
+    assert name == arch
+    path = tmp_path / f"{arch}.gguf"
+    write_arch_gguf(path, arch, md, ws)
+
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.arch == arch
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+
+    toks = np.array([3, 17, 42, 9, 101, 55, 7, 23], np.int32)
+    rc = ctx.decode(Batch.single(toks, logits_last_only=False))
+    assert rc == 0
+    ours = ctx.get_logits()
+
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(toks[None].astype(np.int64))).logits[0].numpy()
+
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=_ATOL.get(arch, 5e-4), rtol=5e-3)
+
+
+@pytest.mark.parametrize("arch", ["gpt2", "falcon"])
+def test_arch_incremental_decode(arch, tmp_path):
+    """Token-by-token decode equals full prefill (cache correctness under
+    the arch's attention variant)."""
+    rng = np.random.default_rng(5)
+    _, md, ws, _ = MAKERS[arch](rng)
+    path = tmp_path / f"{arch}.gguf"
+    write_arch_gguf(path, arch, md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+
+    toks = np.array([5, 9, 3, 88, 22, 61], np.int32)
+    ctx1 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    ctx1.decode(Batch.single(toks, logits_last_only=False))
+    full = ctx1.get_logits()
+
+    ctx2 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    step_logits = []
+    for i, t in enumerate(toks):
+        ctx2.decode(Batch(tokens=np.array([t]), pos=np.array([i], np.int32),
+                          seq_id=np.array([0], np.int32),
+                          output=np.array([1], np.int8)))
+        step_logits.append(ctx2.get_logits()[0])
+    np.testing.assert_allclose(full, np.stack(step_logits), atol=2e-4, rtol=2e-3)
