@@ -58,6 +58,8 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     # LayerNorm-family arch knobs (gpt2/gptneox/falcon/mpt/starcoder/phi2/bloom)
     parallel_residual: bool = False  # h = h + attn(x) + ffn(x') (falcon/neox/phi2)
+    logit_scale: float = 1.0  # command-r final logit multiplier
+    moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
     learned_pos_embd: bool = False  # absolute position embedding table (gpt2)
     max_alibi_bias: float = 0.0  # ALiBi slope max (mpt/bloom); 0 = off
     token_embd_norm: bool = False  # LayerNorm right after embedding (bloom)
@@ -146,9 +148,10 @@ def config_from_metadata(md: dict) -> ModelConfig:
         )
 
     # arch-specific adjustments (cf. per-arch cases in llm_load_hparams)
+    # rope family split per llama_rope_type (reference src/llama.cpp:17960);
+    # command-r/olmo/internlm2/minicpm/deepseek2 are NORM (adjacent pairs)
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
-                "stablelm", "gemma", "gemma2", "starcoder2", "olmo", "mistral3",
-                "deepseek2", "command-r", "minicpm", "internlm2"):
+                "stablelm", "gemma", "gemma2", "starcoder2", "mistral3"):
         cfg.rope_type = ROPE_TYPE_NEOX
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"
@@ -183,4 +186,13 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.parallel_residual = bool(_get(md, arch, "use_parallel_residual", True))
     if arch in ("falcon", "phi2"):
         cfg.parallel_residual = True
+    if arch == "command-r":
+        # cf. build_command_r (LayerNorm w/o bias, shared-norm parallel
+        # residual, scaled logits); FFN stays gated silu
+        cfg.use_rms_norm = False
+        cfg.parallel_residual = True
+        cfg.tie_word_embeddings = True
+        cfg.logit_scale = float(_get(md, arch, "logit_scale", 1.0) or 1.0)
+    if arch == "qwen2moe":
+        cfg.moe_norm_topk = False  # cf. build_qwen2moe norm_w=false
     return cfg

@@ -153,8 +153,14 @@ def forward(
         k = k.reshape(nt, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(nt, cfg.n_head_kv, cfg.head_dim)
         if lp.get("attn_q_norm") is not None:
-            q = rms_norm(q, lp["attn_q_norm"], cfg.rms_eps, cfg.norm_weight_offset)
-            k = rms_norm(k, lp["attn_k_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+            # per-head-dim norm; command-r's weights are [n_head, head_dim]
+            # and broadcast, stablelm-style are [head_dim]
+            if cfg.use_rms_norm:
+                q = rms_norm(q, lp["attn_q_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+                k = rms_norm(k, lp["attn_k_norm"], cfg.rms_eps, cfg.norm_weight_offset)
+            else:
+                q = layer_norm(q, lp["attn_q_norm"], None, cfg.norm_eps)
+                k = layer_norm(k, lp["attn_k_norm"], None, cfg.norm_eps)
         q = apply_rope(q, token_pos, rope, freq_factors)
         k = apply_rope(k, token_pos, rope, freq_factors)
         return q, k, v
@@ -192,7 +198,8 @@ def forward(
             router = qmatmul(x, lp["ffn_gate_inp"], compute_dtype=compute_dtype)
             probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
             top_w, top_i = jax.lax.top_k(probs, cfg.n_expert_used)  # [nt, k]
-            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # norm_w
+            if cfg.moe_norm_topk:  # mixtral yes; qwen2moe keeps raw probs
+                top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
             down = jnp.zeros((nt, cfg.n_embd), jnp.float32)
             for e in range(cfg.n_expert):
                 w_tok = jnp.sum(jnp.where(top_i == e, top_w, 0.0), axis=-1)  # [nt]
@@ -202,6 +209,16 @@ def forward(
                 down_e = qmatmul(ffn_e.astype(compute_dtype), lp["ffn_down_exps"][e],
                                  compute_dtype=compute_dtype)
                 down = down + w_tok[:, None] * down_e.astype(jnp.float32)
+            if lp.get("ffn_gate_inp_shexp") is not None:
+                # qwen2moe shared expert: always-on gated-silu FFN modulated
+                # by a sigmoid gate (cf. build_qwen2moe's silu(x)/x == σ(x))
+                g_in = qmatmul(x, lp["ffn_gate_inp_shexp"], compute_dtype=compute_dtype)
+                sh_gate = jax.nn.sigmoid(g_in.astype(jnp.float32))  # [nt, 1]
+                sh_g = act(qmatmul(x, lp["ffn_gate_shexp"], compute_dtype=compute_dtype))
+                sh_u = qmatmul(x, lp["ffn_up_shexp"], compute_dtype=compute_dtype)
+                sh = qmatmul((sh_g * sh_u).astype(compute_dtype), lp["ffn_down_shexp"],
+                             compute_dtype=compute_dtype)
+                down = down + sh_gate * sh.astype(jnp.float32)
             down = down.astype(h.dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
@@ -354,6 +371,8 @@ def forward(
     logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
     if params.get("output_b") is not None:
         logits = logits + params["output_b"]
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     if collect_stats:

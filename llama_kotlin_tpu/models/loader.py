@@ -52,6 +52,10 @@ _LAYER_TENSORS = {
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_inp_shexp.weight": "ffn_gate_inp_shexp",
+    "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_up_shexp.weight": "ffn_up_shexp",
+    "ffn_down_shexp.weight": "ffn_down_shexp",
 }
 
 _GLOBAL_TENSORS = {
@@ -68,7 +72,7 @@ _GLOBAL_TENSORS = {
 
 _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_norm",
                  "post_attn_norm", "post_ffn_norm", "rope_freqs",
-                 "bq", "bk", "bv", "bo", "ffn_gate_inp",
+                 "bq", "bk", "bv", "bo", "ffn_gate_inp", "ffn_gate_inp_shexp",
                  "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
                  "ffn_gate_b", "ffn_up_b", "ffn_down_b",
                  "output_norm_b", "output_b", "tok_norm", "tok_norm_b"}

@@ -27,12 +27,12 @@ ARCHES = [
     ArchInfo("gemma", "supported", "gelu, embd scale sqrt(E), (1+w) norms, tied head"),
     ArchInfo("gemma2", "supported", "logit softcaps, pre/post-ffn norms, alternating SWA"),
     ArchInfo("qwen2", "supported", "qkv bias, NEOX rope"),
-    ArchInfo("qwen2moe", "planned", "shared expert branch"),
+    ArchInfo("qwen2moe", "supported", "shared expert + sigmoid gate, raw top-k probs"),
     ArchInfo("stablelm", "supported", "qkv bias, NEOX rope, partial rotary via rope_dim"),
     ArchInfo("phi3", "supported", "NEOX rope, SWA; fused qkv split at load planned"),
     ArchInfo("internlm2", "supported", "llama-shaped"),
     ArchInfo("minicpm", "supported", "llama-shaped + scale factors"),
-    ArchInfo("command-r", "planned", "parallel attn+ffn block, attn qk norms"),
+    ArchInfo("command-r", "supported", "parallel block, per-head qk LayerNorm, logit scale"),
     ArchInfo("deepseek2", "planned", "MLA attention, yarn rope variant"),
     ArchInfo("falcon", "supported", "LayerNorm, dual norms (40B), parallel residual, GQA"),
     ArchInfo("gpt2", "supported", "LayerNorm, learned positions, fused qkv split at load"),

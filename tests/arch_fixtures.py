@@ -550,6 +550,157 @@ def make_bloom(rng, E=64, L=2, H=4, V=160, n_ctx=128):
     return "bloom", md, ws, m
 
 
+# ----------------------------------------------------------- command-r
+
+
+def make_commandr(rng, E=64, L=2, H=4, KV=2, F=128, V=160, n_ctx=128):
+    from transformers import CohereConfig, CohereForCausalLM
+
+    hd = E // H
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_q.weight"] = w.mat(H * hd, E)
+        ws[p + "attn_k.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_v.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_q_norm.weight"] = w.norm(H * hd).reshape(H, hd)
+        ws[p + "attn_k_norm.weight"] = w.norm(KV * hd).reshape(KV, hd)
+        ws[p + "attn_output.weight"] = w.mat(E, H * hd)
+        ws[p + "ffn_gate.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+    md = {
+        "command-r.embedding_length": np.uint32(E),
+        "command-r.block_count": np.uint32(L),
+        "command-r.attention.head_count": np.uint32(H),
+        "command-r.attention.head_count_kv": np.uint32(KV),
+        "command-r.feed_forward_length": np.uint32(F),
+        "command-r.context_length": np.uint32(n_ctx),
+        "command-r.attention.layer_norm_epsilon": np.float32(1e-5),
+        "command-r.logit_scale": np.float32(0.25),
+        "command-r.rope.freq_base": np.float32(10000.0),
+        "command-r.vocab_size": np.uint32(V),
+    }
+    cfg = CohereConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=F, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=KV,
+        max_position_embeddings=n_ctx, rope_theta=10000.0, layer_norm_eps=1e-5,
+        logit_scale=0.25, use_qk_norm=True, tie_word_embeddings=True,
+        attention_bias=False, attention_dropout=0.0,
+    )
+    m = CohereForCausalLM(cfg)
+    sd = {
+        "model.embed_tokens.weight": ws["token_embd.weight"],
+        "model.norm.weight": ws["output_norm.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"model.layers.{i}."
+        sd[hf + "input_layernorm.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "self_attn.q_proj.weight"] = ws[p + "attn_q.weight"]
+        sd[hf + "self_attn.k_proj.weight"] = ws[p + "attn_k.weight"]
+        sd[hf + "self_attn.v_proj.weight"] = ws[p + "attn_v.weight"]
+        sd[hf + "self_attn.q_norm.weight"] = ws[p + "attn_q_norm.weight"]
+        sd[hf + "self_attn.k_norm.weight"] = ws[p + "attn_k_norm.weight"]
+        sd[hf + "self_attn.o_proj.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "mlp.gate_proj.weight"] = ws[p + "ffn_gate.weight"]
+        sd[hf + "mlp.up_proj.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.down_proj.weight"] = ws[p + "ffn_down.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "command-r", md, ws, m
+
+
+# ------------------------------------------------------------ qwen2moe
+
+
+def make_qwen2moe(rng, E=64, L=2, H=4, KV=2, V=160, n_ctx=128,
+                  n_expert=4, n_used=2, moe_F=96, shared_F=128):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    hd = E // H
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output.weight": w.mat(V, E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_q.weight"] = w.mat(H * hd, E)
+        ws[p + "attn_q.bias"] = w.vec(H * hd)
+        ws[p + "attn_k.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_k.bias"] = w.vec(KV * hd)
+        ws[p + "attn_v.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_v.bias"] = w.vec(KV * hd)
+        ws[p + "attn_output.weight"] = w.mat(E, H * hd)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_gate_inp.weight"] = w.mat(n_expert, E)
+        ws[p + "ffn_gate_exps.weight"] = np.stack([w.mat(moe_F, E) for _ in range(n_expert)])
+        ws[p + "ffn_up_exps.weight"] = np.stack([w.mat(moe_F, E) for _ in range(n_expert)])
+        ws[p + "ffn_down_exps.weight"] = np.stack([w.mat(E, moe_F) for _ in range(n_expert)])
+        ws[p + "ffn_gate_inp_shexp.weight"] = w.mat(1, E)
+        ws[p + "ffn_gate_shexp.weight"] = w.mat(shared_F, E)
+        ws[p + "ffn_up_shexp.weight"] = w.mat(shared_F, E)
+        ws[p + "ffn_down_shexp.weight"] = w.mat(E, shared_F)
+    md = {
+        "qwen2moe.embedding_length": np.uint32(E),
+        "qwen2moe.block_count": np.uint32(L),
+        "qwen2moe.attention.head_count": np.uint32(H),
+        "qwen2moe.attention.head_count_kv": np.uint32(KV),
+        "qwen2moe.feed_forward_length": np.uint32(moe_F),
+        "qwen2moe.context_length": np.uint32(n_ctx),
+        "qwen2moe.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+        "qwen2moe.expert_count": np.uint32(n_expert),
+        "qwen2moe.expert_used_count": np.uint32(n_used),
+        "qwen2moe.rope.freq_base": np.float32(10000.0),
+        "qwen2moe.vocab_size": np.uint32(V),
+    }
+    cfg = Qwen2MoeConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=shared_F,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        moe_intermediate_size=moe_F, shared_expert_intermediate_size=shared_F,
+        num_experts=n_expert, num_experts_per_tok=n_used, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[], max_position_embeddings=n_ctx,
+        rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attention_dropout=0.0, router_aux_loss_coef=0.0,
+    )
+    m = Qwen2MoeForCausalLM(cfg)
+    sd = {
+        "model.embed_tokens.weight": ws["token_embd.weight"],
+        "model.norm.weight": ws["output_norm.weight"],
+        "lm_head.weight": ws["output.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"model.layers.{i}."
+        sd[hf + "input_layernorm.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "self_attn.q_proj.weight"] = ws[p + "attn_q.weight"]
+        sd[hf + "self_attn.q_proj.bias"] = ws[p + "attn_q.bias"]
+        sd[hf + "self_attn.k_proj.weight"] = ws[p + "attn_k.weight"]
+        sd[hf + "self_attn.k_proj.bias"] = ws[p + "attn_k.bias"]
+        sd[hf + "self_attn.v_proj.weight"] = ws[p + "attn_v.weight"]
+        sd[hf + "self_attn.v_proj.bias"] = ws[p + "attn_v.bias"]
+        sd[hf + "self_attn.o_proj.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "post_attention_layernorm.weight"] = ws[p + "ffn_norm.weight"]
+        sd[hf + "mlp.gate.weight"] = ws[p + "ffn_gate_inp.weight"]
+        for e in range(n_expert):
+            sd[hf + f"mlp.experts.{e}.gate_proj.weight"] = ws[p + "ffn_gate_exps.weight"][e]
+            sd[hf + f"mlp.experts.{e}.up_proj.weight"] = ws[p + "ffn_up_exps.weight"][e]
+            sd[hf + f"mlp.experts.{e}.down_proj.weight"] = ws[p + "ffn_down_exps.weight"][e]
+        sd[hf + "mlp.shared_expert_gate.weight"] = ws[p + "ffn_gate_inp_shexp.weight"]
+        sd[hf + "mlp.shared_expert.gate_proj.weight"] = ws[p + "ffn_gate_shexp.weight"]
+        sd[hf + "mlp.shared_expert.up_proj.weight"] = ws[p + "ffn_up_shexp.weight"]
+        sd[hf + "mlp.shared_expert.down_proj.weight"] = ws[p + "ffn_down_shexp.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "qwen2moe", md, ws, m
+
+
 MAKERS = {
     "gpt2": make_gpt2,
     "gptneox": make_gptneox,
@@ -558,4 +709,6 @@ MAKERS = {
     "starcoder": make_starcoder,
     "phi2": make_phi2,
     "bloom": make_bloom,
+    "command-r": make_commandr,
+    "qwen2moe": make_qwen2moe,
 }
