@@ -75,6 +75,7 @@ def forward(
     *,
     compute_dtype=jnp.bfloat16,
     collect_stats: bool = False,
+    collect_layer_outputs: bool = False,
 ) -> tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One ubatch step. Returns (logits [n_out, vocab] f32, updated cache,
     embeddings [n_out, n_embd] f32 — final-norm hidden states, cf.
@@ -357,6 +358,8 @@ def forward(
             h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask, cvec, li=i)
             new_k = new_k.at[i].set(kl)
             new_v = new_v.at[i].set(vl)
+            if collect_layer_outputs:  # cvector extraction (cb "l_out")
+                stats[f"l_out.{i}"] = h.astype(jnp.float32)
 
     # logits only for requested rows (cf. inp_out_ids, llama.cpp:9637)
     h_out = h[out_ids]
@@ -375,6 +378,6 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
-    if collect_stats:
+    if collect_stats or collect_layer_outputs:
         return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32), stats
     return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32)

@@ -34,6 +34,12 @@ class Vocab:
     pad_id: int = -1
     cls_id: int = -1
     sep_id: int = -1
+    # infill / fill-in-the-middle special ids (cf. llama_token_prefix/
+    # middle/suffix/eot, reference include/llama.h:915-922)
+    prefix_id: int = -1
+    suffix_id: int = -1
+    middle_id: int = -1
+    eot_id: int = -1
     add_bos: bool = True
     add_eos: bool = False
     add_space_prefix: bool = True
@@ -101,6 +107,10 @@ def vocab_from_metadata(md: dict) -> Vocab:
         pad_id=int(get("tokenizer.ggml.padding_token_id", -1)),
         cls_id=int(get("tokenizer.ggml.cls_token_id", -1)),
         sep_id=int(get("tokenizer.ggml.seperator_token_id", -1)),
+        prefix_id=int(get("tokenizer.ggml.prefix_token_id", -1)),
+        suffix_id=int(get("tokenizer.ggml.suffix_token_id", -1)),
+        middle_id=int(get("tokenizer.ggml.middle_token_id", -1)),
+        eot_id=int(get("tokenizer.ggml.eot_token_id", -1)),
         add_bos=bool(get("tokenizer.ggml.add_bos_token", model == "llama")),
         add_eos=bool(get("tokenizer.ggml.add_eos_token", False)),
         add_space_prefix=bool(get("tokenizer.ggml.add_space_prefix", model == "llama")),

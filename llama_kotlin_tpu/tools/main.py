@@ -53,6 +53,9 @@ def main(argv=None):
     from llama_kotlin_tpu.sampling.samplers import SamplerChain, SamplingParams
     from llama_kotlin_tpu.tokenizer import build_tokenizer
 
+    if not os.path.exists(args.model):
+        print(f"error: model file not found: {args.model}", file=sys.stderr)
+        sys.exit(1)
     print(f"loading {args.model} ...", file=sys.stderr)
     cfg, params, f = load_gguf_model(args.model)
     tok = build_tokenizer(f.metadata)

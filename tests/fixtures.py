@@ -35,8 +35,47 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
     )
 
 
+def spm_vocab_kvs(vocab_size: int, fim: bool = False) -> dict:
+    """Minimal SPM tokenizer metadata for CLI/tool tests.  With fim=True,
+    ids 3-6 become <PRE>/<SUF>/<MID>/<EOT> infill specials."""
+    import string
+
+    toks = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]
+    if fim:
+        toks += ["<PRE>", "<SUF>", "<MID>", "<EOT>"]
+        types += [3, 3, 3, 3]
+    pieces = (["▁"] + list(string.ascii_lowercase)
+              + ["▁" + c for c in string.ascii_lowercase]
+              + list(string.digits) + [".", ",", "!", "?"])
+    i = 0
+    while len(toks) < vocab_size:
+        toks.append(pieces[i] if i < len(pieces) else f"tok{i}")
+        types.append(1)
+        i += 1
+    scores = [-float(i) for i in range(len(toks))]
+    kv = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.scores": [np.float32(s) for s in scores],
+        "tokenizer.ggml.token_type": types,
+        "tokenizer.ggml.bos_token_id": np.uint32(1),
+        "tokenizer.ggml.eos_token_id": np.uint32(2),
+        "tokenizer.ggml.unknown_token_id": np.uint32(0),
+    }
+    if fim:
+        kv.update({
+            "tokenizer.ggml.prefix_token_id": np.uint32(3),
+            "tokenizer.ggml.suffix_token_id": np.uint32(4),
+            "tokenizer.ggml.middle_token_id": np.uint32(5),
+            "tokenizer.ggml.eot_token_id": np.uint32(6),
+        })
+    return kv
+
+
 def write_llama_gguf(path: Path, weights: dict[str, np.ndarray], dims: dict,
-                     qtype=GGMLQuantType.F32, quant_keys=("attn", "ffn", "embd", "output")):
+                     qtype=GGMLQuantType.F32, quant_keys=("attn", "ffn", "embd", "output"),
+                     extra_kv: dict | None = None):
     """Write a llama-arch GGUF from numpy weights (our naming, already in
     GGUF orientation [out, in] and NORM rope layout)."""
     w = GGUFWriter()
@@ -51,6 +90,8 @@ def write_llama_gguf(path: Path, weights: dict[str, np.ndarray], dims: dict,
     w.add_kv("llama.rope.freq_base", np.float32(dims["rope_base"]))
     w.add_kv("llama.attention.layer_norm_rms_epsilon", np.float32(1e-5))
     w.add_kv("llama.vocab_size", np.uint32(dims["vocab"]))
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
 
     def pick_type(name: str) -> GGMLQuantType:
         if name.endswith("_norm.weight") or name == "output_norm.weight":
