@@ -296,8 +296,13 @@ def forward(
         # visibility: old cells (new tokens' cells excluded) + intra-batch
         slot_taken = jnp.zeros(n_vis, bool).at[slots].set(True, mode="drop")
         mask_cells = mask_full & ~slot_taken[None, :]
+        # intra-batch visibility from the committed cell bitmasks (multi-seq
+        # tokens, e.g. lookahead branches, share cells across sequences —
+        # primary-seq equality alone would hide them from sibling branches)
+        safe_slots = jnp.minimum(slots, n_vis - 1)
+        token_mask = jnp.where(slots < n_vis, cell_seq[safe_slots], 0)
         mask_new = (
-            (token_seq[:, None] == token_seq[None, :])
+            (((token_mask[None, :] >> token_seq[:, None]) & 1) != 0)
             & (token_pos[None, :] <= token_pos[:, None])
             & (token_pos[None, :] >= 0)
         )

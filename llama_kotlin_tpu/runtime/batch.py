@@ -17,14 +17,20 @@ import numpy as np
 class Batch:
     tokens: np.ndarray  # [n] int32
     pos: np.ndarray  # [n] int32
-    seq_id: np.ndarray  # [n] int32 (single seq per token; use seq_cp for shared prefixes)
+    seq_id: np.ndarray  # [n] int32 — primary seq per token (drives the
+    #   token's own attention, like batch.seq_id[j][0] in llama_set_inputs)
     output: np.ndarray  # [n] bool — request logits for this token
+    seq_mask: np.ndarray | None = None  # [n] int32 bitmask — full seq
+    #   membership for the created cache cell (multi-seq tokens, cf.
+    #   llama_batch's n_seq_id > 1; defaults to 1 << seq_id)
 
     def __post_init__(self):
         self.tokens = np.asarray(self.tokens, np.int32)
         self.pos = np.asarray(self.pos, np.int32)
         self.seq_id = np.asarray(self.seq_id, np.int32)
         self.output = np.asarray(self.output, bool)
+        if self.seq_mask is not None:
+            self.seq_mask = np.asarray(self.seq_mask, np.int32)
 
     def __len__(self) -> int:
         return int(self.tokens.shape[0])
@@ -50,7 +56,8 @@ class Batch:
         """Split into ubatches of at most n_ubatch tokens (split_simple)."""
         return [
             Batch(self.tokens[i : i + n_ubatch], self.pos[i : i + n_ubatch],
-                  self.seq_id[i : i + n_ubatch], self.output[i : i + n_ubatch])
+                  self.seq_id[i : i + n_ubatch], self.output[i : i + n_ubatch],
+                  None if self.seq_mask is None else self.seq_mask[i : i + n_ubatch])
             for i in range(0, len(self), n_ubatch)
         ]
 

@@ -178,7 +178,7 @@ class LlamaContext:
         slots = self.meta.find_slots(nt)
         if slots is None:
             return 1
-        self.meta.commit(slots, ub.pos, ub.seq_id)
+        self.meta.commit(slots, ub.pos, ub.seq_id, ub.seq_mask)
 
         nb = bucket_size(nt, self.buckets)
         tokens = np.zeros(nb, np.int32)

@@ -97,9 +97,13 @@ class CellMetadata:
         self._next = int((slots[-1] + 1) % self.n_cells)
         return slots.astype(np.int32)
 
-    def commit(self, slots: np.ndarray, pos: np.ndarray, seq_ids: np.ndarray) -> None:
+    def commit(self, slots: np.ndarray, pos: np.ndarray, seq_ids: np.ndarray,
+               seq_mask: Optional[np.ndarray] = None) -> None:
         self.pos[slots] = pos
-        self.seq[slots] = (1 << seq_ids.astype(np.int64)).astype(np.int32)
+        if seq_mask is not None:  # multi-seq cells (lookahead branches etc.)
+            self.seq[slots] = seq_mask.astype(np.int32)
+        else:
+            self.seq[slots] = (1 << seq_ids.astype(np.int64)).astype(np.int32)
 
     # -- sequence ops (parity: llama_kv_cache_seq_*, llama.h:602-673) -------
 
@@ -110,6 +114,13 @@ class CellMetadata:
         return (has == 1) & (self.pos >= p0) & (self.pos < p1)
 
     def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1) -> None:
+        if seq_id < 0:  # all sequences (llama_kv_cache_seq_rm with seq_id=-1)
+            if p1 < 0:
+                p1 = np.iinfo(np.int32).max
+            m = (self.pos >= p0) & (self.pos < p1)
+            self.seq[m] = 0
+            self.pos[m] = -1
+            return
         m = self._range_mask(seq_id, p0, p1)
         self.seq[m] &= ~np.int32(1 << seq_id)
         dead = m & (self.seq == 0)

@@ -86,3 +86,27 @@ def test_lookup_generate_matches_greedy(model):
     ref = _plain_greedy(_ctx(model), prompt, 10)
     out, stats = lookup_generate(_ctx(model), prompt, 10, n_draft=3)
     assert out == ref
+
+
+def test_lookahead_matches_greedy(model):
+    """Lookahead decoding is lossless: greedy lookahead == plain greedy
+    (parity: examples/lookahead acceptance semantics)."""
+    from llama_kotlin_tpu.runtime.lookahead import lookahead_generate
+
+    prompt = [3, 17, 42, 9]
+    ref = _plain_greedy(_ctx(model), prompt, 14)
+    ctx = _ctx(model)
+    out, stats = lookahead_generate(ctx, prompt, 14, W=4, N=3, G=4)
+    assert out == ref
+    assert stats["n_decodes"] >= 1
+
+
+def test_lookahead_accepts_repetition(model):
+    """On a prompt that induces loops, the n-gram pool should start
+    accepting (n_accept > 0) and still match plain greedy."""
+    from llama_kotlin_tpu.runtime.lookahead import lookahead_generate
+
+    prompt = [5, 9, 5, 9, 5, 9]
+    ref = _plain_greedy(_ctx(model), prompt, 24)
+    out, stats = lookahead_generate(_ctx(model), prompt, 24, W=4, N=3, G=4)
+    assert out == ref
