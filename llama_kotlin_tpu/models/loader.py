@@ -98,7 +98,13 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
             from llama_kotlin_tpu.quant.repack import repack_q8flat
 
             return jax.tree.map(jnp.asarray, repack_q8flat(data, qt, n, k))
-        return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
+        try:
+            return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
+        except NotImplementedError:
+            # codebook (IQ) formats: no exact QTensor repack yet — decode
+            # to the compute dtype (use fast_mode="int8" for Q8F serving)
+            x = numpy_ref.dequantize(data, qt, shape=np_shape)
+            return jnp.asarray(x, dtype=compute_dtype)
     if len(np_shape) == 3:
         # MoE expert stacks [n_expert, n, k] -> list of per-expert QTensors
         n_exp, n, k = np_shape

@@ -722,6 +722,10 @@ _DEQUANT = {
     GGMLQuantType.Q8_K: dequantize_q8_k,
 }
 
+from llama_kotlin_tpu.quant.iq import IQ_DEQUANT  # noqa: E402 (grids load lazily)
+
+_DEQUANT.update(IQ_DEQUANT)
+
 _QUANT = {
     GGMLQuantType.Q4_0: quantize_q4_0,
     GGMLQuantType.Q4_1: quantize_q4_1,
@@ -736,6 +740,10 @@ _QUANT = {
     GGMLQuantType.Q6_K: quantize_q6_k,
     GGMLQuantType.Q8_K: quantize_q8_k,
 }
+
+from llama_kotlin_tpu.quant.iq import IQ_QUANT  # noqa: E402
+
+_QUANT.update(IQ_QUANT)
 
 
 def supported_types() -> list[GGMLQuantType]:

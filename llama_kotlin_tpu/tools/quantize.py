@@ -38,6 +38,8 @@ FTYPES = {
     "Q5_K_S": GGMLQuantType.Q5_K,
     "Q5_K_M": GGMLQuantType.Q5_K,
     "Q6_K": GGMLQuantType.Q6_K,
+    "IQ4_NL": GGMLQuantType.IQ4_NL,
+    "IQ4_XS": GGMLQuantType.IQ4_XS,
     "F16": GGMLQuantType.F16,
     "BF16": GGMLQuantType.BF16,
     "F32": GGMLQuantType.F32,

@@ -92,3 +92,26 @@ def oracle_dequantize(data: np.ndarray, type_name: str, n: int) -> np.ndarray:
     fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     fn(data.ctypes.data, out.ctypes.data, ctypes.c_int64(n))
     return out
+
+
+def oracle_quantize_nrow(x: np.ndarray, type_name: str, n_per_row: int) -> np.ndarray:
+    """quantize_<t>(src, dst, nrow, n_per_row, NULL) — the imatrix-aware
+    entry points (NULL imatrix; only valid for types where
+    ggml_quantize_requires_imatrix is false)."""
+    from llama_kotlin_tpu.quant.formats import NAME_TO_TYPE, TYPE_TRAITS
+
+    lib = get_oracle()
+    qt = NAME_TO_TYPE[type_name]
+    tr = TYPE_TRAITS[qt]
+    lib.ggml_quantize_init.argtypes = [ctypes.c_int]
+    lib.ggml_quantize_init(int(qt))  # builds the iq kmap/neighbour tables
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    nrow = x.size // n_per_row
+    out = np.zeros(nrow * (n_per_row // tr.block_size) * tr.type_size, np.uint8)
+    fn = getattr(lib, f"quantize_{type_name}")
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                   ctypes.c_int64, ctypes.c_void_p]
+    fn.restype = ctypes.c_size_t
+    fn(x.ctypes.data, out.ctypes.data, ctypes.c_int64(nrow),
+       ctypes.c_int64(n_per_row), None)
+    return out
