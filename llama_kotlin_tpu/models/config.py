@@ -29,7 +29,8 @@ class ModelConfig:
     n_head: int = 32
     n_head_kv: int = 32
     n_ff: int = 11008
-    head_dim: int = 0  # 0 -> n_embd // n_head
+    head_dim: int = 0  # 0 -> n_embd // n_head (the q/k head dim)
+    v_head_dim: int = 0  # 0 -> head_dim (deepseek2 MLA: k=192, v=128)
     n_ctx_train: int = 2048
     rms_eps: float = 1e-5
     norm_eps: float = 1e-5
@@ -60,6 +61,8 @@ class ModelConfig:
     parallel_residual: bool = False  # h = h + attn(x) + ffn(x') (falcon/neox/phi2)
     logit_scale: float = 1.0  # command-r final logit multiplier
     moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
+    moe_expert_scale: float = 1.0  # deepseek2 expert_weights_scale (scale_w)
+    rope_yarn_log_mul: float = 0.0  # deepseek2 yarn mscale correction
     learned_pos_embd: bool = False  # absolute position embedding table (gpt2)
     max_alibi_bias: float = 0.0  # ALiBi slope max (mpt/bloom); 0 = off
     token_embd_norm: bool = False  # LayerNorm right after embedding (bloom)
@@ -68,12 +71,30 @@ class ModelConfig:
     def __post_init__(self):
         if self.head_dim == 0:
             self.head_dim = self.n_embd // self.n_head
+        if self.v_head_dim == 0:
+            self.v_head_dim = self.head_dim
         if self.rope_dim == 0:
             self.rope_dim = self.head_dim
 
     @property
     def attn_scale(self) -> float:
+        if self.rope_yarn_log_mul and self.rope_freq_scale != 1.0:
+            # deepseek2 YaRN mscale² correction (cf. build_deepseek2 kq_scale)
+            import math
+
+            mscale = self.rope_yarn_attn_factor_base * (
+                1.0 + self.rope_yarn_log_mul * math.log(1.0 / self.rope_freq_scale)
+            )
+            return mscale * mscale / (self.head_dim**0.5)
         return 1.0 / (self.head_dim**0.5)
+
+    @property
+    def rope_yarn_attn_factor_base(self) -> float:
+        return 1.0  # cparams yarn_attn_factor default
+
+    @property
+    def attn_out_dim(self) -> int:
+        return self.n_head * self.v_head_dim
 
     def rope_params(self) -> RopeParams:
         return RopeParams(
@@ -119,6 +140,7 @@ def config_from_metadata(md: dict) -> ModelConfig:
         n_head_kv=int(_get(md, arch, "attention.head_count_kv", n_head) or n_head),
         n_ff=int(_get(md, arch, "feed_forward_length", 4 * n_embd)),
         head_dim=int(_get(md, arch, "attention.key_length", 0) or 0),
+        v_head_dim=int(_get(md, arch, "attention.value_length", 0) or 0),
         n_ctx_train=int(_get(md, arch, "context_length", 2048)),
         rms_eps=float(_get(md, arch, "attention.layer_norm_rms_epsilon", 1e-5)),
         norm_eps=float(_get(md, arch, "attention.layer_norm_epsilon", 1e-5)),
@@ -195,4 +217,22 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.logit_scale = float(_get(md, arch, "logit_scale", 1.0) or 1.0)
     if arch == "qwen2moe":
         cfg.moe_norm_topk = False  # cf. build_qwen2moe norm_w=false
+    if arch == "deepseek2":
+        # MLA + scaled MoE (cf. build_deepseek2 / llm_load_hparams deepseek2)
+        cfg.moe_norm_topk = False
+        cfg.moe_expert_scale = float(
+            _get(md, arch, "expert_weights_scale", 1.0) or 1.0
+        )
+        cfg.rope_yarn_log_mul = float(
+            _get(md, arch, "rope.scaling.yarn_log_multiplier", 0.0) or 0.0
+        )
+        if cfg.rope_freq_scale != 1.0:
+            import math
+
+            # pre-scaled rope attn factor (build_deepseek2 attn_factor_scaled)
+            cfg.rope_yarn_attn_factor = 1.0 / (
+                1.0 + 0.1 * math.log(1.0 / cfg.rope_freq_scale)
+            )
+        # rope applies only to the last rope_dim of each 192-wide qk head
+        cfg.rope_dim = int(_get(md, arch, "rope.dimension_count", 64) or 64)
     return cfg

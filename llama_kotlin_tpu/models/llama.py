@@ -139,10 +139,47 @@ def forward(
         key = "attn_norm_2" if lp.get("attn_norm_2") is not None else "attn_norm"
         return lnorm(lp, key, h)
 
+    def qkv_mla(lp, x, li):
+        """deepseek2 multi-head latent attention (cf. build_deepseek2,
+        reference src/llama.cpp:13525): q through an optional LoRA
+        bottleneck, k/v decompressed from a shared latent; rope applies to
+        the last rope_dim of each qk head, the rope key is shared across
+        heads."""
+        rope_d = cfg.rope_dim
+        nope = cfg.head_dim - rope_d
+        v_dim = cfg.v_head_dim
+        if lp.get("wq_a") is not None:
+            q = qmatmul(x, lp["wq_a"], compute_dtype=compute_dtype)
+            q = rms_norm(q, lp["attn_q_a_norm"], cfg.rms_eps)
+            q = qmatmul(q, lp["wq_b"], compute_dtype=compute_dtype)
+        else:  # deepseek2-lite
+            q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
+        q = q.reshape(nt, cfg.n_head, cfg.head_dim)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+        kv_pe = qmatmul(x, lp["wkv_a_mqa"], compute_dtype=compute_dtype)
+        kv_rank = kv_pe.shape[-1] - rope_d
+        kv_c = rms_norm(kv_pe[:, :kv_rank], lp["attn_kv_a_norm"], cfg.rms_eps)
+        k_pe = kv_pe[:, kv_rank:].reshape(nt, 1, rope_d)
+        kv = qmatmul(kv_c, lp["wkv_b"], compute_dtype=compute_dtype)
+        kv = kv.reshape(nt, cfg.n_head, nope + v_dim)
+        k_nope, v = kv[..., :nope], kv[..., nope:]
+
+        rope_pe = replace(rope, n_rot=rope_d)
+        q_pe = apply_rope(q_pe, token_pos, rope_pe, freq_factors)
+        k_pe = apply_rope(k_pe, token_pos, rope_pe, freq_factors)
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (nt, cfg.n_head, rope_d))], axis=-1
+        )
+        return q, k, v
+
     def qkv(lp, x, li):
         """Shared attention front half: projections, rope (input already
         normed by attn_in)."""
         record(f"blk.{li}.attn_qkv", x)
+        if lp.get("wkv_a_mqa") is not None:
+            return qkv_mla(lp, x, li)
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
         k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
         v = qmatmul(x, lp["wv"], compute_dtype=compute_dtype)
@@ -201,6 +238,8 @@ def forward(
             top_w, top_i = jax.lax.top_k(probs, cfg.n_expert_used)  # [nt, k]
             if cfg.moe_norm_topk:  # mixtral yes; qwen2moe keeps raw probs
                 top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+            if cfg.moe_expert_scale != 1.0:  # deepseek2 scale_w
+                top_w = top_w * cfg.moe_expert_scale
             down = jnp.zeros((nt, cfg.n_embd), jnp.float32)
             for e in range(cfg.n_expert):
                 w_tok = jnp.sum(jnp.where(top_i == e, top_w, 0.0), axis=-1)  # [nt]
@@ -210,16 +249,19 @@ def forward(
                 down_e = qmatmul(ffn_e.astype(compute_dtype), lp["ffn_down_exps"][e],
                                  compute_dtype=compute_dtype)
                 down = down + w_tok[:, None] * down_e.astype(jnp.float32)
-            if lp.get("ffn_gate_inp_shexp") is not None:
-                # qwen2moe shared expert: always-on gated-silu FFN modulated
-                # by a sigmoid gate (cf. build_qwen2moe's silu(x)/x == σ(x))
-                g_in = qmatmul(x, lp["ffn_gate_inp_shexp"], compute_dtype=compute_dtype)
-                sh_gate = jax.nn.sigmoid(g_in.astype(jnp.float32))  # [nt, 1]
+            if lp.get("ffn_gate_shexp") is not None:
+                # shared expert: always-on gated-silu FFN; qwen2moe modulates
+                # it by a sigmoid gate (silu(x)/x == σ(x)), deepseek2 adds it
+                # directly (cf. build_qwen2moe / build_deepseek2)
                 sh_g = act(qmatmul(x, lp["ffn_gate_shexp"], compute_dtype=compute_dtype))
                 sh_u = qmatmul(x, lp["ffn_up_shexp"], compute_dtype=compute_dtype)
                 sh = qmatmul((sh_g * sh_u).astype(compute_dtype), lp["ffn_down_shexp"],
                              compute_dtype=compute_dtype)
-                down = down + sh_gate * sh.astype(jnp.float32)
+                sh = sh.astype(jnp.float32)
+                if lp.get("ffn_gate_inp_shexp") is not None:
+                    g_in = qmatmul(x, lp["ffn_gate_inp_shexp"], compute_dtype=compute_dtype)
+                    sh = jax.nn.sigmoid(g_in.astype(jnp.float32)) * sh
+                down = down + sh
             down = down.astype(h.dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
@@ -263,7 +305,7 @@ def forward(
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
             alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
         )
-        attn = attn.reshape(nt, cfg.n_head * cfg.head_dim)
+        attn = attn.reshape(nt, cfg.attn_out_dim)
         h = post_attn_ffn(lp, h, attn, cvec, li)
         return h, k_layer, v_layer
 
@@ -307,7 +349,8 @@ def forward(
             & (token_pos[None, :] >= 0)
         )
 
-        use_flash = jax.default_backend() not in ("cpu",)
+        use_flash = (jax.default_backend() not in ("cpu",)
+                     and cache.k.shape[-1] == cache.v.shape[-1])
 
         def attend(q, k, v, i):
             qc = q.astype(compute_dtype)
@@ -337,7 +380,7 @@ def forward(
                 else:
                     lp[key] = StackedSlice(v, i)
             q, k, v = qkv(lp, attn_in(lp, h), i)
-            attn = attend(q, k, v, i).reshape(nt, cfg.n_head * cfg.head_dim)
+            attn = attend(q, k, v, i).reshape(nt, cfg.attn_out_dim)
             h = post_attn_ffn(lp, h, attn, cvec, i)
             return h, (k.swapaxes(0, 1).astype(cache.k.dtype),
                        v.swapaxes(0, 1).astype(cache.v.dtype))

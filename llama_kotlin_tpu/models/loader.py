@@ -53,6 +53,12 @@ _LAYER_TENSORS = {
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
     "ffn_gate_inp_shexp.weight": "ffn_gate_inp_shexp",
+    "attn_q_a.weight": "wq_a",
+    "attn_q_b.weight": "wq_b",
+    "attn_kv_a_mqa.weight": "wkv_a_mqa",
+    "attn_kv_b.weight": "wkv_b",
+    "attn_q_a_norm.weight": "attn_q_a_norm",
+    "attn_kv_a_norm.weight": "attn_kv_a_norm",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
@@ -74,6 +80,7 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "post_attn_norm", "post_ffn_norm", "rope_freqs",
                  "bq", "bk", "bv", "bo", "ffn_gate_inp", "ffn_gate_inp_shexp",
                  "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
+                 "attn_q_a_norm", "attn_kv_a_norm",
                  "ffn_gate_b", "ffn_up_b", "ffn_down_b",
                  "output_norm_b", "output_b", "tok_norm", "tok_norm_b"}
 

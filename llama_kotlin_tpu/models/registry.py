@@ -33,7 +33,7 @@ ARCHES = [
     ArchInfo("internlm2", "supported", "llama-shaped"),
     ArchInfo("minicpm", "supported", "llama-shaped + scale factors"),
     ArchInfo("command-r", "supported", "parallel block, per-head qk LayerNorm, logit scale"),
-    ArchInfo("deepseek2", "planned", "MLA attention, yarn rope variant"),
+    ArchInfo("deepseek2", "supported", "MLA (q/kv LoRA latents, split k/v dims), yarn mscale, scaled MoE + shared expert"),
     ArchInfo("falcon", "supported", "LayerNorm, dual norms (40B), parallel residual, GQA"),
     ArchInfo("gpt2", "supported", "LayerNorm, learned positions, fused qkv split at load"),
     ArchInfo("gptneox", "supported", "LayerNorm, parallel residual, partial rope"),

@@ -75,7 +75,9 @@ def attention(
 
     Scores in f32; output in q.dtype.
     """
-    if allow_pallas and alibi_slopes is None and jax.default_backend() not in ("cpu",):
+    if (allow_pallas and alibi_slopes is None
+            and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: k/v dims differ
+            and jax.default_backend() not in ("cpu",)):
         from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
 
         out = flash_attention_or_none(q, k_cache, v_cache, mask,
@@ -124,4 +126,4 @@ def attention_reference(
     any_visible = jnp.any(mask, axis=-1)[:, None, None, None]
     probs = jnp.where(any_visible, probs, 0.0)
     out = jnp.einsum("tgrc,gcd->tgrd", probs, vf)
-    return out.reshape(nt, n_head, head_dim).astype(q.dtype)
+    return out.reshape(nt, n_head, v_cache.shape[-1]).astype(q.dtype)

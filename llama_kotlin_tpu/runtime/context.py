@@ -99,7 +99,8 @@ class LlamaContext:
         kv_dtype = kv_dtype or compute_dtype
         # padded tokens carry slot index == n_cells; the scatter drops them
         self.cache = KVCache.create(
-            cfg.n_layer, n_cells, cfg.n_head_kv, cfg.head_dim, dtype=kv_dtype
+            cfg.n_layer, n_cells, cfg.n_head_kv, cfg.head_dim, dtype=kv_dtype,
+            v_head_dim=cfg.v_head_dim,
         )
         self.timings = Timings()
         self._logits: Optional[jax.Array] = None

@@ -51,12 +51,16 @@ class KVCache:
 
     @staticmethod
     def create(n_layer: int, cells: int, n_kv_head: int, head_dim: int,
-               dtype=jnp.bfloat16, sharding=None) -> "KVCache":
-        shape = (n_layer, n_kv_head, cells, head_dim)
+               dtype=jnp.bfloat16, sharding=None,
+               v_head_dim: int = 0) -> "KVCache":
+        """v_head_dim != head_dim for MLA archs (deepseek2: k 192, v 128)."""
+        v_head_dim = v_head_dim or head_dim
+        kshape = (n_layer, n_kv_head, cells, head_dim)
+        vshape = (n_layer, n_kv_head, cells, v_head_dim)
         if sharding is not None:
-            z = jax.device_put(jnp.zeros(shape, dtype), sharding)
-            return KVCache(k=z, v=jnp.zeros_like(z))
-        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+            return KVCache(k=jax.device_put(jnp.zeros(kshape, dtype), sharding),
+                           v=jax.device_put(jnp.zeros(vshape, dtype), sharding))
+        return KVCache(k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype))
 
 
 class CellMetadata:

@@ -712,3 +712,67 @@ MAKERS = {
     "command-r": make_commandr,
     "qwen2moe": make_qwen2moe,
 }
+
+
+# ----------------------------------------------- deepseek2 (no HF oracle)
+
+
+def make_deepseek2_weights(rng, E=64, L=2, H=4, V=160, n_ctx=128,
+                           nope=16, rope=16, v_dim=16, q_rank=24, kv_rank=16,
+                           n_expert=4, n_used=2, moe_F=64, shared_F=64,
+                           dense_lead=1):
+    """GGUF weights+metadata for a tiny deepseek2 (MLA + dense-lead + MoE
+    with shared expert).  transformers has no offline DeepseekV2, so this
+    fixture backs self-consistency tests only."""
+    hd = nope + rope
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output.weight": w.mat(V, E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_q_a.weight"] = w.mat(q_rank, E)
+        ws[p + "attn_q_a_norm.weight"] = w.norm(q_rank)
+        ws[p + "attn_q_b.weight"] = w.mat(H * hd, q_rank)
+        ws[p + "attn_kv_a_mqa.weight"] = w.mat(kv_rank + rope, E)
+        ws[p + "attn_kv_a_norm.weight"] = w.norm(kv_rank)
+        ws[p + "attn_kv_b.weight"] = w.mat(H * (nope + v_dim), kv_rank)
+        ws[p + "attn_output.weight"] = w.mat(E, H * v_dim)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        if i < dense_lead:
+            ws[p + "ffn_gate.weight"] = w.mat(moe_F, E)
+            ws[p + "ffn_up.weight"] = w.mat(moe_F, E)
+            ws[p + "ffn_down.weight"] = w.mat(E, moe_F)
+        else:
+            ws[p + "ffn_gate_inp.weight"] = w.mat(n_expert, E)
+            ws[p + "ffn_gate_exps.weight"] = np.stack([w.mat(moe_F, E) for _ in range(n_expert)])
+            ws[p + "ffn_up_exps.weight"] = np.stack([w.mat(moe_F, E) for _ in range(n_expert)])
+            ws[p + "ffn_down_exps.weight"] = np.stack([w.mat(E, moe_F) for _ in range(n_expert)])
+            ws[p + "ffn_gate_shexp.weight"] = w.mat(shared_F, E)
+            ws[p + "ffn_up_shexp.weight"] = w.mat(shared_F, E)
+            ws[p + "ffn_down_shexp.weight"] = w.mat(E, shared_F)
+    md = {
+        "deepseek2.embedding_length": np.uint32(E),
+        "deepseek2.block_count": np.uint32(L),
+        "deepseek2.attention.head_count": np.uint32(H),
+        "deepseek2.attention.head_count_kv": np.uint32(H),
+        "deepseek2.attention.key_length": np.uint32(hd),
+        "deepseek2.attention.value_length": np.uint32(v_dim),
+        "deepseek2.feed_forward_length": np.uint32(moe_F),
+        "deepseek2.context_length": np.uint32(n_ctx),
+        "deepseek2.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+        "deepseek2.rope.dimension_count": np.uint32(rope),
+        "deepseek2.rope.freq_base": np.float32(10000.0),
+        "deepseek2.attention.q_lora_rank": np.uint32(q_rank),
+        "deepseek2.attention.kv_lora_rank": np.uint32(kv_rank),
+        "deepseek2.leading_dense_block_count": np.uint32(dense_lead),
+        "deepseek2.expert_count": np.uint32(n_expert),
+        "deepseek2.expert_used_count": np.uint32(n_used),
+        "deepseek2.expert_weights_scale": np.float32(2.0),
+        "deepseek2.rope.scaling.yarn_log_multiplier": np.float32(0.1),
+        "deepseek2.vocab_size": np.uint32(V),
+    }
+    return md, ws

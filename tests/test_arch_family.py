@@ -75,3 +75,36 @@ def test_arch_incremental_decode(arch, tmp_path):
                           output=np.array([1], np.int8)))
         step_logits.append(ctx2.get_logits()[0])
     np.testing.assert_allclose(full, np.stack(step_logits), atol=2e-4, rtol=2e-3)
+
+
+def test_deepseek2_mla_self_consistency(tmp_path):
+    """deepseek2 (MLA, dense-lead + scaled MoE + shared expert): loads,
+    decodes, and incremental decode matches batch prefill — the invariant
+    that exercises the split-dim KV cache (k 32-wide, v 16-wide)."""
+    from tests.arch_fixtures import make_deepseek2_weights
+
+    rng = np.random.default_rng(13)
+    md, ws = make_deepseek2_weights(rng)
+    path = tmp_path / "ds2.gguf"
+    write_arch_gguf(path, "deepseek2", md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.head_dim == 32 and cfg.v_head_dim == 16
+    assert cfg.moe_expert_scale == 2.0 and not cfg.moe_norm_topk
+    assert params["layers"][0].get("ffn_gate") is not None  # dense lead
+    assert params["layers"][1].get("ffn_gate_exps") is not None
+
+    toks = np.array([3, 17, 42, 9, 101, 55], np.int32)
+    ctx1 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    assert ctx1.decode(Batch.single(toks, logits_last_only=False)) == 0
+    full = ctx1.get_logits()
+    assert np.isfinite(full).all()
+
+    ctx2 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    steps = []
+    for i, t in enumerate(toks):
+        ctx2.decode(Batch(tokens=np.array([t]), pos=np.array([i], np.int32),
+                          seq_id=np.array([0], np.int32),
+                          output=np.array([1], np.int8)))
+        steps.append(ctx2.get_logits()[0])
+    np.testing.assert_allclose(full, np.stack(steps), atol=2e-4, rtol=2e-3)
