@@ -173,7 +173,8 @@ def config_from_metadata(md: dict) -> ModelConfig:
     # rope family split per llama_rope_type (reference src/llama.cpp:17960);
     # command-r/olmo/internlm2/minicpm/deepseek2 are NORM (adjacent pairs)
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
-                "stablelm", "gemma", "gemma2", "starcoder2", "mistral3"):
+                "stablelm", "gemma", "gemma2", "starcoder2", "mistral3",
+                "bitnet"):
         cfg.rope_type = ROPE_TYPE_NEOX
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"

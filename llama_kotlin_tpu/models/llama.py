@@ -183,6 +183,10 @@ def forward(
         q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
         k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
         v = qmatmul(x, lp["wv"], compute_dtype=compute_dtype)
+        if lp.get("wq_scale") is not None:  # bitnet per-projection scales
+            q = q * lp["wq_scale"]
+            k = k * lp["wk_scale"]
+            v = v * lp["wv_scale"]
         if lp.get("bq") is not None:
             q = q + lp["bq"]
             k = k + lp["bk"]
@@ -212,7 +216,11 @@ def forward(
         (falcon/phi2) — cf. build_falcon's use of attn_norm for the FFN.
         """
         record(f"blk.{li}.attn_output", attn)
+        if lp.get("attn_sub_norm") is not None:  # bitnet: norm before wo
+            attn = rms_norm(attn, lp["attn_sub_norm"], cfg.rms_eps)
         attn_out = qmatmul(attn, lp["wo"], compute_dtype=compute_dtype)
+        if lp.get("wo_scale") is not None:
+            attn_out = attn_out * lp["wo_scale"]
         if lp.get("bo") is not None:
             attn_out = attn_out + lp["bo"]
         if lp.get("post_attn_norm") is not None:  # gemma2
@@ -265,14 +273,22 @@ def forward(
             down = down.astype(h.dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
+            if lp.get("ffn_gate_scale") is not None:  # bitnet
+                gate = gate * lp["ffn_gate_scale"]
             if lp.get("ffn_gate_b") is not None:
                 gate = gate + lp["ffn_gate_b"]
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
+            if lp.get("ffn_up_scale") is not None:
+                up = up * lp["ffn_up_scale"]
             if lp.get("ffn_up_b") is not None:
                 up = up + lp["ffn_up_b"]
             ffn = act(gate) * up
+            if lp.get("ffn_sub_norm") is not None:  # bitnet: norm before down
+                ffn = rms_norm(ffn, lp["ffn_sub_norm"], cfg.rms_eps)
             record(f"blk.{li}.ffn_down", ffn)
             down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
+            if lp.get("ffn_down_scale") is not None:
+                down = down * lp["ffn_down_scale"]
         else:
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
             if lp.get("ffn_up_b") is not None:

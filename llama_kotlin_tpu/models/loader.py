@@ -59,6 +59,16 @@ _LAYER_TENSORS = {
     "attn_kv_b.weight": "wkv_b",
     "attn_q_a_norm.weight": "attn_q_a_norm",
     "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    # bitnet per-projection scalar scales + sub-norms (cf. build_bitnet)
+    "attn_sub_norm.weight": "attn_sub_norm",
+    "ffn_sub_norm.weight": "ffn_sub_norm",
+    "attn_q.scale": "wq_scale",
+    "attn_k.scale": "wk_scale",
+    "attn_v.scale": "wv_scale",
+    "attn_output.scale": "wo_scale",
+    "ffn_gate.scale": "ffn_gate_scale",
+    "ffn_up.scale": "ffn_up_scale",
+    "ffn_down.scale": "ffn_down_scale",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
@@ -81,6 +91,9 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "bq", "bk", "bv", "bo", "ffn_gate_inp", "ffn_gate_inp_shexp",
                  "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
                  "attn_q_a_norm", "attn_kv_a_norm",
+                 "attn_sub_norm", "ffn_sub_norm", "wq_scale", "wk_scale",
+                 "wv_scale", "wo_scale", "ffn_gate_scale", "ffn_up_scale",
+                 "ffn_down_scale",
                  "ffn_gate_b", "ffn_up_b", "ffn_down_b",
                  "output_norm_b", "output_b", "tok_norm", "tok_norm_b"}
 

@@ -46,7 +46,7 @@ ARCHES = [
     ArchInfo("bert", "planned", "encoder-only; WPM tokenizer done"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "out-of-scope", "SSM scan; round-3+ per SURVEY non-goals"),
-    ArchInfo("bitnet", "planned", "1.58-bit weights; quant format groundwork exists"),
+    ArchInfo("bitnet", "supported", "per-projection scalar scales, attn/ffn sub-norms, tied head"),
 ]
 
 

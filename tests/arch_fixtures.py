@@ -776,3 +776,53 @@ def make_deepseek2_weights(rng, E=64, L=2, H=4, V=160, n_ctx=128,
         "deepseek2.vocab_size": np.uint32(V),
     }
     return md, ws
+
+
+# --------------------------------------------------- bitnet (no HF oracle)
+
+
+def make_bitnet_weights(rng, E=64, L=2, H=4, KV=2, F=128, V=160, n_ctx=128):
+    """Tiny bitnet b1.58: ternary-ish weights with per-projection scalar
+    scales and pre-projection sub-norms (cf. build_bitnet)."""
+    hd = E // H
+    w = _W(rng)
+
+    def ternary(n, k):
+        return rng.integers(-1, 2, (n, k)).astype(np.float32)
+
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_sub_norm.weight"] = w.norm(H * hd)
+        ws[p + "attn_q.weight"] = ternary(H * hd, E)
+        ws[p + "attn_q.scale"] = np.array([0.02], np.float32)
+        ws[p + "attn_k.weight"] = ternary(KV * hd, E)
+        ws[p + "attn_k.scale"] = np.array([0.03], np.float32)
+        ws[p + "attn_v.weight"] = ternary(KV * hd, E)
+        ws[p + "attn_v.scale"] = np.array([0.025], np.float32)
+        ws[p + "attn_output.weight"] = ternary(E, H * hd)
+        ws[p + "attn_output.scale"] = np.array([0.04], np.float32)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_sub_norm.weight"] = w.norm(F)
+        ws[p + "ffn_gate.weight"] = ternary(F, E)
+        ws[p + "ffn_gate.scale"] = np.array([0.02], np.float32)
+        ws[p + "ffn_up.weight"] = ternary(F, E)
+        ws[p + "ffn_up.scale"] = np.array([0.02], np.float32)
+        ws[p + "ffn_down.weight"] = ternary(E, F)
+        ws[p + "ffn_down.scale"] = np.array([0.03], np.float32)
+    md = {
+        "bitnet.embedding_length": np.uint32(E),
+        "bitnet.block_count": np.uint32(L),
+        "bitnet.attention.head_count": np.uint32(H),
+        "bitnet.attention.head_count_kv": np.uint32(KV),
+        "bitnet.feed_forward_length": np.uint32(F),
+        "bitnet.context_length": np.uint32(n_ctx),
+        "bitnet.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+        "bitnet.rope.freq_base": np.float32(10000.0),
+        "bitnet.vocab_size": np.uint32(V),
+    }
+    return md, ws

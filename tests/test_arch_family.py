@@ -108,3 +108,43 @@ def test_deepseek2_mla_self_consistency(tmp_path):
                           output=np.array([1], np.int8)))
         steps.append(ctx2.get_logits()[0])
     np.testing.assert_allclose(full, np.stack(steps), atol=2e-4, rtol=2e-3)
+
+
+def test_bitnet_self_consistency(tmp_path):
+    """bitnet: per-projection scales + sub-norms, tied lm head; incremental
+    decode matches batch prefill and scales actually apply."""
+    from tests.arch_fixtures import make_bitnet_weights
+
+    rng = np.random.default_rng(31)
+    md, ws = make_bitnet_weights(rng)
+    path = tmp_path / "bn.gguf"
+    write_arch_gguf(path, "bitnet", md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    lp0 = params["layers"][0]
+    assert lp0.get("wq_scale") is not None and lp0.get("attn_sub_norm") is not None
+    assert params.get("output") is None  # tied head
+
+    toks = np.array([3, 17, 42, 9, 101], np.int32)
+    ctx1 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    assert ctx1.decode(Batch.single(toks, logits_last_only=False)) == 0
+    full = ctx1.get_logits()
+    assert np.isfinite(full).all()
+
+    ctx2 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    steps = []
+    for i, t in enumerate(toks):
+        ctx2.decode(Batch(tokens=np.array([t]), pos=np.array([i], np.int32),
+                          seq_id=np.array([0], np.int32),
+                          output=np.array([1], np.int8)))
+        steps.append(ctx2.get_logits()[0])
+    np.testing.assert_allclose(full, np.stack(steps), atol=2e-4, rtol=2e-3)
+
+    # scales are load-bearing: zeroing wq_scale changes logits
+    import copy
+    p2 = {k: v for k, v in params.items()}
+    p2["layers"] = [dict(l) for l in params["layers"]]
+    p2["layers"][0]["wq_scale"] = jnp.zeros_like(p2["layers"][0]["wq_scale"])
+    ctx3 = LlamaContext(cfg, p2, n_cells=64, compute_dtype=jnp.float32)
+    ctx3.decode(Batch.single(toks, logits_last_only=False))
+    assert np.abs(ctx3.get_logits() - full).max() > 1e-4
