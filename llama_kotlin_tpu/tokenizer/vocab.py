@@ -44,6 +44,10 @@ class Vocab:
     add_eos: bool = False
     add_space_prefix: bool = True
     ignore_merges: bool = False
+    # UGM (t5) extras
+    escape_whitespaces: bool = True
+    remove_extra_whitespaces: bool = False
+    precompiled_charsmap: Optional[bytes] = None
 
     token_to_id: dict[str, int] = field(default_factory=dict)
 
@@ -112,9 +116,16 @@ def vocab_from_metadata(md: dict) -> Vocab:
         middle_id=int(get("tokenizer.ggml.middle_token_id", -1)),
         eot_id=int(get("tokenizer.ggml.eot_token_id", -1)),
         add_bos=bool(get("tokenizer.ggml.add_bos_token", model == "llama")),
-        add_eos=bool(get("tokenizer.ggml.add_eos_token", False)),
-        add_space_prefix=bool(get("tokenizer.ggml.add_space_prefix", model == "llama")),
+        add_eos=bool(get("tokenizer.ggml.add_eos_token", model == "t5")),
+        add_space_prefix=bool(get("tokenizer.ggml.add_space_prefix",
+                                  model in ("llama", "t5"))),
+        remove_extra_whitespaces=bool(
+            get("tokenizer.ggml.remove_extra_whitespaces", False)
+        ),
     )
+    pc = md.get("tokenizer.ggml.precompiled_charsmap")
+    if pc is not None:
+        v.precompiled_charsmap = bytes(np.asarray(pc, np.uint8))
     if model == "gpt2" and v.pre in ("llama3", "llama-bpe"):
         v.ignore_merges = True
     return v
@@ -135,6 +146,10 @@ def build_tokenizer(md_or_vocab) -> "object":
         from llama_kotlin_tpu.tokenizer.wpm import WPMTokenizer
 
         return WPMTokenizer(vocab)
+    if vocab.model == "t5":
+        from llama_kotlin_tpu.tokenizer.ugm import UGMTokenizer
+
+        return UGMTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r}")
 
 
