@@ -84,10 +84,61 @@ def kl_divergence(base_logits: list[np.ndarray], test_logits: list[np.ndarray]):
     return total / n, agree / n
 
 
+def choice_logprob(ctx, context_ids, choice_ids) -> float:
+    """Sum of log p(choice tokens | context + preceding choice tokens) —
+    the per-ending score the reference's hellaswag_score computes
+    (examples/perplexity/perplexity.cpp)."""
+    from llama_kotlin_tpu.runtime.batch import Batch
+
+    ids = list(context_ids) + list(choice_ids)
+    assert len(context_ids) >= 1, "need at least BOS in the context"
+    ctx.clear()
+    out = np.zeros(len(ids), bool)
+    out[len(context_ids) - 1 : len(ids) - 1] = True
+    rc = ctx.decode(Batch(np.asarray(ids, np.int32),
+                          np.arange(len(ids), dtype=np.int32),
+                          np.zeros(len(ids), np.int32), out))
+    assert rc == 0, "cache full: raise n_cells above the task length"
+    lsm = log_softmax_rows(ctx.get_logits())
+    n_ctx = len(context_ids)
+    return float(sum(lsm[i, ids[n_ctx + i]] for i in range(len(choice_ids))))
+
+
+def multiple_choice_score(ctx, tok, tasks: list[dict], progress=None) -> dict:
+    """Score multiple-choice tasks (HellaSwag / Winogrande / MMLU pattern,
+    cf. perplexity.cpp hellaswag_score / winogrande_score /
+    multiple_choice_score).
+
+    Each task: {"context": str, "choices": [str, ...], "gold": int}.
+    Winogrande-style tasks use context "" with full-sentence choices.
+    """
+    correct = 0
+    for i, task in enumerate(tasks):
+        c_ids = tok.encode(task["context"], add_special=True)
+        if not c_ids:
+            c_ids = [tok.vocab.bos_id]
+        scores = []
+        for choice in task["choices"]:
+            ch_ids = tok.encode(choice, add_special=False)
+            if not ch_ids:
+                scores.append(float("-inf"))
+                continue
+            scores.append(choice_logprob(ctx, c_ids, ch_ids))
+        pick = int(np.argmax(scores))
+        correct += int(pick == task["gold"])
+        if progress is not None:
+            progress(i + 1, len(tasks), correct / (i + 1))
+    return {"tasks": len(tasks), "correct": correct,
+            "accuracy": round(correct / max(1, len(tasks)), 4)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
-    ap.add_argument("--file", required=True)
+    ap.add_argument("--file", required=False)
+    ap.add_argument("--multiple-choice",
+                    help="JSONL of {context, choices, gold} tasks "
+                         "(hellaswag/winogrande/mmlu style)")
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--n-chunks", type=int, default=0, help="limit chunks (0=all)")
     ap.add_argument("--save-logits", help="npz path to save scored logits")
@@ -103,6 +154,18 @@ def main():
     cfg, params, f = load_gguf_model(args.model)
     tok = build_tokenizer(f.metadata)
     f.close()
+
+    if args.multiple_choice:
+        tasks = [json.loads(l) for l in open(args.multiple_choice) if l.strip()]
+        mc_ctx = LlamaContext(cfg, params, n_cells=args.n_ctx)
+        result = multiple_choice_score(
+            mc_ctx, tok, tasks,
+            progress=lambda i, n, acc: sys.stderr.write(f"[{i}/{n}] acc={acc:.4f}\n"),
+        )
+        print(json.dumps(result))
+        return
+    if not args.file:
+        ap.error("need --file or --multiple-choice")
     text = open(args.file, encoding="utf-8", errors="replace").read()
     tokens = np.asarray(tok.encode(text, add_special=True), np.int32)
     if args.n_chunks:

@@ -172,3 +172,59 @@ def test_retrieval(vocab_model):
     assert len(best) == 2
     assert best[0][1] == 0  # identical chunk wins
     assert best[0][0] > best[1][0] - 1e-9
+
+
+def test_parallel_sim(vocab_model):
+    """Multi-client engine simulation (parity: examples/parallel)."""
+    import threading
+
+    from llama_kotlin_tpu.runtime.engine import Engine
+    from llama_kotlin_tpu.tools.parallel_sim import run_parallel
+
+    path, _, _ = vocab_model
+    _, _, tok, ctx = _load(path, n_cells=512)
+    engine = Engine(ctx, tok, n_slots=2, n_batch=64)
+    stop = threading.Event()
+    t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+    t.start()
+    try:
+        summary = run_parallel(engine, tok, n_clients=3, n_seq=1,
+                               n_predict=6, log=lambda *a: None)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert summary["all_ok"]
+    assert summary["sequences"] == 3
+    assert summary["total_gen_tokens"] >= 3
+
+
+def test_batched_bench(vocab_model):
+    from llama_kotlin_tpu.tools.batched_bench import bench_combo
+
+    path, _, _ = vocab_model
+    _, _, _, ctx = _load(path, n_cells=512)
+    r = bench_combo(ctx, n_pp=16, n_tg=4, n_pl=2)
+    assert r["pp"] == 16 and r["tg"] == 4 and r["pl"] == 2
+    assert r["s_pp"] > 0 and r["s_tg"] > 0
+
+
+def test_multiple_choice_score(vocab_model):
+    """Scoring picks the argmax-logprob choice and reports accuracy
+    (parity: perplexity.cpp hellaswag/winogrande/multiple-choice modes)."""
+    from llama_kotlin_tpu.tools.perplexity import choice_logprob, multiple_choice_score
+
+    path, _, _ = vocab_model
+    cfg, params, tok, ctx = _load(path, n_cells=128)
+    tasks = [
+        {"context": "abc", "choices": ["ab", "zq"], "gold": 0},
+        {"context": "the", "choices": ["cat", "dog"], "gold": 1},
+    ]
+    res = multiple_choice_score(ctx, tok, tasks)
+    assert res["tasks"] == 2 and 0.0 <= res["accuracy"] <= 1.0
+    # internal consistency: the picked choice has the higher logprob
+    c_ids = tok.encode("abc", add_special=True)
+    lp0 = choice_logprob(ctx, c_ids, tok.encode("ab", add_special=False))
+    lp1 = choice_logprob(ctx, c_ids, tok.encode("zq", add_special=False))
+    picked_gold_right = (lp0 > lp1)
+    res0 = multiple_choice_score(ctx, tok, tasks[:1])
+    assert res0["correct"] == (1 if picked_gold_right else 0)
