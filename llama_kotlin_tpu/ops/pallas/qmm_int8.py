@@ -50,7 +50,10 @@ def qmm_int8(x: jnp.ndarray, w: QTensor, *, interpret: bool = False
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
     if x.shape[-1] != k:
         return None
-    bk = next((c for c in (2048, 1024, 512, 256) if k_pad % c == 0), 0)
+    # bk=4096 measured 620 GB/s vs 531 at bk=2048 on [14336,4096]xB8 (v5e),
+    # beating even the unscaled XLA int8 dot (612); larger k blocks amortize
+    # the per-step scale pipeline.
+    bk = next((c for c in (4096, 2048, 1024, 512, 256) if k_pad % c == 0), 0)
     bn = next((c for c in (512, 256, 128) if n % c == 0), 0)
     if not bk or not bn:
         return None
