@@ -80,10 +80,15 @@ class Engine:
     """Drives a LlamaContext with n_slots parallel sequences."""
 
     def __init__(self, ctx: LlamaContext, tokenizer, n_slots: int = 4,
-                 n_batch: int = 256):
+                 n_batch: int = 256, chunk_steps: int = 8):
         self.ctx = ctx
         self.tokenizer = tokenizer
         self.n_batch = n_batch
+        # when all active slots are greedily generating, decode up to this
+        # many steps per slot in ONE on-device loop (generate_loop) instead
+        # of one host round-trip per token; 0 disables.  Non-greedy
+        # sampling, grammar, and prompt phases use the per-token path.
+        self.chunk_steps = chunk_steps
         self.slots = [Slot(id=i, seq_id=i) for i in range(n_slots)]
         self.queue: list[Request] = []
         self.lock = threading.Lock()
@@ -108,7 +113,10 @@ class Engine:
         """One update_slots iteration; returns True if any work was done."""
         with self.lock:
             self._assign_requests()
-            batch = self._build_batch()
+            chunk = self._chunk_plan()
+            batch = None if chunk else self._build_batch()
+        if chunk:
+            return self._chunked_decode(*chunk)
         if batch is None:
             return False
         rc = self.ctx.decode(batch)
@@ -116,6 +124,68 @@ class Engine:
             self._handle_cache_full()
             return True
         self._consume_results(batch)
+        self.metrics["n_decode_steps"] += 1
+        return True
+
+    def _chunk_plan(self) -> Optional[tuple[list[Slot], int]]:
+        """(active_slots, K) when the on-device multi-step loop applies."""
+        if self.chunk_steps <= 1 or self.queue:
+            return None
+        active = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not active or any(s.state == SlotState.PROMPT for s in self.slots):
+            return None
+        K = self.chunk_steps
+        for s in active:
+            p = s.request.params
+            if (p.temp > 0.0 or p.grammar is not None or p.mirostat != 0
+                    or p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+                    or p.penalty_present != 0.0 or p.logit_bias
+                    or p.cfg_scale != 1.0):
+                return None  # device loop is plain greedy only
+            K = min(K,
+                    s.request.n_predict - len(s.request.output_tokens),
+                    self.slot_ctx - s.n_past - 1)
+        return (active, K) if K > 1 else None
+
+    def _chunked_decode(self, active: list[Slot], K: int) -> bool:
+        """Run K greedy decode steps for all active slots in one jitted
+        loop (generate_loop); bookkeeping mirrors K per-token steps, so
+        stop-string/eos/n_predict semantics are unchanged (tokens past a
+        mid-chunk stop stay in the cache and the slot history, exactly like
+        cached speculative overshoot)."""
+        import jax.numpy as jnp
+
+        from llama_kotlin_tpu.runtime.generate import SampleParams, generate_loop
+
+        B = len(active)
+        slots_flat = self.ctx.meta.find_slots(K * B)
+        if slots_flat is None:
+            self._handle_cache_full()
+            return True
+        pos = np.array([s.n_past + k for k in range(K) for s in active], np.int32)
+        seqs = np.array([s.seq_id for _ in range(K) for s in active], np.int32)
+        self.ctx.meta.commit(slots_flat, pos, seqs)
+        out_tokens, cache, _, _, _ = generate_loop(
+            self.ctx.params, self.ctx.cfg, self.ctx.cache,
+            jnp.asarray(self.ctx.meta.pos), jnp.asarray(self.ctx.meta.seq),
+            jnp.asarray([s.tokens[-1] for s in active], jnp.int32),
+            jnp.asarray([s.n_past for s in active], jnp.int32),
+            jnp.asarray([s.seq_id for s in active], jnp.int32),
+            jnp.asarray(slots_flat.reshape(K, B)),
+            K, SampleParams(), self.ctx.compute_dtype,
+        )
+        self.ctx.cache = cache
+        out = np.asarray(out_tokens)  # [K, B]
+        for k in range(K):
+            for b, slot in enumerate(active):
+                tok = int(out[k, b])
+                slot.n_past += 1
+                slot.tokens.append(tok)
+                if slot.request is None:
+                    continue  # finished mid-chunk; overshoot tokens stay cached
+                slot.sampler.accept(tok, tokenizer=self.tokenizer)
+                self.metrics["tokens_predicted"] += 1
+                self._emit(slot, tok)
         self.metrics["n_decode_steps"] += 1
         return True
 

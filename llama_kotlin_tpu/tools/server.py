@@ -158,6 +158,8 @@ def make_handler(state: ServerState):
                     self._chat()
                 elif self.path in ("/embedding", "/embeddings", "/v1/embeddings"):
                     self._embeddings()
+                elif self.path == "/infill":
+                    self._infill()
                 elif self.path.startswith("/slots/"):
                     self._slot_action()
                 else:
@@ -172,16 +174,29 @@ def make_handler(state: ServerState):
 
         # -- completion logic -------------------------------------------------
 
-        def _submit_and_respond(self, prompt_text, d, openai_kind: Optional[str]):
+        def _infill(self):
+            """Fill-in-the-middle completion (parity: server /infill)."""
+            from llama_kotlin_tpu.tools.infill import infill_tokens
+
+            d = self._read_json()
+            ids = infill_tokens(tokenizer, d.get("input_prefix", ""),
+                                d.get("input_suffix", ""),
+                                spm_fill=bool(d.get("spm_infill", False)))
+            self._submit_and_respond(None, d, None,
+                                     tokens=np.asarray(ids, np.int32))
+
+        def _submit_and_respond(self, prompt_text, d, openai_kind: Optional[str],
+                                tokens: Optional[np.ndarray] = None):
             params = sampling_params_from_json(d)
             n_predict = int(d.get("n_predict", d.get("max_tokens", 128)) or 128)
             stops = d.get("stop", [])
             if isinstance(stops, str):
                 stops = [stops]
-            tokens = np.asarray(
-                tokenizer.encode(prompt_text, add_special=True, parse_special=True),
-                np.int32,
-            )
+            if tokens is None:
+                tokens = np.asarray(
+                    tokenizer.encode(prompt_text, add_special=True, parse_special=True),
+                    np.int32,
+                )
             stream = bool(d.get("stream", False))
             created = int(time.time())
             rid = "cmpl-" + time.strftime("%H%M%S")

@@ -29,6 +29,12 @@ class ToyTokenizer:
 
     class V:
         eos_id = 2
+        bos_id = 1
+        add_bos = True
+        prefix_id = 3
+        suffix_id = 4
+        middle_id = 5
+        eot_id = 6
 
     vocab = V()
 
@@ -168,6 +174,14 @@ def test_http_tokenize_metrics(served):
     assert len(slots) == 2
 
 
+def test_http_infill(served):
+    url, _ = served
+    out = _post(url + "/infill", {"input_prefix": "ab", "input_suffix": "yz",
+                                  "n_predict": 4, "temperature": 0})
+    assert out["stop"] is True
+    assert "content" in out
+
+
 def test_slot_save_restore(served, tmp_path):
     url, engine = served
     # run one request on slot 0 so its sequence has cache state
@@ -180,3 +194,36 @@ def test_slot_save_restore(served, tmp_path):
     assert restored["success"] is True
     erased = _post(url + "/slots/0?action=erase", {})
     assert erased["erased"] is True
+
+
+def test_chunked_decode_matches_per_token(tmp_path):
+    """The on-device chunked decode path (chunk_steps>1) must produce
+    exactly the same tokens as the per-token engine for greedy requests."""
+    rng = np.random.default_rng(23)
+    dims = tiny_llama_dims(vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path / "c.gguf"
+    write_llama_gguf(path, weights, dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    tok = ToyTokenizer(dims["vocab"])
+
+    def run(chunk_steps):
+        ctx = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+        engine = Engine(ctx, tok, n_slots=2, n_batch=64, chunk_steps=chunk_steps)
+        req = Request(prompt_tokens=np.array([1, 5, 9], np.int32),
+                      params=SamplingParams(temp=0.0), n_predict=17)
+        engine.submit(req)
+        stop = threading.Event()
+        t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+        t.start()
+        assert req.done.wait(timeout=240)
+        stop.set()
+        t.join(timeout=30)
+        return req.output_tokens, engine.metrics["n_decode_steps"]
+
+    toks_chunked, steps_chunked = run(8)
+    toks_plain, steps_plain = run(0)
+    assert toks_chunked == toks_plain
+    assert len(toks_chunked) == 17
+    assert steps_chunked < steps_plain  # fewer device round trips
