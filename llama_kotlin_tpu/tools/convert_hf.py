@@ -28,6 +28,8 @@ ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
     "Gemma2ForCausalLM": "gemma2",
     "GemmaForCausalLM": "gemma",
+    "GPT2LMHeadModel": "gpt2",
+    "GPTNeoXForCausalLM": "gptneox",
 }
 
 
@@ -157,12 +159,142 @@ def export_tokenizer(w: GGUFWriter, model_dir: Path) -> None:
             w.add_kv(kv, np.uint32(val))
 
 
+# (gguf name, transform) — transform: None | "T" (Conv1D) | "qkv_head"
+_GPT2_MAP = {
+    "wte.weight": ("token_embd.weight", None),
+    "wpe.weight": ("position_embd.weight", None),
+    "ln_f.weight": ("output_norm.weight", None),
+    "ln_f.bias": ("output_norm.bias", None),
+    "ln_1.weight": ("attn_norm.weight", None),
+    "ln_1.bias": ("attn_norm.bias", None),
+    "attn.c_attn.weight": ("attn_qkv.weight", "T"),
+    "attn.c_attn.bias": ("attn_qkv.bias", None),
+    "attn.c_proj.weight": ("attn_output.weight", "T"),
+    "attn.c_proj.bias": ("attn_output.bias", None),
+    "ln_2.weight": ("ffn_norm.weight", None),
+    "ln_2.bias": ("ffn_norm.bias", None),
+    "mlp.c_fc.weight": ("ffn_up.weight", "T"),
+    "mlp.c_fc.bias": ("ffn_up.bias", None),
+    "mlp.c_proj.weight": ("ffn_down.weight", "T"),
+    "mlp.c_proj.bias": ("ffn_down.bias", None),
+}
+
+_NEOX_MAP = {
+    "embed_in.weight": ("token_embd.weight", None),
+    "final_layer_norm.weight": ("output_norm.weight", None),
+    "final_layer_norm.bias": ("output_norm.bias", None),
+    "input_layernorm.weight": ("attn_norm.weight", None),
+    "input_layernorm.bias": ("attn_norm.bias", None),
+    "attention.query_key_value.weight": ("attn_qkv.weight", "qkv_head"),
+    "attention.query_key_value.bias": ("attn_qkv.bias", "qkv_head"),
+    "attention.dense.weight": ("attn_output.weight", None),
+    "attention.dense.bias": ("attn_output.bias", None),
+    "post_attention_layernorm.weight": ("ffn_norm.weight", None),
+    "post_attention_layernorm.bias": ("ffn_norm.bias", None),
+    "mlp.dense_h_to_4h.weight": ("ffn_up.weight", None),
+    "mlp.dense_h_to_4h.bias": ("ffn_up.bias", None),
+    "mlp.dense_4h_to_h.weight": ("ffn_down.weight", None),
+    "mlp.dense_4h_to_h.bias": ("ffn_down.bias", None),
+}
+
+
+def _deinterleave_qkv(arr: np.ndarray, n_head: int) -> np.ndarray:
+    """HF gptneox per-head [q,k,v] rows -> contiguous q|k|v."""
+    hd = arr.shape[0] // (3 * n_head)
+    a = arr.reshape(n_head, 3, hd, *arr.shape[1:])
+    return np.concatenate([a[:, 0], a[:, 1], a[:, 2]], axis=0).reshape(arr.shape)
+
+
+def _convert_gpt_family(w: GGUFWriter, arch: str, hf_cfg: dict, model_dir: Path,
+                        out_t, progress=None) -> None:
+    """GPT-2 (Conv1D layout, learned positions) and GPT-NeoX (interleaved
+    fused qkv, partial rope, parallel residual) conversion — cf. the
+    GPT2Model / GPTNeoXModel classes of the reference converter."""
+    if arch == "gpt2":
+        E = hf_cfg["n_embd"]
+        H = hf_cfg["n_head"]
+        L = hf_cfg["n_layer"]
+        w.add_kv("gpt2.embedding_length", np.uint32(E))
+        w.add_kv("gpt2.block_count", np.uint32(L))
+        w.add_kv("gpt2.attention.head_count", np.uint32(H))
+        w.add_kv("gpt2.feed_forward_length",
+                 np.uint32(hf_cfg.get("n_inner") or 4 * E))
+        w.add_kv("gpt2.context_length", np.uint32(hf_cfg.get("n_positions", 1024)))
+        w.add_kv("gpt2.attention.layer_norm_epsilon",
+                 np.float32(hf_cfg.get("layer_norm_epsilon", 1e-5)))
+        w.add_kv("gpt2.vocab_size", np.uint32(hf_cfg["vocab_size"]))
+        prefix, layer_prefix, tmap = "transformer.", "h.", _GPT2_MAP
+    else:  # gptneox
+        E = hf_cfg["hidden_size"]
+        H = hf_cfg["num_attention_heads"]
+        L = hf_cfg["num_hidden_layers"]
+        hd = E // H
+        w.add_kv("gptneox.embedding_length", np.uint32(E))
+        w.add_kv("gptneox.block_count", np.uint32(L))
+        w.add_kv("gptneox.attention.head_count", np.uint32(H))
+        w.add_kv("gptneox.feed_forward_length", np.uint32(hf_cfg["intermediate_size"]))
+        w.add_kv("gptneox.context_length",
+                 np.uint32(hf_cfg.get("max_position_embeddings", 2048)))
+        w.add_kv("gptneox.attention.layer_norm_epsilon",
+                 np.float32(hf_cfg.get("layer_norm_eps", 1e-5)))
+        w.add_kv("gptneox.rope.dimension_count",
+                 np.uint32(int(hd * hf_cfg.get("rotary_pct", 1.0))))
+        w.add_kv("gptneox.rope.freq_base",
+                 np.float32(hf_cfg.get("rope_theta",
+                                       hf_cfg.get("rotary_emb_base", 10000.0))))
+        w.add_kv("gptneox.use_parallel_residual",
+                 bool(hf_cfg.get("use_parallel_residual", True)))
+        w.add_kv("gptneox.vocab_size", np.uint32(hf_cfg["vocab_size"]))
+        prefix, layer_prefix, tmap = "gpt_neox.", "layers.", _NEOX_MAP
+
+    export_tokenizer(w, model_dir)
+    count = 0
+    for hf_name, arr in load_hf_weights(model_dir):
+        n = hf_name
+        if n == "embed_out.weight":  # neox untied head
+            name, tf = "output.weight", None
+        elif n.startswith(prefix):
+            rest = n[len(prefix):]
+            if rest.startswith(layer_prefix):
+                li, _, tail = rest[len(layer_prefix):].partition(".")
+                hit = tmap.get(tail)
+                if hit is None:
+                    continue
+                name, tf = f"blk.{li}.{hit[0]}", hit[1]
+            else:
+                hit = tmap.get(rest)
+                if hit is None:
+                    continue
+                name, tf = hit
+        else:
+            continue
+        arr = np.asarray(arr, np.float32)
+        if tf == "T":
+            arr = arr.T
+        elif tf == "qkv_head":
+            arr = _deinterleave_qkv(arr, H)
+        t = GGMLQuantType.F32 if arr.ndim == 1 or "norm" in name else out_t
+        w.add_tensor(name, np.ascontiguousarray(arr), t)
+        count += 1
+        if progress:
+            progress(count, name)
+
+
 def convert(model_dir: str | Path, out_path: str | Path, dtype: str = "f16",
             progress=None) -> None:
     model_dir = Path(model_dir)
     hf_cfg = json.loads((model_dir / "config.json").read_text())
     arch_cls = (hf_cfg.get("architectures") or ["LlamaForCausalLM"])[0]
     arch = ARCH_MAP.get(arch_cls, "llama")
+    out_t0 = GGMLQuantType.F16 if dtype == "f16" else \
+        GGMLQuantType.BF16 if dtype == "bf16" else GGMLQuantType.F32
+    if arch in ("gpt2", "gptneox"):
+        w = GGUFWriter()
+        w.add_kv("general.architecture", arch)
+        w.add_kv("general.name", model_dir.name)
+        _convert_gpt_family(w, arch, hf_cfg, model_dir, out_t0, progress)
+        w.write(out_path)
+        return
     n_head = hf_cfg["num_attention_heads"]
     n_kv = hf_cfg.get("num_key_value_heads", n_head)
     n_embd = hf_cfg["hidden_size"]

@@ -40,3 +40,32 @@ def test_convert_hf_roundtrip(tmp_path):
     with torch.no_grad():
         theirs = hf(torch.from_numpy(toks[None].astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
+
+
+@pytest.mark.parametrize("arch", ["gpt2", "gptneox"])
+def test_convert_gpt_family_roundtrip(arch, tmp_path):
+    """HF GPT-2 / GPT-NeoX checkpoint -> GGUF -> our decoder matches the
+    HF model's logits (Conv1D transposition and qkv de-interleaving)."""
+    import torch
+
+    from tests.arch_fixtures import MAKERS
+    from llama_kotlin_tpu.tools.convert_hf import convert
+
+    rng = np.random.default_rng(77)
+    _, _, _, hf = MAKERS[arch](rng)
+    hf_dir = tmp_path / "hf"
+    hf.save_pretrained(hf_dir, safe_serialization=True)
+
+    out = tmp_path / "conv.gguf"
+    convert(hf_dir, out, dtype="f32")
+
+    cfg, params, f = load_gguf_model(out, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.arch == arch
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    toks = np.array([3, 17, 42, 9, 101], np.int32)
+    assert ctx.decode(Batch.single(toks, logits_last_only=False)) == 0
+    ours = ctx.get_logits()
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(toks[None].astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
