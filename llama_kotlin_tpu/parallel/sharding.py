@@ -25,9 +25,15 @@ from llama_kotlin_tpu.quant.qtensor import QTensor
 
 log = logging.getLogger(__name__)
 
-COLUMN_PARALLEL = {"wq", "wk", "wv", "ffn_gate", "ffn_up", "output", "tok_embd"}
-ROW_PARALLEL = {"wo", "ffn_down"}
+COLUMN_PARALLEL = {"wq", "wk", "wv", "ffn_gate", "ffn_up", "output", "tok_embd",
+                   "ffn_gate_shexp", "ffn_up_shexp"}
+ROW_PARALLEL = {"wo", "ffn_down", "ffn_down_shexp"}
 COLUMN_BIAS = {"bq", "bk", "bv"}
+# MoE expert lists: every expert is TP-sharded like the dense FFN — the
+# MoE memory/FLOPs split across the mesh without expert load imbalance
+# (cf. §2.7: reference computes MoE on one device via mul_mat_id)
+EXPERT_COLUMN = {"ffn_gate_exps", "ffn_up_exps"}
+EXPERT_ROW = {"ffn_down_exps"}
 
 
 def _divisible(w: Any, axis: int, tp: int) -> bool:
@@ -47,6 +53,12 @@ def shard_weight(key: str, w: Any, mesh: Mesh) -> Any:
     if w is None:
         return None
     tp = mesh.shape["tp"]
+    if isinstance(w, list):  # per-expert weights
+        if tp > 1 and key in EXPERT_COLUMN and all(_divisible(e, 0, tp) for e in w):
+            return [_put(e, mesh, P("tp", None)) for e in w]
+        if tp > 1 and key in EXPERT_ROW and all(_divisible(e, 1, tp) for e in w):
+            return [_put(e, mesh, P(None, "tp")) for e in w]
+        return [_put(e, mesh, P()) for e in w]
     if tp > 1 and key in COLUMN_PARALLEL and _divisible(w, 0, tp):
         return _put(w, mesh, P("tp", None))
     if tp > 1 and key in ROW_PARALLEL and _divisible(w, 1, tp):

@@ -86,3 +86,40 @@ def test_tp_sharded_logits_match_single_device(model):
         sharded = ctx_tp.get_logits()
 
     np.testing.assert_allclose(sharded, base, atol=1e-4, rtol=1e-3)
+
+
+def test_tp_sharded_moe_logits_match(tmp_path):
+    """MoE experts TP-sharded per expert (EXPERT_COLUMN/ROW rules) must
+    match unsharded logits — the §2.7 expert-parallel row."""
+    from llama_kotlin_tpu.parallel.mesh import make_mesh
+    from llama_kotlin_tpu.parallel.sharding import shard_cache, shard_params
+    from tests.fixtures import random_mixtral_weights, tiny_mixtral_dims, write_mixtral_gguf
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    rng = np.random.default_rng(61)
+    dims = tiny_mixtral_dims(n_embd=128, n_head=8, n_head_kv=4, n_ff=256,
+                             vocab=256, n_expert=4, n_expert_used=2)
+    weights = random_mixtral_weights(dims, rng)
+    path = tmp_path / "moe_tp.gguf"
+    write_mixtral_gguf(path, weights, dims)
+
+    toks = np.array([3, 17, 42, 9], np.int32)
+    ctx = _ctx(path, n_cells=64)
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    base = ctx.get_logits()
+
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    mesh = make_mesh(dp=2, tp=4)
+    params = shard_params(params, cfg, mesh)
+    # experts really got the tp layout
+    e0 = params["layers"][0]["ffn_gate_exps"][0]
+    spec = (e0.codes if hasattr(e0, "codes") else e0).sharding.spec
+    assert spec[0] == "tp"
+    ctx_tp = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    ctx_tp.cache = shard_cache(ctx_tp.cache, mesh)
+    with mesh:
+        ctx_tp.decode(Batch.single(toks, logits_last_only=False))
+        sharded = ctx_tp.get_logits()
+    np.testing.assert_allclose(sharded, base, atol=1e-4, rtol=1e-3)
