@@ -184,7 +184,13 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     bn, bk = plan
     b = max(8, (b_real + 7) // 8 * 8)
     if b > 1024:
-        return None
+        # long prefill: row-chunk to keep VMEM blocks bounded
+        x2 = x.reshape(b_real, k)
+        outs = [qmm(x2[i : i + 1024], w, compute_dtype=compute_dtype,
+                    interpret=interpret) for i in range(0, b_real, 1024)]
+        if any(o is None for o in outs):
+            return None
+        return jnp.concatenate(outs, 0).reshape(*lead_shape, n)
 
     n_planes = {8: 1, 4: 2, 2: 4}[w.bits]
     bc = bk // n_planes if w.bits != 8 else bk

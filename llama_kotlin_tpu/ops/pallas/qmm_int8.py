@@ -59,7 +59,13 @@ def qmm_int8(x: jnp.ndarray, w: QTensor, *, interpret: bool = False
         return None
     b = max(8, (b_real + 7) // 8 * 8)
     if b > 1024:
-        return None
+        # long prefill: row-chunk to keep VMEM blocks bounded
+        x2 = x.reshape(b_real, k)
+        outs = [qmm_int8(x2[i : i + 1024], w, interpret=interpret)
+                for i in range(0, b_real, 1024)]
+        if any(o is None for o in outs):
+            return None
+        return jnp.concatenate(outs, 0).reshape(*lead_shape, n)
     sb_total = k_pad // SPAN
     sbk = bk // SPAN
 

@@ -113,21 +113,35 @@ def loss_fn(params, cfg, tokens):
 
 
 def train(cfg, data_tokens: np.ndarray, *, steps: int = 100, batch: int = 4,
-          seq_len: int = 64, lr: float = 3e-4, seed: int = 0, log=None):
-    """Returns (params, losses). data_tokens: flat int32 corpus."""
+          seq_len: int = 64, lr: float = 3e-4, seed: int = 0, log=None,
+          optimizer: str = "adamw"):
+    """Returns (params, losses). data_tokens: flat int32 corpus.
+
+    optimizer: "adamw" or "lbfgs" (parity: ggml_opt ADAM / L-BFGS,
+    reference ggml/include/ggml.h:2094-2234).
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
     key = jax.random.PRNGKey(seed)
     params = init_params(cfg, key)
-    opt = optax.adamw(lr)
+    if optimizer == "lbfgs":
+        opt = optax.lbfgs(learning_rate=lr if lr else None)
+    else:
+        opt = optax.adamw(lr)
     opt_state = opt.init(params)
 
     @jax.jit
     def step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens)
-        updates, opt_state = opt.update(grads, opt_state, params)
+        if optimizer == "lbfgs":  # linesearch needs value/grad/value_fn
+            updates, opt_state = opt.update(
+                grads, opt_state, params, value=loss, grad=grads,
+                value_fn=lambda p: loss_fn(p, cfg, tokens),
+            )
+        else:
+            updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.default_rng(seed)

@@ -86,3 +86,18 @@ def test_int8_mode_model_quality(tmp_path):
     kl, top1 = kl_divergence([exact.astype(np.float16)], [fast.astype(np.float16)])
     assert kl < 0.02, kl
     assert top1 >= 0.8
+
+
+def test_qmm_long_prefill_chunking():
+    """b > 1024 row-chunks instead of bailing to the XLA fallback."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    wf = (rng.standard_normal((128, 512)) * 0.05).astype(np.float32)
+    qt = jax.tree.map(jnp.asarray, float_to_q8flat(wf))
+    x = jnp.asarray((rng.standard_normal((1500, 512)) * 0.5).astype(np.float32))
+    y = qmm_int8(x, qt, interpret=True)
+    assert y is not None and y.shape == (1500, 128)
+    ref = np.asarray(x) @ np.asarray(qt.codes.astype(jnp.float32)
+                                     * jnp.repeat(qt.g_scale, 256, -1)).T
+    np.testing.assert_allclose(np.asarray(y), ref, atol=0.5, rtol=0.1)

@@ -31,3 +31,17 @@ def test_train_loss_decreases_and_checkpoint_loads(tmp_path):
     prompt = np.array([0, 1, 2, 3], np.int32)
     assert ctx.decode(Batch.single(prompt)) == 0
     assert int(np.argmax(ctx.get_logits()[0])) == 4
+
+
+def test_train_lbfgs_reduces_loss():
+    """L-BFGS optimizer path (parity: ggml_opt L-BFGS)."""
+    from llama_kotlin_tpu.tools.train import train
+    from llama_kotlin_tpu.models.synthetic import preset_config
+
+    cfg = preset_config("test-tiny", n_ctx_train=64)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, cfg.vocab_size, 2000).astype(np.int32)
+    _, losses = train(cfg, data, steps=8, batch=2, seq_len=16, lr=0.5,
+                      optimizer="lbfgs")
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
