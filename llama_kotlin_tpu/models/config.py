@@ -59,6 +59,8 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     # LayerNorm-family arch knobs (gpt2/gptneox/falcon/mpt/starcoder/phi2/bloom)
     parallel_residual: bool = False  # h = h + attn(x) + ffn(x') (falcon/neox/phi2)
+    clamp_kqv: float = 0.0  # olmo/dbrx q/k/v clamping (0 = off)
+    swiglu_packed: bool = False  # chatglm: up proj packs [gate|up], silu-gated
     logit_scale: float = 1.0  # command-r final logit multiplier
     moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
     moe_expert_scale: float = 1.0  # deepseek2 expert_weights_scale (scale_w)
@@ -174,7 +176,7 @@ def config_from_metadata(md: dict) -> ModelConfig:
     # command-r/olmo/internlm2/minicpm/deepseek2 are NORM (adjacent pairs)
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
                 "stablelm", "gemma", "gemma2", "starcoder2", "mistral3",
-                "bitnet"):
+                "bitnet", "nemotron", "exaone"):
         cfg.rope_type = ROPE_TYPE_NEOX
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"
@@ -195,7 +197,7 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.use_rms_norm = False
         cfg.act = "gelu"
         cfg.ffn_gated = False
-    if arch in ("gpt2", "starcoder", "mpt", "bloom"):
+    if arch in ("gpt2", "starcoder", "mpt", "bloom", "jais"):
         cfg.rope_type = ROPE_TYPE_NONE
     if arch in ("gpt2", "starcoder"):
         cfg.learned_pos_embd = True
@@ -218,6 +220,22 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.logit_scale = float(_get(md, arch, "logit_scale", 1.0) or 1.0)
     if arch == "qwen2moe":
         cfg.moe_norm_topk = False  # cf. build_qwen2moe norm_w=false
+    if arch == "olmo":
+        # non-parametric LayerNorm (build_olmo passes NULL norm weights)
+        cfg.use_rms_norm = False
+        cfg.clamp_kqv = float(_get(md, arch, "attention.clamp_kqv", 0.0) or 0.0)
+    if arch == "chatglm":
+        cfg.ffn_gated = False
+        cfg.swiglu_packed = True  # LLM_FFN_SWIGLU: up packs [gate|up]
+    if arch == "nemotron":
+        cfg.use_rms_norm = False
+        cfg.act = "relu2"
+        cfg.ffn_gated = False
+    if arch == "jais":
+        cfg.use_rms_norm = False
+        cfg.max_alibi_bias = float(
+            _get(md, arch, "attention.max_alibi_bias", 8.0) or 8.0
+        )
     if arch == "deepseek2":
         # MLA + scaled MoE (cf. build_deepseek2 / llm_load_hparams deepseek2)
         cfg.moe_norm_topk = False

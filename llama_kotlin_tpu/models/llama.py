@@ -128,10 +128,11 @@ def forward(
 
     def lnorm(lp, key, x):
         """Arch norm: RMSNorm (llama family) or biased LayerNorm (gpt2
-        family) — cf. llm_build_norm's LLM_NORM vs LLM_NORM_RMS."""
+        family) — cf. llm_build_norm's LLM_NORM vs LLM_NORM_RMS.  A
+        missing weight means OLMo-style non-parametric LayerNorm."""
         if cfg.use_rms_norm:
             return rms_norm(x, lp[key], cfg.rms_eps, cfg.norm_weight_offset)
-        return layer_norm(x, lp[key], lp.get(key + "_b"), cfg.norm_eps)
+        return layer_norm(x, lp.get(key), lp.get(key + "_b"), cfg.norm_eps)
 
     def attn_in(lp, h):
         """Attention input norm.  attn_norm_2 (falcon-40b's ln_attn) wins
@@ -191,6 +192,10 @@ def forward(
             q = q + lp["bq"]
             k = k + lp["bk"]
             v = v + lp["bv"]
+        if cfg.clamp_kqv > 0.0:  # olmo
+            q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+            k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+            v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
         q = q.reshape(nt, cfg.n_head, cfg.head_dim)
         k = k.reshape(nt, cfg.n_head_kv, cfg.head_dim)
         v = v.reshape(nt, cfg.n_head_kv, cfg.head_dim)
@@ -293,7 +298,11 @@ def forward(
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
             if lp.get("ffn_up_b") is not None:
                 up = up + lp["ffn_up_b"]
-            ffn = act(up)
+            if cfg.swiglu_packed:  # chatglm: up packs [gate|up] halves
+                g_half, u_half = jnp.split(up, 2, axis=-1)
+                ffn = ACTIVATIONS["silu"](g_half) * u_half
+            else:
+                ffn = act(up)
             down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
         if lp.get("ffn_down_b") is not None:
             down = down + lp["ffn_down_b"]
@@ -430,8 +439,8 @@ def forward(
     if cfg.use_rms_norm:
         h_out = rms_norm(h_out, params["output_norm"], cfg.rms_eps, cfg.norm_weight_offset)
     else:
-        h_out = layer_norm(h_out, params["output_norm"], params.get("output_norm_b"),
-                           cfg.norm_eps)
+        h_out = layer_norm(h_out, params.get("output_norm"),
+                           params.get("output_norm_b"), cfg.norm_eps)
     out_w = params.get("output")
     if out_w is None:
         out_w = params["tok_embd"]  # tied embeddings

@@ -42,7 +42,11 @@ ARCHES = [
     ArchInfo("phi2", "supported", "parallel residual w/ shared norm, partial rope, output bias"),
     ArchInfo("bloom", "supported", "embedding LayerNorm, ALiBi, per-head fused qkv"),
     ArchInfo("starcoder2", "supported", "llama-shaped with biases"),
-    ArchInfo("olmo", "supported", "non-parametric norm via unit weights"),
+    ArchInfo("olmo", "supported", "non-parametric LayerNorm, clamp_kqv"),
+    ArchInfo("chatglm", "supported", "fused qkv+bias, packed swiglu, half-dim rope"),
+    ArchInfo("nemotron", "supported", "LayerNorm1P (+1 folded at convert), relu^2 FFN, partial rope"),
+    ArchInfo("exaone", "supported", "llama-shaped, own metadata namespace"),
+    ArchInfo("jais", "supported", "LayerNorm + ALiBi + biased gated swiglu"),
     ArchInfo("bert", "planned", "encoder-only; WPM tokenizer done"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "out-of-scope", "SSM scan; round-3+ per SURVEY non-goals"),

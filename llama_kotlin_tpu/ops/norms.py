@@ -23,14 +23,17 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5,
     return y.astype(dtype)
 
 
-def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray | None = None,
-               eps: float = 1e-5) -> jnp.ndarray:
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray | None,
+               bias: jnp.ndarray | None = None, eps: float = 1e-5) -> jnp.ndarray:
+    """weight=None gives the non-parametric LayerNorm OLMo uses
+    (llm_build_norm with NULL mul/add tensors)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     y = (xf - mu) * (1.0 / jnp.sqrt(var + eps))
-    y = y * weight.astype(jnp.float32)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(dtype)

@@ -826,3 +826,217 @@ def make_bitnet_weights(rng, E=64, L=2, H=4, KV=2, F=128, V=160, n_ctx=128):
         "bitnet.vocab_size": np.uint32(V),
     }
     return md, ws
+
+
+# ---------------------------------------------------------------- olmo
+
+
+def make_olmo(rng, E=64, L=2, H=4, KV=2, F=128, V=160, n_ctx=128):
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    hd = E // H
+    w = _W(rng)
+
+    def permute(x, n_head):
+        out_dim = x.shape[0]
+        return (x.reshape(n_head, 2, out_dim // n_head // 2, *x.shape[1:])
+                .swapaxes(1, 2).reshape(x.shape))
+
+    q = w.mat(H * hd, E)
+    ws = {"token_embd.weight": w.mat(V, E), "output.weight": w.mat(V, E)}
+    hf_qk = {}
+    for i in range(L):
+        p = f"blk.{i}."
+        hf_qk[p + "q"] = w.mat(H * hd, E)
+        hf_qk[p + "k"] = w.mat(KV * hd, E)
+        ws[p + "attn_q.weight"] = permute(hf_qk[p + "q"], H)
+        ws[p + "attn_k.weight"] = permute(hf_qk[p + "k"], KV)
+        ws[p + "attn_v.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_output.weight"] = w.mat(E, H * hd)
+        ws[p + "ffn_gate.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+    md = {
+        "olmo.embedding_length": np.uint32(E),
+        "olmo.block_count": np.uint32(L),
+        "olmo.attention.head_count": np.uint32(H),
+        "olmo.attention.head_count_kv": np.uint32(KV),
+        "olmo.feed_forward_length": np.uint32(F),
+        "olmo.context_length": np.uint32(n_ctx),
+        "olmo.attention.layer_norm_epsilon": np.float32(1e-5),
+        "olmo.attention.clamp_kqv": np.float32(8.0),
+        "olmo.rope.freq_base": np.float32(10000.0),
+        "olmo.vocab_size": np.uint32(V),
+    }
+    cfg = OlmoConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=F, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=KV, clip_qkv=8.0,
+        max_position_embeddings=n_ctx, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False, attention_dropout=0.0,
+    )
+    m = OlmoForCausalLM(cfg)
+    sd = {
+        "model.embed_tokens.weight": ws["token_embd.weight"],
+        "lm_head.weight": ws["output.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"model.layers.{i}."
+        sd[hf + "self_attn.q_proj.weight"] = hf_qk[p + "q"]
+        sd[hf + "self_attn.k_proj.weight"] = hf_qk[p + "k"]
+        sd[hf + "self_attn.v_proj.weight"] = ws[p + "attn_v.weight"]
+        sd[hf + "self_attn.o_proj.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "mlp.gate_proj.weight"] = ws[p + "ffn_gate.weight"]
+        sd[hf + "mlp.up_proj.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.down_proj.weight"] = ws[p + "ffn_down.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "olmo", md, ws, m
+
+
+# ------------------------------------------------------------ nemotron
+
+
+def make_nemotron(rng, E=64, L=2, H=4, KV=2, F=128, V=160, n_ctx=128):
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    hd = E // H
+    rot = hd // 2
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output.weight": w.mat(V, E),
+    }
+    hf_norms = {}
+    for i in range(L):
+        p = f"blk.{i}."
+        # HF Nemotron LayerNorm1P computes LN(x)*(1+w)+b; the GGUF stores w+1
+        hf_norms[p + "an"] = (0.1 * rng.standard_normal(E)).astype(np.float32)
+        hf_norms[p + "fn"] = (0.1 * rng.standard_normal(E)).astype(np.float32)
+        ws[p + "attn_norm.weight"] = 1.0 + hf_norms[p + "an"]
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "ffn_norm.weight"] = 1.0 + hf_norms[p + "fn"]
+        ws[p + "ffn_norm.bias"] = w.vec(E)
+        ws[p + "attn_q.weight"] = w.mat(H * hd, E)
+        ws[p + "attn_k.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_v.weight"] = w.mat(KV * hd, E)
+        ws[p + "attn_output.weight"] = w.mat(E, H * hd)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+    hf_norms["on"] = (0.1 * rng.standard_normal(E)).astype(np.float32)
+    ws["output_norm.weight"] = 1.0 + hf_norms["on"]
+    ws["output_norm.bias"] = w.vec(E)
+    md = {
+        "nemotron.embedding_length": np.uint32(E),
+        "nemotron.block_count": np.uint32(L),
+        "nemotron.attention.head_count": np.uint32(H),
+        "nemotron.attention.head_count_kv": np.uint32(KV),
+        "nemotron.feed_forward_length": np.uint32(F),
+        "nemotron.context_length": np.uint32(n_ctx),
+        "nemotron.attention.layer_norm_epsilon": np.float32(1e-5),
+        "nemotron.rope.dimension_count": np.uint32(rot),
+        "nemotron.rope.freq_base": np.float32(10000.0),
+        "nemotron.vocab_size": np.uint32(V),
+    }
+    cfg = NemotronConfig(
+        vocab_size=V, hidden_size=E, intermediate_size=F, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=KV,
+        max_position_embeddings=n_ctx, rope_theta=10000.0,
+        partial_rotary_factor=rot / hd, hidden_act="relu2", norm_eps=1e-5,
+        tie_word_embeddings=False, attention_bias=False, attention_dropout=0.0,
+    )
+    m = NemotronForCausalLM(cfg)
+    sd = {
+        "model.embed_tokens.weight": ws["token_embd.weight"],
+        "model.norm.weight": hf_norms["on"],
+        "model.norm.bias": ws["output_norm.bias"],
+        "lm_head.weight": ws["output.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"model.layers.{i}."
+        sd[hf + "input_layernorm.weight"] = hf_norms[p + "an"]
+        sd[hf + "input_layernorm.bias"] = ws[p + "attn_norm.bias"]
+        sd[hf + "post_attention_layernorm.weight"] = hf_norms[p + "fn"]
+        sd[hf + "post_attention_layernorm.bias"] = ws[p + "ffn_norm.bias"]
+        sd[hf + "self_attn.q_proj.weight"] = ws[p + "attn_q.weight"]
+        sd[hf + "self_attn.k_proj.weight"] = ws[p + "attn_k.weight"]
+        sd[hf + "self_attn.v_proj.weight"] = ws[p + "attn_v.weight"]
+        sd[hf + "self_attn.o_proj.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "mlp.up_proj.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "mlp.down_proj.weight"] = ws[p + "ffn_down.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "nemotron", md, ws, m
+
+
+# ------------------------------------- chatglm / jais / exaone (no oracle)
+
+
+def make_chatglm_weights(rng, E=64, L=2, H=4, KV=2, F=96, V=160, n_ctx=128):
+    hd = E // H
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output.weight": w.mat(V, E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_qkv.weight"] = w.mat(E + 2 * KV * hd, E)
+        ws[p + "attn_qkv.bias"] = w.vec(E + 2 * KV * hd)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_up.weight"] = w.mat(2 * F, E)  # packed [gate|up]
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+    md = {
+        "chatglm.embedding_length": np.uint32(E),
+        "chatglm.block_count": np.uint32(L),
+        "chatglm.attention.head_count": np.uint32(H),
+        "chatglm.attention.head_count_kv": np.uint32(KV),
+        "chatglm.feed_forward_length": np.uint32(F),
+        "chatglm.context_length": np.uint32(n_ctx),
+        "chatglm.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+        "chatglm.rope.dimension_count": np.uint32(hd // 2),
+        "chatglm.rope.freq_base": np.float32(10000.0),
+        "chatglm.vocab_size": np.uint32(V),
+    }
+    return md, ws
+
+
+def make_jais_weights(rng, E=64, L=2, H=4, F=96, V=160, n_ctx=128):
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+        "output_norm.bias": w.vec(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_norm.bias"] = w.vec(E)
+        ws[p + "attn_qkv.weight"] = w.mat(3 * E, E)
+        ws[p + "attn_qkv.bias"] = w.vec(3 * E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_norm.bias"] = w.vec(E)
+        ws[p + "ffn_gate.weight"] = w.mat(F, E)
+        ws[p + "ffn_gate.bias"] = w.vec(F)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+    md = {
+        "jais.embedding_length": np.uint32(E),
+        "jais.block_count": np.uint32(L),
+        "jais.attention.head_count": np.uint32(H),
+        "jais.feed_forward_length": np.uint32(F),
+        "jais.context_length": np.uint32(n_ctx),
+        "jais.attention.layer_norm_epsilon": np.float32(1e-5),
+        "jais.attention.max_alibi_bias": np.float32(8.0),
+        "jais.vocab_size": np.uint32(V),
+    }
+    return md, ws
+
+
+MAKERS.update({"olmo": make_olmo, "nemotron": make_nemotron})

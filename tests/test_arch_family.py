@@ -148,3 +148,50 @@ def test_bitnet_self_consistency(tmp_path):
     ctx3 = LlamaContext(cfg, p2, n_cells=64, compute_dtype=jnp.float32)
     ctx3.decode(Batch.single(toks, logits_last_only=False))
     assert np.abs(ctx3.get_logits() - full).max() > 1e-4
+
+
+@pytest.mark.parametrize("arch,make", [
+    ("chatglm", "make_chatglm_weights"),
+    ("jais", "make_jais_weights"),
+])
+def test_arch_self_consistency(arch, make, tmp_path):
+    """chatglm (packed swiglu, fused qkv+bias, half-dim rope) and jais
+    (LN + ALiBi + biased gated ffn): incremental == prefill."""
+    import tests.arch_fixtures as AF
+
+    rng = np.random.default_rng(41)
+    md, ws = getattr(AF, make)(rng)
+    path = tmp_path / f"{arch}.gguf"
+    write_arch_gguf(path, arch, md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.arch == arch
+    toks = np.array([3, 17, 42, 9, 101], np.int32)
+    ctx1 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    assert ctx1.decode(Batch.single(toks, logits_last_only=False)) == 0
+    full = ctx1.get_logits()
+    assert np.isfinite(full).all()
+    ctx2 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    steps = []
+    for i, t in enumerate(toks):
+        ctx2.decode(Batch(tokens=np.array([t]), pos=np.array([i], np.int32),
+                          seq_id=np.array([0], np.int32),
+                          output=np.array([1], np.int8)))
+        steps.append(ctx2.get_logits()[0])
+    np.testing.assert_allclose(full, np.stack(steps), atol=2e-4, rtol=2e-3)
+
+
+def test_exaone_arch_maps_to_llama_shape(tmp_path):
+    """exaone is llama-shaped with its own metadata namespace."""
+    from llama_kotlin_tpu.models.config import config_from_metadata
+    from llama_kotlin_tpu.ops.rope import ROPE_TYPE_NEOX
+
+    md = {"general.architecture": "exaone",
+          "exaone.embedding_length": 64, "exaone.block_count": 2,
+          "exaone.attention.head_count": 4,
+          "exaone.attention.head_count_kv": 2,
+          "exaone.feed_forward_length": 128, "exaone.context_length": 256,
+          "exaone.vocab_size": 160}
+    cfg = config_from_metadata(md)
+    assert cfg.arch == "exaone" and cfg.n_embd == 64
+    assert cfg.rope_type == ROPE_TYPE_NEOX and cfg.use_rms_norm
