@@ -61,6 +61,8 @@ class ModelConfig:
     parallel_residual: bool = False  # h = h + attn(x) + ffn(x') (falcon/neox/phi2)
     clamp_kqv: float = 0.0  # olmo/dbrx q/k/v clamping (0 = off)
     swiglu_packed: bool = False  # chatglm: up proj packs [gate|up], silu-gated
+    causal_attn: bool = True  # False for encoder-only (bert)
+    post_norm: bool = False  # bert: norm AFTER each residual add
     logit_scale: float = 1.0  # command-r final logit multiplier
     moe_norm_topk: bool = True  # renormalize top-k router weights (mixtral yes, qwen2moe no)
     moe_expert_scale: float = 1.0  # deepseek2 expert_weights_scale (scale_w)
@@ -220,6 +222,17 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.logit_scale = float(_get(md, arch, "logit_scale", 1.0) or 1.0)
     if arch == "qwen2moe":
         cfg.moe_norm_topk = False  # cf. build_qwen2moe norm_w=false
+    if arch == "bert":
+        # encoder-only (build_bert): post-norm blocks, bidirectional
+        # attention, learned positions + token types, gelu FFN
+        cfg.use_rms_norm = False
+        cfg.causal_attn = False
+        cfg.post_norm = True
+        cfg.learned_pos_embd = True
+        cfg.token_embd_norm = True
+        cfg.act = "gelu"
+        cfg.ffn_gated = False
+        cfg.rope_type = ROPE_TYPE_NONE
     if arch == "olmo":
         # non-parametric LayerNorm (build_olmo passes NULL norm weights)
         cfg.use_rms_norm = False

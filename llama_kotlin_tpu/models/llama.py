@@ -102,11 +102,14 @@ def forward(
         # pos == -1 and are never read, clamp keeps the gather in-bounds
         h = h + take_rows(params["pos_embd"], jnp.maximum(token_pos, 0),
                           dtype=compute_dtype)
+    if params.get("token_types_embd") is not None:  # bert: type-0 embedding
+        h = h + params["token_types_embd"][0].astype(compute_dtype)
     if cfg.token_embd_norm and params.get("tok_norm") is not None:
         h = layer_norm(h, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
 
     # visibility masks shared across layers (full + sliding-window variants)
-    mask_full = visibility_mask(token_pos, token_seq, cell_pos, cell_seq)
+    mask_full = visibility_mask(token_pos, token_seq, cell_pos, cell_seq,
+                                causal=cfg.causal_attn)
     mask_swa = (
         visibility_mask(token_pos, token_seq, cell_pos, cell_seq, window=cfg.swa_window)
         if cfg.swa_window > 0
@@ -136,7 +139,10 @@ def forward(
 
     def attn_in(lp, h):
         """Attention input norm.  attn_norm_2 (falcon-40b's ln_attn) wins
-        when present; attn_norm then feeds the parallel FFN branch."""
+        when present; attn_norm then feeds the parallel FFN branch.
+        Post-norm archs (bert) attend on the raw residual stream."""
+        if cfg.post_norm:
+            return h
         key = "attn_norm_2" if lp.get("attn_norm_2") is not None else "attn_norm"
         return lnorm(lp, key, h)
 
@@ -231,7 +237,10 @@ def forward(
         if lp.get("post_attn_norm") is not None:  # gemma2
             attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps,
                                 cfg.norm_weight_offset)
-        if cfg.parallel_residual:
+        if cfg.post_norm:  # bert: norm AFTER each residual add
+            h = lnorm(lp, "attn_out_norm", h + attn_out.astype(h.dtype))
+            x = h
+        elif cfg.parallel_residual:
             key = "ffn_norm" if lp.get("ffn_norm") is not None else "attn_norm"
             x = lnorm(lp, key, h)
             h = h + attn_out.astype(h.dtype)
@@ -308,7 +317,10 @@ def forward(
             down = down + lp["ffn_down_b"]
         if lp.get("post_ffn_norm") is not None:  # gemma2
             down = rms_norm(down, lp["post_ffn_norm"], cfg.rms_eps, cfg.norm_weight_offset)
-        h = h + down.astype(h.dtype)
+        if cfg.post_norm:
+            h = lnorm(lp, "layer_out_norm", h + down.astype(h.dtype))
+        else:
+            h = h + down.astype(h.dtype)
         if cvec is not None:
             h = h + cvec.astype(h.dtype)
         return h
@@ -370,9 +382,10 @@ def forward(
         token_mask = jnp.where(slots < n_vis, cell_seq[safe_slots], 0)
         mask_new = (
             (((token_mask[None, :] >> token_seq[:, None]) & 1) != 0)
-            & (token_pos[None, :] <= token_pos[:, None])
             & (token_pos[None, :] >= 0)
         )
+        if cfg.causal_attn:
+            mask_new = mask_new & (token_pos[None, :] <= token_pos[:, None])
 
         use_flash = (jax.default_backend() not in ("cpu",)
                      and cache.k.shape[-1] == cache.v.shape[-1])
@@ -436,7 +449,9 @@ def forward(
 
     # logits only for requested rows (cf. inp_out_ids, llama.cpp:9637)
     h_out = h[out_ids]
-    if cfg.use_rms_norm:
+    if cfg.post_norm and params.get("output_norm") is None:
+        pass  # bert: layers end normalized, no final norm
+    elif cfg.use_rms_norm:
         h_out = rms_norm(h_out, params["output_norm"], cfg.rms_eps, cfg.norm_weight_offset)
     else:
         h_out = layer_norm(h_out, params.get("output_norm"),

@@ -59,6 +59,11 @@ _LAYER_TENSORS = {
     "attn_kv_b.weight": "wkv_b",
     "attn_q_a_norm.weight": "attn_q_a_norm",
     "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    # bert post-norm blocks (cf. build_bert)
+    "attn_output_norm.weight": "attn_out_norm",
+    "attn_output_norm.bias": "attn_out_norm_b",
+    "layer_output_norm.weight": "layer_out_norm",
+    "layer_output_norm.bias": "layer_out_norm_b",
     # bitnet per-projection scalar scales + sub-norms (cf. build_bitnet)
     "attn_sub_norm.weight": "attn_sub_norm",
     "ffn_sub_norm.weight": "ffn_sub_norm",
@@ -76,6 +81,7 @@ _LAYER_TENSORS = {
 
 _GLOBAL_TENSORS = {
     "token_embd.weight": "tok_embd",
+    "token_types.weight": "token_types_embd",
     "token_embd_norm.weight": "tok_norm",
     "token_embd_norm.bias": "tok_norm_b",
     "position_embd.weight": "pos_embd",
@@ -91,6 +97,8 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "bq", "bk", "bv", "bo", "ffn_gate_inp", "ffn_gate_inp_shexp",
                  "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
                  "attn_q_a_norm", "attn_kv_a_norm",
+                 "attn_out_norm", "attn_out_norm_b", "layer_out_norm",
+                 "layer_out_norm_b", "token_types_embd",
                  "attn_sub_norm", "ffn_sub_norm", "wq_scale", "wk_scale",
                  "wv_scale", "wo_scale", "ffn_gate_scale", "ffn_up_scale",
                  "ffn_down_scale",

@@ -47,7 +47,7 @@ ARCHES = [
     ArchInfo("nemotron", "supported", "LayerNorm1P (+1 folded at convert), relu^2 FFN, partial rope"),
     ArchInfo("exaone", "supported", "llama-shaped, own metadata namespace"),
     ArchInfo("jais", "supported", "LayerNorm + ALiBi + biased gated swiglu"),
-    ArchInfo("bert", "planned", "encoder-only; WPM tokenizer done"),
+    ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "out-of-scope", "SSM scan; round-3+ per SURVEY non-goals"),
     ArchInfo("bitnet", "supported", "per-projection scalar scales, attn/ffn sub-norms, tied head"),

@@ -47,12 +47,14 @@ def alibi_slopes(n_head: int, max_bias: float) -> jnp.ndarray:
 
 def visibility_mask(token_pos: jnp.ndarray, token_seq: jnp.ndarray,
                     cell_pos: jnp.ndarray, cell_seq_mask: jnp.ndarray,
-                    window: int = 0) -> jnp.ndarray:
-    """Boolean [nt, cells] visibility from cache-cell metadata."""
+                    window: int = 0, causal: bool = True) -> jnp.ndarray:
+    """Boolean [nt, cells] visibility from cache-cell metadata.
+    causal=False gives encoder-style bidirectional attention (bert)."""
     seq_ok = ((cell_seq_mask[None, :] >> token_seq[:, None]) & 1) != 0
-    causal = cell_pos[None, :] <= token_pos[:, None]
     live = cell_pos[None, :] >= 0
-    vis = seq_ok & causal & live
+    vis = seq_ok & live
+    if causal:
+        vis = vis & (cell_pos[None, :] <= token_pos[:, None])
     if window > 0:
         vis = vis & (token_pos[:, None] - cell_pos[None, :] < window)
     return vis

@@ -1040,3 +1040,82 @@ def make_jais_weights(rng, E=64, L=2, H=4, F=96, V=160, n_ctx=128):
 
 
 MAKERS.update({"olmo": make_olmo, "nemotron": make_nemotron})
+
+
+# ---------------------------------------------------------------- bert
+
+
+def make_bert(rng, E=64, L=2, H=4, F=128, V=160, n_ctx=128):
+    from transformers import BertConfig, BertModel
+
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "position_embd.weight": w.mat(n_ctx, E),
+        "token_types.weight": w.mat(2, E),
+        "token_embd_norm.weight": w.norm(E),
+        "token_embd_norm.bias": w.vec(E),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_q.weight"] = w.mat(E, E)
+        ws[p + "attn_q.bias"] = w.vec(E)
+        ws[p + "attn_k.weight"] = w.mat(E, E)
+        ws[p + "attn_k.bias"] = w.vec(E)
+        ws[p + "attn_v.weight"] = w.mat(E, E)
+        ws[p + "attn_v.bias"] = w.vec(E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output.bias"] = w.vec(E)
+        ws[p + "attn_output_norm.weight"] = w.norm(E)
+        ws[p + "attn_output_norm.bias"] = w.vec(E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.bias"] = w.vec(F)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_down.bias"] = w.vec(E)
+        ws[p + "layer_output_norm.weight"] = w.norm(E)
+        ws[p + "layer_output_norm.bias"] = w.vec(E)
+    md = {
+        "bert.embedding_length": np.uint32(E),
+        "bert.block_count": np.uint32(L),
+        "bert.attention.head_count": np.uint32(H),
+        "bert.feed_forward_length": np.uint32(F),
+        "bert.context_length": np.uint32(n_ctx),
+        "bert.attention.layer_norm_epsilon": np.float32(1e-5),
+        "bert.attention.causal": False,
+        "bert.vocab_size": np.uint32(V),
+    }
+    cfg = BertConfig(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L, num_attention_heads=H,
+        intermediate_size=F, max_position_embeddings=n_ctx,
+        hidden_act="gelu_new", layer_norm_eps=1e-5,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    m = BertModel(cfg)
+    sd = {
+        "embeddings.word_embeddings.weight": ws["token_embd.weight"],
+        "embeddings.position_embeddings.weight": ws["position_embd.weight"],
+        "embeddings.token_type_embeddings.weight": ws["token_types.weight"],
+        "embeddings.LayerNorm.weight": ws["token_embd_norm.weight"],
+        "embeddings.LayerNorm.bias": ws["token_embd_norm.bias"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"encoder.layer.{i}."
+        sd[hf + "attention.self.query.weight"] = ws[p + "attn_q.weight"]
+        sd[hf + "attention.self.query.bias"] = ws[p + "attn_q.bias"]
+        sd[hf + "attention.self.key.weight"] = ws[p + "attn_k.weight"]
+        sd[hf + "attention.self.key.bias"] = ws[p + "attn_k.bias"]
+        sd[hf + "attention.self.value.weight"] = ws[p + "attn_v.weight"]
+        sd[hf + "attention.self.value.bias"] = ws[p + "attn_v.bias"]
+        sd[hf + "attention.output.dense.weight"] = ws[p + "attn_output.weight"]
+        sd[hf + "attention.output.dense.bias"] = ws[p + "attn_output.bias"]
+        sd[hf + "attention.output.LayerNorm.weight"] = ws[p + "attn_output_norm.weight"]
+        sd[hf + "attention.output.LayerNorm.bias"] = ws[p + "attn_output_norm.bias"]
+        sd[hf + "intermediate.dense.weight"] = ws[p + "ffn_up.weight"]
+        sd[hf + "intermediate.dense.bias"] = ws[p + "ffn_up.bias"]
+        sd[hf + "output.dense.weight"] = ws[p + "ffn_down.weight"]
+        sd[hf + "output.dense.bias"] = ws[p + "ffn_down.bias"]
+        sd[hf + "output.LayerNorm.weight"] = ws[p + "layer_output_norm.weight"]
+        sd[hf + "output.LayerNorm.bias"] = ws[p + "layer_output_norm.bias"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "bert", md, ws, m

@@ -195,3 +195,29 @@ def test_exaone_arch_maps_to_llama_shape(tmp_path):
     cfg = config_from_metadata(md)
     assert cfg.arch == "exaone" and cfg.n_embd == 64
     assert cfg.rope_type == ROPE_TYPE_NEOX and cfg.use_rms_norm
+
+
+def test_bert_hidden_states_match_transformers(tmp_path):
+    """bert encoder: bidirectional post-norm blocks; our final hidden
+    states must match BertModel.last_hidden_state."""
+    import torch
+    from tests.arch_fixtures import make_bert
+
+    rng = np.random.default_rng(8)
+    arch, md, ws, hf = make_bert(rng)
+    path = tmp_path / "bert.gguf"
+    write_arch_gguf(path, arch, md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert not cfg.causal_attn and cfg.post_norm
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+
+    toks = np.array([3, 17, 42, 9, 101, 55], np.int32)
+    rc = ctx.decode(Batch.single(toks, logits_last_only=False))
+    assert rc == 0
+    ours = ctx.get_embeddings(pooling="none")  # [n, E] final hidden
+
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(toks[None].astype(np.int64))
+                    ).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
