@@ -13,6 +13,7 @@ from typing import Optional
 
 _REPO = Path(__file__).resolve().parent.parent
 _SRC = _REPO / "native" / "repack.cpp"
+_SRC_TOK = _REPO / "native" / "tokenizer.cpp"
 _LIB_DIR = Path(os.environ.get("LKTPU_NATIVE_DIR", _REPO / "native" / "build"))
 _LIB = _LIB_DIR / "liblktpu_native.so"
 
@@ -22,11 +23,14 @@ _tried = False
 
 
 def _build() -> bool:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    srcs = [s for s in (_SRC, _SRC_TOK) if s.exists()]
+    newest = max(s.stat().st_mtime for s in srcs)
+    if _LIB.exists() and _LIB.stat().st_mtime >= newest:
         return True
     _LIB_DIR.mkdir(parents=True, exist_ok=True)
     for flags in (["-O3", "-march=native"], ["-O3"]):
-        cmd = ["c++", "-shared", "-fPIC", *flags, str(_SRC), "-o", str(_LIB)]
+        cmd = ["c++", "-shared", "-fPIC", *flags,
+               *[str(s) for s in srcs], "-o", str(_LIB)]
         try:
             r = subprocess.run(cmd, capture_output=True, timeout=180)
             if r.returncode == 0:
@@ -57,5 +61,61 @@ def get_native() -> Optional[ctypes.CDLL]:
         lib.repack_q4_0.argtypes = [p, i64, i64, i64, p, p]
         lib.repack_q4_k.argtypes = [p, i64, i64, i64, p, p, p, p, p]
         lib.repack_q6_k.argtypes = [p, i64, i64, i64, p, p, p]
+        i32 = ctypes.c_int32
+        if hasattr(lib, "spm_create"):
+            lib.spm_create.argtypes = [p, p, i32, p, p, i32]
+            lib.spm_create.restype = p
+            lib.spm_destroy.argtypes = [p]
+            lib.spm_encode.argtypes = [p, p, i32, p, i32]
+            lib.spm_encode.restype = i32
         _lib = lib
         return _lib
+
+
+class NativeSpm:
+    """ctypes wrapper over the C++ SPM core (native/tokenizer.cpp)."""
+
+    def __init__(self, lib: ctypes.CDLL, tokens: list[str], scores, types,
+                 unk_id: int):
+        import numpy as np
+
+        self._lib = lib
+        enc = [t.encode("utf-8") for t in tokens]
+        blob = b"".join(enc)
+        offsets = np.zeros(len(enc) + 1, np.int32)
+        np.cumsum([len(e) for e in enc], out=offsets[1:])
+        self._blob = blob  # keep alive
+        self._offsets = offsets
+        self._scores = np.ascontiguousarray(scores, np.float32)
+        self._types = (np.ascontiguousarray(types, np.int32)
+                       if types is not None else np.ones(len(enc), np.int32))
+        self._h = lib.spm_create(
+            blob, self._offsets.ctypes.data, len(enc),
+            self._scores.ctypes.data, self._types.ctypes.data, int(unk_id))
+        self._np = np
+
+    def encode_fragment(self, escaped: str) -> list[int]:
+        data = escaped.encode("utf-8")
+        cap = max(16, 2 * len(data))
+        out = self._np.zeros(cap, self._np.int32)
+        n = self._lib.spm_encode(self._h, data, len(data), out.ctypes.data, cap)
+        if n < 0:  # buffer too small (pathological): retry sized
+            out = self._np.zeros(-n, self._np.int32)
+            n = self._lib.spm_encode(self._h, data, len(data), out.ctypes.data, -n)
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.spm_destroy(self._h)
+        except Exception:
+            pass
+
+
+def get_native_spm(tokens, scores, types, unk_id) -> Optional[NativeSpm]:
+    lib = get_native()
+    if lib is None or scores is None or not hasattr(lib, "spm_create"):
+        return None
+    try:
+        return NativeSpm(lib, tokens, scores, types, unk_id)
+    except Exception:
+        return None

@@ -21,8 +21,14 @@ SPACE_ESCAPE = "▁"
 
 
 class SPMTokenizer:
-    def __init__(self, vocab: Vocab):
+    def __init__(self, vocab: Vocab, use_native: bool = True):
         self.vocab = vocab
+        self._native = None
+        if use_native and vocab.scores is not None:
+            from llama_kotlin_tpu.native import get_native_spm
+
+            self._native = get_native_spm(vocab.tokens, vocab.scores,
+                                          vocab.token_type, vocab.unk_id)
 
     # -- encode --------------------------------------------------------------
 
@@ -52,6 +58,9 @@ class SPMTokenizer:
         v = self.vocab
         text = text.replace(" ", SPACE_ESCAPE)
         if not text:
+            return
+        if self._native is not None:
+            out.extend(self._native.encode_fragment(text))
             return
         # symbols start as single unicode chars
         syms: list[str] = list(text)

@@ -1,0 +1,153 @@
+// Native SPM tokenizer core (C ABI, loaded via ctypes).
+//
+// Parity target: llm_tokenizer_spm (reference src/llama-vocab.cpp:190) —
+// greedy bigram merging by piece score with byte fallback, the host-side
+// hot loop of prompt processing.  The algorithm and tie-breaking replicate
+// tokenizer/spm.py exactly (heap ordered by (-score, left, right, llen,
+// rlen)), so native and Python paths produce identical ids.
+//
+// Build: c++ -O3 -shared -fPIC tokenizer.cpp -o liblktpu_tok.so
+
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct SpmVocab {
+    std::unordered_map<std::string, int32_t> token_to_id;
+    std::vector<float> scores;
+    int32_t unk_id = 0;
+    int32_t byte_ids[256];
+};
+
+struct Bigram {
+    float neg_score;
+    int32_t left, right;
+    int32_t llen, rlen;
+    bool operator>(const Bigram& o) const {  // min-heap on the python tuple
+        if (neg_score != o.neg_score) return neg_score > o.neg_score;
+        if (left != o.left) return left > o.left;
+        if (right != o.right) return right > o.right;
+        if (llen != o.llen) return llen > o.llen;
+        return rlen > o.rlen;
+    }
+};
+
+int utf8_len(unsigned char b) {
+    if (b < 0x80) return 1;
+    if ((b >> 5) == 0x6) return 2;
+    if ((b >> 4) == 0xE) return 3;
+    if ((b >> 3) == 0x1E) return 4;
+    return 1;
+}
+
+void resegment(const SpmVocab* v, const std::string& sym,
+               const std::unordered_map<std::string, std::pair<std::string, std::string>>& rev,
+               std::vector<int32_t>& out) {
+    auto it = v->token_to_id.find(sym);
+    if (it != v->token_to_id.end()) {
+        out.push_back(it->second);
+        return;
+    }
+    auto r = rev.find(sym);
+    if (r == rev.end()) {
+        for (unsigned char b : sym) {
+            if (v->byte_ids[b] >= 0) {
+                out.push_back(v->byte_ids[b]);
+            } else {
+                auto c = v->token_to_id.find(std::string(1, (char)b));
+                out.push_back(c != v->token_to_id.end() ? c->second : v->unk_id);
+            }
+        }
+        return;
+    }
+    resegment(v, r->second.first, rev, out);
+    resegment(v, r->second.second, rev, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* spm_create(const char* blob, const int32_t* offsets, int32_t n,
+                 const float* scores, const int32_t* types, int32_t unk_id) {
+    auto* v = new SpmVocab();
+    v->unk_id = unk_id;
+    v->scores.assign(scores, scores + n);
+    for (int i = 0; i < 256; i++) v->byte_ids[i] = -1;
+    for (int32_t i = 0; i < n; i++) {
+        std::string s(blob + offsets[i], blob + offsets[i + 1]);
+        v->token_to_id[s] = i;  // last occurrence wins, like the python dict
+        if (types && types[i] == 6 && s.size() == 6 && s[0] == '<' && s[1] == '0'
+            && (s[2] == 'x' || s[2] == 'X') && s[5] == '>') {
+            int hi = std::isdigit(s[3]) ? s[3] - '0' : (std::toupper(s[3]) - 'A' + 10);
+            int lo = std::isdigit(s[4]) ? s[4] - '0' : (std::toupper(s[4]) - 'A' + 10);
+            v->byte_ids[hi * 16 + lo] = i;
+        }
+    }
+    return v;
+}
+
+void spm_destroy(void* h) { delete static_cast<SpmVocab*>(h); }
+
+// Tokenize one pre-escaped fragment (spaces already replaced by U+2581).
+// Returns the number of ids written (or -needed if out buffer too small).
+int32_t spm_encode(void* h, const char* text, int32_t text_len,
+                   int32_t* out_ids, int32_t max_out) {
+    const auto* v = static_cast<SpmVocab*>(h);
+    if (text_len == 0) return 0;
+
+    // symbols start as single codepoints, linked by prev/next
+    struct Sym { std::string s; int prev, next; bool alive; };
+    std::vector<Sym> syms;
+    for (int i = 0; i < text_len;) {
+        int l = std::min(utf8_len((unsigned char)text[i]), text_len - i);
+        syms.push_back({std::string(text + i, text + i + l),
+                        (int)syms.size() - 1, (int)syms.size() + 1, true});
+        i += l;
+    }
+
+    std::priority_queue<Bigram, std::vector<Bigram>, std::greater<Bigram>> heap;
+    std::unordered_map<std::string, std::pair<std::string, std::string>> rev;
+
+    auto try_add = [&](int li, int ri) {
+        if (li < 0 || ri >= (int)syms.size()) return;
+        std::string cat = syms[li].s + syms[ri].s;
+        auto it = v->token_to_id.find(cat);
+        if (it == v->token_to_id.end() || it->second >= (int32_t)v->scores.size())
+            return;
+        heap.push({-v->scores[it->second], li, ri,
+                   (int32_t)syms[li].s.size(), (int32_t)syms[ri].s.size()});
+    };
+    for (int i = 0; i + 1 < (int)syms.size(); i++) try_add(i, i + 1);
+
+    while (!heap.empty()) {
+        Bigram b = heap.top();
+        heap.pop();
+        if (!syms[b.left].alive || !syms[b.right].alive) continue;
+        if ((int32_t)syms[b.left].s.size() != b.llen ||
+            (int32_t)syms[b.right].s.size() != b.rlen) continue;  // stale
+        std::string merged = syms[b.left].s + syms[b.right].s;
+        rev[merged] = {syms[b.left].s, syms[b.right].s};
+        syms[b.left].s = merged;
+        syms[b.right].alive = false;
+        syms[b.left].next = syms[b.right].next;
+        if (syms[b.right].next < (int)syms.size())
+            syms[syms[b.right].next].prev = b.left;
+        try_add(syms[b.left].prev, b.left);
+        if (syms[b.left].next < (int)syms.size()) try_add(b.left, syms[b.left].next);
+    }
+
+    std::vector<int32_t> out;
+    for (const auto& s : syms)
+        if (s.alive) resegment(v, s.s, rev, out);
+    if ((int32_t)out.size() > max_out) return -(int32_t)out.size();
+    std::memcpy(out_ids, out.data(), out.size() * sizeof(int32_t));
+    return (int32_t)out.size();
+}
+
+}  // extern "C"

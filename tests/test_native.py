@@ -49,3 +49,30 @@ def test_native_used_by_default(rng):
     from llama_kotlin_tpu.quant.qtensor import dequantize
 
     np.testing.assert_array_equal(np.asarray(dequantize(out)), ref_f)
+
+
+def test_native_spm_matches_python():
+    """Native C++ SPM produces identical ids to the pure-python path on
+    fuzzed inputs (same heap ordering / byte fallback)."""
+    from llama_kotlin_tpu.native import get_native
+    from llama_kotlin_tpu.tokenizer.spm import SPMTokenizer
+    from tests.fixtures import spm_vocab_kvs
+    from llama_kotlin_tpu.tokenizer.vocab import vocab_from_metadata
+
+    if get_native() is None:
+        pytest.skip("no native toolchain")
+    md = spm_vocab_kvs(160)
+    v = vocab_from_metadata({f"tokenizer.ggml.{k.split('.')[-1]}" if False else k: val
+                             for k, val in md.items()})
+    nat = SPMTokenizer(v, use_native=True)
+    py = SPMTokenizer(v, use_native=False)
+    assert nat._native is not None
+    import random
+    rng = random.Random(0)
+    alphabet = "abcdefghij mnop.,!? xyz"
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        assert nat.encode(s) == py.encode(s), s
+    # multibyte + byte-fallback path
+    for s in ["héllo wörld", "日本語 text", "a\x00b", "  spaces  "]:
+        assert nat.encode(s) == py.encode(s), s
