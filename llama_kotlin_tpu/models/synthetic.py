@@ -40,7 +40,7 @@ def synthetic_q8flat(rng, n: int, k: int, scale: float = 0.02):
     from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
 
     k_pad = (k + SPAN - 1) // SPAN * SPAN
-    codes = rng.integers(-127, 128, (n, k_pad)).astype(np.int8)
+    codes = rng.integers(-127, 128, (n, k_pad), dtype=np.int8)
     scales = (rng.random((n, k_pad // SPAN), np.float32) * scale / 127.0).astype(np.float32)
     return QTensor(codes=codes, g_scale=scales, g_min=None, sb_scale=None,
                    sb_min=None, qtype=GGMLQuantType.Q8_0, bits=8,
@@ -60,7 +60,7 @@ def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 
     g = probe.group_size
 
     cols = k_pad // SPAN * probe.codes.shape[1]  # probe has exactly one span
-    codes = rng.integers(0, 256, (n, cols)).astype(np.uint8)
+    codes = rng.integers(0, 256, (n, cols), dtype=np.uint8)
     if probe.codes.dtype == np.int8:
         codes = (codes.view(np.int8) // 4).astype(np.int8)  # keep magnitudes sane
     elif probe.bits == 8:
