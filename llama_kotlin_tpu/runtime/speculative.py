@@ -130,6 +130,143 @@ def speculative_generate(
     return out[:n_predict], stats
 
 
+def speculative_generate_tree(
+    target: LlamaContext,
+    draft: LlamaContext,
+    prompt_tokens,
+    n_predict: int,
+    n_draft: int = 5,
+    n_branches: int = 4,
+    p_split: float = 0.1,
+    eos_id: int = -1,
+) -> tuple[list[int], SpecStats]:
+    """Tree-draft speculative decoding (parity: speculative.cpp seq_draft
+    branches with p_split forking).
+
+    When the draft's second-best token has probability > p_split * best, the
+    draft forks a new branch (seq_cp) and both continuations are verified by
+    the target in ONE batch — tree nodes share cache cells across branches
+    via seq bitmasks (same machinery as lookahead decoding).  Greedy target
+    verification keeps the output identical to plain greedy decoding.
+    """
+    assert target.n_seq_max > n_branches and draft.n_seq_max > n_branches
+    prompt_tokens = np.asarray(prompt_tokens, np.int32)
+    for c in (target, draft):
+        c.clear()
+        rc = c.decode(Batch.single(prompt_tokens))
+        if rc != 0:
+            raise RuntimeError("prefill failed")
+    stats = SpecStats()
+    out: list[int] = []
+    last = _greedy(target.get_logits()[0])
+    stats.n_target_calls += 1
+    out.append(last)
+    n_past = len(prompt_tokens)
+    all_branch_mask = np.int32(sum(1 << b for b in range(1, n_branches + 1)))
+
+    def softmax(x):
+        e = np.exp(x - x.max())
+        return e / e.sum()
+
+    while len(out) < n_predict and last != eos_id:
+        for c in (target, draft):
+            for b in range(1, n_branches + 1):
+                c.seq_cp(0, b)
+
+        # -- draft phase: grow a token tree ---------------------------------
+        # paths[b] = tokens decoded into the draft cache along branch b
+        paths: dict[int, list[int]] = {1: []}
+        next_tok: dict[int, int] = {1: int(last)}
+        n_free = n_branches - 1
+        ok = True
+        for _depth in range(n_draft):
+            active = [b for b in paths if len(paths[b]) == _depth]
+            if not active:
+                break
+            toks = np.array([next_tok[b] for b in active], np.int32)
+            pos = np.array([n_past + _depth] * len(active), np.int32)
+            seqs = np.array(active, np.int32)
+            mask = (np.int32(1) << seqs) if _depth > 0 else \
+                np.full(len(active), all_branch_mask, np.int32)
+            rc = draft.decode(Batch(toks, pos, seqs, np.ones(len(active), bool),
+                                    mask))
+            if rc != 0:
+                ok = False
+                break
+            logits = draft.get_logits()
+            for i, b in enumerate(active):
+                paths[b].append(next_tok[b])
+                p = softmax(logits[i].astype(np.float64))
+                top2 = np.argsort(-p)[:2]
+                next_tok[b] = int(top2[0])
+                if n_free > 0 and p[top2[1]] > p_split * p[top2[0]]:
+                    nb = next(x for x in range(1, n_branches + 1) if x not in paths)
+                    draft.seq_cp(b, nb)
+                    paths[nb] = list(paths[b])
+                    next_tok[nb] = int(top2[1])
+                    n_free -= 1
+        if not ok or not any(paths.values()):
+            # cache exhausted or nothing drafted: plain decode of `last`
+            target.seq_rm(-1, n_past, -1)
+            draft.seq_rm(-1, n_past, -1)
+            rc = target.decode(Batch(tokens=[last], pos=[n_past], seq_id=[0],
+                                     output=[True]))
+            if rc != 0:
+                break
+            last = _greedy(target.get_logits()[0])
+            stats.n_target_calls += 1
+            out.append(last)
+            n_past += 1
+            continue
+
+        # -- build the node tree (keyed by root-relative token prefix) ------
+        nodes: dict[tuple, dict] = {(): {"token": int(last), "branches": set(paths)}}
+        for b, path in paths.items():
+            for i in range(len(path) - 1):
+                # path[0] == last == root; node i+1 holds path[i+1]
+                key = tuple(path[1 : i + 2])
+                nd = nodes.setdefault(key, {"token": path[i + 1], "branches": set()})
+                nd["branches"].add(b)
+        stats.n_drafted += len(nodes) - 1
+
+        # -- target verifies the whole tree in one batch --------------------
+        keys = sorted(nodes, key=len)
+        toks = np.array([nodes[k]["token"] for k in keys], np.int32)
+        pos = np.array([n_past + len(k) for k in keys], np.int32)
+        seqs = np.array([min(nodes[k]["branches"]) for k in keys], np.int32)
+        mask = np.array([sum(1 << b for b in nodes[k]["branches"]) for k in keys],
+                        np.int32)
+        rc = target.decode(Batch(toks, pos, seqs, np.ones(len(keys), bool), mask))
+        stats.n_target_calls += 1
+        if rc != 0:
+            break
+        t_logits = target.get_logits()
+        row_of = {k: i for i, k in enumerate(keys)}
+
+        cur: tuple = ()
+        while True:
+            t = _greedy(t_logits[row_of[cur]])
+            out.append(t)
+            child = cur + (t,)
+            if (child in nodes and t != eos_id
+                    and len(out) < n_predict):
+                stats.n_accepted += 1
+                cur = child
+            else:
+                break
+        best = min(nodes[cur]["branches"])
+        n_past = n_past + len(cur) + 1
+        last = out[-1]
+
+        # -- keep the accepted branch, drop the rest (lookahead epilogue) ---
+        for c in (target, draft):
+            c.seq_rm(-1, n_past, -1)
+            c.seq_keep(best)
+            c.seq_cp(best, 0)
+            c.seq_rm(best)
+    return out[:n_predict], stats
+
+
 # -- prompt-lookup (ngram) drafting ------------------------------------------
 
 

@@ -110,3 +110,32 @@ def test_lookahead_accepts_repetition(model):
     ref = _plain_greedy(_ctx(model), prompt, 24)
     out, stats = lookahead_generate(_ctx(model), prompt, 24, W=4, N=3, G=4)
     assert out == ref
+
+
+def test_tree_speculative_matches_greedy(model):
+    """Tree-draft speculative decoding (p_split forking) is lossless:
+    greedy tree-spec == plain greedy of the target."""
+    from llama_kotlin_tpu.runtime.speculative import speculative_generate_tree
+
+    prompt = [3, 17, 42, 9]
+    ref = _plain_greedy(_ctx(model), prompt, 14)
+    out, stats = speculative_generate_tree(
+        _ctx(model), _ctx(model), prompt, 14,
+        n_draft=4, n_branches=3, p_split=1.0,  # fork aggressively
+    )
+    assert out == ref
+    assert stats.n_drafted > 0
+    # same-model draft: acceptance must be high
+    assert stats.accept_rate > 0.4
+
+
+def test_tree_speculative_single_branch_degenerates_to_chain(model):
+    from llama_kotlin_tpu.runtime.speculative import speculative_generate_tree
+
+    prompt = [5, 9, 3, 88]
+    ref = _plain_greedy(_ctx(model), prompt, 10)
+    out, stats = speculative_generate_tree(
+        _ctx(model), _ctx(model), prompt, 10, n_draft=4, n_branches=1,
+        p_split=0.0,
+    )
+    assert out == ref
