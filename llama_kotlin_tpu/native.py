@@ -68,6 +68,12 @@ def get_native() -> Optional[ctypes.CDLL]:
             lib.spm_destroy.argtypes = [p]
             lib.spm_encode.argtypes = [p, p, i32, p, i32]
             lib.spm_encode.restype = i32
+        if hasattr(lib, "bpe_create"):
+            lib.bpe_create.argtypes = [p, p, i32, p, p, i32]
+            lib.bpe_create.restype = p
+            lib.bpe_destroy.argtypes = [p]
+            lib.bpe_word.argtypes = [p, p, i32, p, i32]
+            lib.bpe_word.restype = i32
         _lib = lib
         return _lib
 
@@ -117,5 +123,53 @@ def get_native_spm(tokens, scores, types, unk_id) -> Optional[NativeSpm]:
         return None
     try:
         return NativeSpm(lib, tokens, scores, types, unk_id)
+    except Exception:
+        return None
+
+
+class NativeBpe:
+    """ctypes wrapper over the C++ BPE merge core (native/tokenizer.cpp)."""
+
+    def __init__(self, lib: ctypes.CDLL, tokens: list[str], merges: list[str]):
+        import numpy as np
+
+        self._lib = lib
+        self._np = np
+
+        def pack(strs):
+            enc = [s.encode("utf-8") for s in strs]
+            blob = b"".join(enc)
+            off = np.zeros(len(enc) + 1, np.int32)
+            np.cumsum([len(e) for e in enc], out=off[1:])
+            return blob, off
+
+        self._vb, self._vo = pack(tokens)
+        self._mb, self._mo = pack(merges)
+        self._h = lib.bpe_create(self._vb, self._vo.ctypes.data, len(tokens),
+                                 self._mb, self._mo.ctypes.data, len(merges))
+
+    def word(self, u: str) -> list[int]:
+        data = u.encode("utf-8")
+        cap = max(16, 2 * len(data))
+        out = self._np.zeros(cap, self._np.int32)
+        n = self._lib.bpe_word(self._h, data, len(data), out.ctypes.data, cap)
+        if n < 0:
+            out = self._np.zeros(-n, self._np.int32)
+            n = self._lib.bpe_word(self._h, data, len(data), out.ctypes.data, -n)
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.bpe_destroy(self._h)
+        except Exception:
+            pass
+
+
+def get_native_bpe(tokens, merges) -> Optional["NativeBpe"]:
+    lib = get_native()
+    if lib is None or not merges or not hasattr(lib, "bpe_create"):
+        return None
+    try:
+        return NativeBpe(lib, tokens, merges)
     except Exception:
         return None

@@ -119,8 +119,13 @@ def regex_split(text: str, patterns: list[str]) -> list[str]:
 
 
 class BPETokenizer:
-    def __init__(self, vocab: Vocab):
+    def __init__(self, vocab: Vocab, use_native: bool = True):
         self.vocab = vocab
+        self._native = None
+        if use_native and vocab.merges:
+            from llama_kotlin_tpu.native import get_native_bpe
+
+            self._native = get_native_bpe(vocab.tokens, vocab.merges)
         self.ranks: dict[tuple[str, str], int] = {}
         for i, merge in enumerate(vocab.merges):
             a, _, b = merge.partition(" ")
@@ -156,6 +161,9 @@ class BPETokenizer:
             if tid is not None:
                 out.append(tid)
                 return
+        if self._native is not None:
+            out.extend(self._native.word(u))
+            return
         syms = [c for c in u]
         while len(syms) > 1:
             best_rank = None

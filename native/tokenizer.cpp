@@ -151,3 +151,86 @@ int32_t spm_encode(void* h, const char* text, int32_t text_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- BPE core
+//
+// Parity target: llm_tokenizer_bpe's rank-greedy merge (reference
+// src/llama-vocab.cpp:355).  Operates on byte-to-unicode-mapped words
+// (the python side does the regex pre-tokenization and byte mapping).
+
+namespace {
+
+struct BpeVocab {
+    std::unordered_map<std::string, int32_t> token_to_id;
+    std::unordered_map<std::string, int32_t> ranks;  // "a\x1fb" -> rank
+};
+
+int cp_len(const std::string& s, size_t i) {
+    return utf8_len((unsigned char)s[i]);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bpe_create(const char* vblob, const int32_t* voff, int32_t nv,
+                 const char* mblob, const int32_t* moff, int32_t nm) {
+    auto* v = new BpeVocab();
+    for (int32_t i = 0; i < nv; i++)
+        v->token_to_id[std::string(vblob + voff[i], vblob + voff[i + 1])] = i;
+    for (int32_t i = 0; i < nm; i++) {
+        std::string m(mblob + moff[i], mblob + moff[i + 1]);
+        size_t sp = m.find(' ');
+        if (sp == std::string::npos) continue;
+        v->ranks[m.substr(0, sp) + '\x1f' + m.substr(sp + 1)] = i;
+    }
+    return v;
+}
+
+void bpe_destroy(void* h) { delete static_cast<BpeVocab*>(h); }
+
+int32_t bpe_word(void* h, const char* word, int32_t len,
+                 int32_t* out_ids, int32_t max_out) {
+    const auto* v = static_cast<BpeVocab*>(h);
+    std::string u(word, word + len);
+    // split into codepoint symbols
+    std::vector<std::string> syms;
+    for (size_t i = 0; i < u.size();) {
+        size_t l = std::min<size_t>(cp_len(u, i), u.size() - i);
+        syms.emplace_back(u, i, l);
+        i += l;
+    }
+    while (syms.size() > 1) {
+        int32_t best_rank = INT32_MAX;
+        int best_i = -1;
+        for (size_t i = 0; i + 1 < syms.size(); i++) {
+            auto it = v->ranks.find(syms[i] + '\x1f' + syms[i + 1]);
+            if (it != v->ranks.end() && it->second < best_rank) {
+                best_rank = it->second;
+                best_i = (int)i;
+            }
+        }
+        if (best_i < 0) break;
+        syms[best_i] += syms[best_i + 1];
+        syms.erase(syms.begin() + best_i + 1);
+    }
+    std::vector<int32_t> out;
+    for (const auto& s : syms) {
+        auto it = v->token_to_id.find(s);
+        if (it != v->token_to_id.end()) {
+            out.push_back(it->second);
+            continue;
+        }
+        for (size_t i = 0; i < s.size();) {  // per-codepoint fallback
+            size_t l = std::min<size_t>(cp_len(s, i), s.size() - i);
+            auto c = v->token_to_id.find(s.substr(i, l));
+            if (c != v->token_to_id.end()) out.push_back(c->second);
+            i += l;
+        }
+    }
+    if ((int32_t)out.size() > max_out) return -(int32_t)out.size();
+    std::memcpy(out_ids, out.data(), out.size() * sizeof(int32_t));
+    return (int32_t)out.size();
+}
+
+}  // extern "C"

@@ -76,3 +76,32 @@ def test_native_spm_matches_python():
     # multibyte + byte-fallback path
     for s in ["héllo wörld", "日本語 text", "a\x00b", "  spaces  "]:
         assert nat.encode(s) == py.encode(s), s
+
+
+def test_native_bpe_matches_python():
+    """Native C++ BPE merge produces identical ids to pure python."""
+    from llama_kotlin_tpu.native import get_native
+    from llama_kotlin_tpu.tokenizer.bpe import BPETokenizer, bytes_to_unicode
+    from llama_kotlin_tpu.tokenizer.vocab import Vocab
+
+    if get_native() is None:
+        pytest.skip("no native toolchain")
+    b2u = bytes_to_unicode()
+    # small byte-level vocab: all mapped bytes + some merges
+    base = [b2u[b] for b in range(256)]
+    merges = ["h e", "l l", "he ll", "hell o", "w o", "wo r", "wor l",
+              "worl d", "Ġ w", "Ġ h"]
+    extra = [m.replace(" ", "") for m in merges]
+    tokens = base + extra
+    v = Vocab(model="gpt2", tokens=tokens, merges=merges, bos_id=-1, eos_id=-1,
+              add_bos=False)
+    nat = BPETokenizer(v, use_native=True)
+    py = BPETokenizer(v, use_native=False)
+    assert nat._native is not None
+    import random
+    rng = random.Random(1)
+    for _ in range(200):
+        s = "".join(rng.choice("helo wrd xyz.!?") for _ in range(rng.randrange(0, 40)))
+        assert nat.encode(s, add_special=False) == py.encode(s, add_special=False), s
+    for s in ["hello world", "héllo wörld", "日本語", "  hh  "]:
+        assert nat.encode(s, add_special=False) == py.encode(s, add_special=False), s
