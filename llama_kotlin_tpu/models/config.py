@@ -133,7 +133,7 @@ def config_from_metadata(md: dict) -> ModelConfig:
     """Build a ModelConfig from GGUF metadata KVs (cf. llm_load_hparams)."""
     arch = md.get("general.architecture", "llama")
     n_embd = int(_get(md, arch, "embedding_length", 4096))
-    n_head = int(_get(md, arch, "attention.head_count", 32))
+    n_head = int(_get(md, arch, "attention.head_count", 32)) or 1  # mamba: 0
     n_layer = int(_get(md, arch, "block_count", 32))
     cfg = ModelConfig(
         arch=arch,
@@ -233,6 +233,17 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.act = "gelu"
         cfg.ffn_gated = False
         cfg.rope_type = ROPE_TYPE_NONE
+    if arch == "mamba":
+        # cf. llm_load_hparams LLM_ARCH_MAMBA (ssm_* keys)
+        cfg.extra.update(
+            ssm_d_conv=int(_get(md, arch, "ssm.conv_kernel", 4) or 4),
+            ssm_d_inner=int(_get(md, arch, "ssm.inner_size", 2 * n_embd)
+                            or 2 * n_embd),
+            ssm_d_state=int(_get(md, arch, "ssm.state_size", 16) or 16),
+            ssm_dt_rank=int(_get(md, arch, "ssm.time_step_rank",
+                                 (n_embd + 15) // 16) or ((n_embd + 15) // 16)),
+            ssm_dt_b_c_rms=bool(_get(md, arch, "ssm.dt_b_c_rms", False)),
+        )
     if arch == "olmo":
         # non-parametric LayerNorm (build_olmo passes NULL norm weights)
         cfg.use_rms_norm = False

@@ -59,6 +59,16 @@ _LAYER_TENSORS = {
     "attn_kv_b.weight": "wkv_b",
     "attn_q_a_norm.weight": "attn_q_a_norm",
     "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    # mamba SSM block (cf. llm_build_mamba tensor table)
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "ssm_conv1d",
+    "ssm_conv1d.bias": "ssm_conv1d_b",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_b",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
     # bert post-norm blocks (cf. build_bert)
     "attn_output_norm.weight": "attn_out_norm",
     "attn_output_norm.bias": "attn_out_norm_b",
@@ -97,6 +107,7 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "bq", "bk", "bv", "bo", "ffn_gate_inp", "ffn_gate_inp_shexp",
                  "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
                  "attn_q_a_norm", "attn_kv_a_norm",
+                 "ssm_conv1d", "ssm_conv1d_b", "ssm_dt_b", "ssm_a", "ssm_d",
                  "attn_out_norm", "attn_out_norm_b", "layer_out_norm",
                  "layer_out_norm_b", "token_types_embd",
                  "attn_sub_norm", "ffn_sub_norm", "wq_scale", "wk_scale",

@@ -49,7 +49,7 @@ ARCHES = [
     ArchInfo("jais", "supported", "LayerNorm + ALiBi + biased gated swiglu"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
-    ArchInfo("mamba", "out-of-scope", "SSM scan; round-3+ per SURVEY non-goals"),
+    ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),
     ArchInfo("bitnet", "supported", "per-projection scalar scales, attn/ffn sub-norms, tied head"),
 ]
 

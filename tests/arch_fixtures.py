@@ -1119,3 +1119,71 @@ def make_bert(rng, E=64, L=2, H=4, F=128, V=160, n_ctx=128):
     m.load_state_dict(_to_torch(sd), strict=False)
     m.eval()
     return "bert", md, ws, m
+
+
+# --------------------------------------------------------------- mamba
+
+
+def make_mamba(rng, E=64, L=2, V=160, d_state=16, d_conv=4, expand=2, n_ctx=128):
+    from transformers import MambaConfig, MambaForCausalLM
+
+    di = expand * E
+    dtr = max(1, E // 16)
+    w = _W(rng)
+    ws = {
+        "token_embd.weight": w.mat(V, E),
+        "output_norm.weight": w.norm(E),
+    }
+    hf_alog = {}
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "ssm_in.weight"] = w.mat(2 * di, E)
+        ws[p + "ssm_conv1d.weight"] = w.mat(di, d_conv)
+        ws[p + "ssm_conv1d.bias"] = w.vec(di)
+        ws[p + "ssm_x.weight"] = w.mat(dtr + 2 * d_state, di)
+        ws[p + "ssm_dt.weight"] = w.mat(di, dtr)
+        ws[p + "ssm_dt.bias"] = w.vec(di)
+        hf_alog[i] = np.log(1.0 + rng.random((di, d_state)).astype(np.float32) * 15)
+        ws[p + "ssm_a"] = -np.exp(hf_alog[i])  # converter stores A = -exp(A_log)
+        ws[p + "ssm_d"] = (1.0 + 0.1 * rng.standard_normal(di)).astype(np.float32)
+        ws[p + "ssm_out.weight"] = w.mat(E, di)
+    md = {
+        "mamba.embedding_length": np.uint32(E),
+        "mamba.block_count": np.uint32(L),
+        "mamba.attention.head_count": np.uint32(0),
+        "mamba.context_length": np.uint32(n_ctx),
+        "mamba.feed_forward_length": np.uint32(0),
+        "mamba.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+        "mamba.ssm.conv_kernel": np.uint32(d_conv),
+        "mamba.ssm.inner_size": np.uint32(di),
+        "mamba.ssm.state_size": np.uint32(d_state),
+        "mamba.ssm.time_step_rank": np.uint32(dtr),
+        "mamba.vocab_size": np.uint32(V),
+    }
+    cfg = MambaConfig(
+        vocab_size=V, hidden_size=E, state_size=d_state, num_hidden_layers=L,
+        conv_kernel=d_conv, expand=expand, time_step_rank=dtr,
+        use_bias=False, use_conv_bias=True, layer_norm_epsilon=1e-5,
+        tie_word_embeddings=True,
+    )
+    m = MambaForCausalLM(cfg)
+    sd = {
+        "backbone.embeddings.weight": ws["token_embd.weight"],
+        "backbone.norm_f.weight": ws["output_norm.weight"],
+    }
+    for i in range(L):
+        p, hf = f"blk.{i}.", f"backbone.layers.{i}."
+        sd[hf + "norm.weight"] = ws[p + "attn_norm.weight"]
+        sd[hf + "mixer.in_proj.weight"] = ws[p + "ssm_in.weight"]
+        sd[hf + "mixer.conv1d.weight"] = ws[p + "ssm_conv1d.weight"][:, None, :]
+        sd[hf + "mixer.conv1d.bias"] = ws[p + "ssm_conv1d.bias"]
+        sd[hf + "mixer.x_proj.weight"] = ws[p + "ssm_x.weight"]
+        sd[hf + "mixer.dt_proj.weight"] = ws[p + "ssm_dt.weight"]
+        sd[hf + "mixer.dt_proj.bias"] = ws[p + "ssm_dt.bias"]
+        sd[hf + "mixer.A_log"] = hf_alog[i]
+        sd[hf + "mixer.D"] = ws[p + "ssm_d"]
+        sd[hf + "mixer.out_proj.weight"] = ws[p + "ssm_out.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "mamba", md, ws, m

@@ -221,3 +221,35 @@ def test_bert_hidden_states_match_transformers(tmp_path):
         theirs = hf(torch.from_numpy(toks[None].astype(np.int64))
                     ).last_hidden_state[0].numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
+
+
+def test_mamba_logits_match_transformers(tmp_path):
+    """mamba SSM: full-prefill logits parity vs MambaForCausalLM, plus
+    recurrent-state incremental decode == prefill."""
+    import torch
+    from tests.arch_fixtures import make_mamba
+    from llama_kotlin_tpu.models.mamba import MambaContext
+
+    rng = np.random.default_rng(17)
+    arch, md, ws, hf = make_mamba(rng)
+    path = tmp_path / "mamba.gguf"
+    write_arch_gguf(path, arch, md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.arch == "mamba" and cfg.extra["ssm_d_state"] == 16
+
+    ctx = MambaContext(cfg, params)
+    toks = np.array([3, 17, 42, 9, 101, 55], np.int32)
+    ctx.decode(toks)
+    ours = ctx.get_logits()[0]  # [T, V]
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(toks[None].astype(np.int64))).logits[0].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-3, rtol=5e-3)
+
+    # incremental recurrence matches the parallel prefill
+    ctx2 = MambaContext(cfg, params)
+    steps = []
+    for t in toks:
+        ctx2.decode(np.array([t], np.int32))
+        steps.append(ctx2.get_logits()[0, -1])
+    np.testing.assert_allclose(np.stack(steps), ours, atol=1e-3, rtol=5e-3)
