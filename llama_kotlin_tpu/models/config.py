@@ -255,6 +255,14 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.use_rms_norm = False
         cfg.act = "relu2"
         cfg.ffn_gated = False
+    if arch == "orion":
+        cfg.use_rms_norm = False  # biased LayerNorm, llama-shaped otherwise
+    if arch == "plamo":
+        cfg.parallel_residual = True  # shared attn_norm feeds attn + ffn
+    if arch == "baichuan" and cfg.n_layer >= 40:
+        # baichuan-13B: ALiBi instead of rope (7B is llama-shaped NORM rope)
+        cfg.rope_type = ROPE_TYPE_NONE
+        cfg.max_alibi_bias = 8.0
     if arch == "jais":
         cfg.use_rms_norm = False
         cfg.max_alibi_bias = float(

@@ -47,6 +47,10 @@ ARCHES = [
     ArchInfo("nemotron", "supported", "LayerNorm1P (+1 folded at convert), relu^2 FFN, partial rope"),
     ArchInfo("exaone", "supported", "llama-shaped, own metadata namespace"),
     ArchInfo("jais", "supported", "LayerNorm + ALiBi + biased gated swiglu"),
+    ArchInfo("xverse", "supported", "llama-shaped"),
+    ArchInfo("orion", "supported", "biased LayerNorm, llama-shaped otherwise"),
+    ArchInfo("plamo", "supported", "shared-norm parallel residual"),
+    ArchInfo("baichuan", "supported", "7B llama-shaped; 13B ALiBi (by layer count)"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),
