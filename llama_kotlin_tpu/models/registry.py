@@ -51,6 +51,8 @@ ARCHES = [
     ArchInfo("orion", "supported", "biased LayerNorm, llama-shaped otherwise"),
     ArchInfo("plamo", "supported", "shared-norm parallel residual"),
     ArchInfo("baichuan", "supported", "7B llama-shaped; 13B ALiBi (by layer count)"),
+    ArchInfo("qwen", "supported", "fused qkv+bias, NEOX rope, rms"),
+    ArchInfo("refact", "supported", "RMS norms + ALiBi, no rope"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),

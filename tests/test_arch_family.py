@@ -260,6 +260,8 @@ def test_mamba_logits_match_transformers(tmp_path):
     ("orion", {"norm_bias": True}),
     ("plamo", {}),
     ("baichuan", {"n_layer_md": 40, "no_rope": True}),
+    ("qwen", {}),
+    ("refact", {}),
 ])
 def test_llama_shaped_arch_variants(arch, tweaks, tmp_path):
     """xverse (llama-shaped), orion (biased LN), plamo (shared-norm
