@@ -178,7 +178,7 @@ def config_from_metadata(md: dict) -> ModelConfig:
     # command-r/olmo/internlm2/minicpm/deepseek2 are NORM (adjacent pairs)
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
                 "stablelm", "gemma", "gemma2", "starcoder2", "mistral3",
-                "bitnet", "nemotron", "exaone", "qwen", "codeshell"):
+                "bitnet", "nemotron", "exaone", "qwen", "codeshell", "dbrx"):
         cfg.rope_type = ROPE_TYPE_NEOX
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"
@@ -268,6 +268,9 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.max_alibi_bias = float(
             _get(md, arch, "attention.max_alibi_bias", 8.0) or 8.0
         )
+    if arch == "dbrx":
+        cfg.use_rms_norm = False  # LayerNorm, no biases
+        cfg.clamp_kqv = float(_get(md, arch, "attention.clamp_kqv", 0.0) or 0.0)
     if arch == "refact":
         cfg.rope_type = ROPE_TYPE_NONE
         cfg.max_alibi_bias = 8.0  # cf. build_refact (ALiBi, RMS norms)

@@ -246,15 +246,20 @@ def forward(
             h = h + attn_out.astype(h.dtype)
         else:
             h = h + attn_out.astype(h.dtype)
-            x = lnorm(lp, "ffn_norm", h)
+            # dbrx names its pre-FFN norm attn_output_norm
+            seq_key = ("ffn_norm" if lp.get("ffn_norm") is not None
+                       else "attn_out_norm" if lp.get("attn_out_norm") is not None
+                       else "ffn_norm")
+            x = lnorm(lp, seq_key, h)
         record(f"blk.{li}.ffn_gate_up", x)
         act = ACTIVATIONS[cfg.act]
-        if lp.get("ffn_gate_inp") is not None:
+
+        def moe_ffn(lp, x):
             # MoE: top-k routed experts (cf. llm_build_moe_ffn + mul_mat_id,
             # src/llama.cpp:8725-8824).  Dense expert sweep with per-token
             # routing weights — every expert computed, non-routed tokens
             # weighted 0 (XLA-friendly static shapes; grouped-matmul kernel
-            # is a later optimisation for large n_expert).
+            # is a later optimisation for large n_expert).  Returns f32.
             router = qmatmul(x, lp["ffn_gate_inp"], compute_dtype=compute_dtype)
             probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
             top_w, top_i = jax.lax.top_k(probs, cfg.n_expert_used)  # [nt, k]
@@ -284,7 +289,12 @@ def forward(
                     g_in = qmatmul(x, lp["ffn_gate_inp_shexp"], compute_dtype=compute_dtype)
                     sh = jax.nn.sigmoid(g_in.astype(jnp.float32)) * sh
                 down = down + sh
-            down = down.astype(h.dtype)
+            return down
+
+        ffn_inp = h  # post-attn residual; arctic's parallel MoE reads it
+        if (lp.get("ffn_gate_inp") is not None
+                and lp.get("ffn_norm_exps") is None):
+            down = moe_ffn(lp, x).astype(h.dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
             if lp.get("ffn_gate_scale") is not None:  # bitnet
@@ -321,6 +331,11 @@ def forward(
             h = lnorm(lp, "layer_out_norm", h + down.astype(h.dtype))
         else:
             h = h + down.astype(h.dtype)
+        if lp.get("ffn_norm_exps") is not None and lp.get("ffn_gate_inp") is not None:
+            # arctic: the MoE branch runs in parallel with the dense FFN,
+            # normed from the post-attention residual (cf. build_arctic)
+            x_moe = rms_norm(ffn_inp, lp["ffn_norm_exps"], cfg.rms_eps)
+            h = h + moe_ffn(lp, x_moe).astype(h.dtype)
         if cvec is not None:
             h = h + cvec.astype(h.dtype)
         return h

@@ -53,6 +53,7 @@ _LAYER_TENSORS = {
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
     "ffn_gate_inp_shexp.weight": "ffn_gate_inp_shexp",
+    "ffn_norm_exps.weight": "ffn_norm_exps",
     "attn_q_a.weight": "wq_a",
     "attn_q_b.weight": "wq_b",
     "attn_kv_a_mqa.weight": "wkv_a_mqa",
@@ -105,6 +106,7 @@ _GLOBAL_TENSORS = {
 _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_norm",
                  "post_attn_norm", "post_ffn_norm", "rope_freqs",
                  "bq", "bk", "bv", "bo", "ffn_gate_inp", "ffn_gate_inp_shexp",
+                 "ffn_norm_exps",
                  "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "ffn_norm_b",
                  "attn_q_a_norm", "attn_kv_a_norm",
                  "ssm_conv1d", "ssm_conv1d_b", "ssm_dt_b", "ssm_a", "ssm_d",

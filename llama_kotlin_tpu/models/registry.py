@@ -53,6 +53,8 @@ ARCHES = [
     ArchInfo("baichuan", "supported", "7B llama-shaped; 13B ALiBi (by layer count)"),
     ArchInfo("qwen", "supported", "fused qkv+bias, NEOX rope, rms"),
     ArchInfo("refact", "supported", "RMS norms + ALiBi, no rope"),
+    ArchInfo("dbrx", "supported", "biasless LayerNorm, clamped fused qkv, normalized-top-k MoE"),
+    ArchInfo("arctic", "supported", "dense FFN + parallel MoE branch (ffn_norm_exps)"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),

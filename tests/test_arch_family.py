@@ -314,3 +314,110 @@ def test_llama_shaped_arch_variants(arch, tweaks, tmp_path):
                           output=np.array([1], np.int8)))
         steps.append(ctx2.get_logits()[0])
     np.testing.assert_allclose(full, np.stack(steps), atol=2e-4, rtol=2e-3)
+
+
+def _self_consistency(cfg, params, toks=None):
+    toks = toks if toks is not None else np.array([3, 17, 42, 9, 101], np.int32)
+    ctx1 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    assert ctx1.decode(Batch.single(toks, logits_last_only=False)) == 0
+    full = ctx1.get_logits()
+    assert np.isfinite(full).all()
+    ctx2 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    steps = []
+    for i, t in enumerate(toks):
+        ctx2.decode(Batch(tokens=np.array([t]), pos=np.array([i], np.int32),
+                          seq_id=np.array([0], np.int32),
+                          output=np.array([1], np.int8)))
+        steps.append(ctx2.get_logits()[0])
+    np.testing.assert_allclose(full, np.stack(steps), atol=2e-4, rtol=2e-3)
+    return full
+
+
+def test_dbrx_self_consistency(tmp_path):
+    """dbrx: biasless LayerNorm, fused clamped qkv, attn_output_norm as the
+    pre-FFN norm, normalized-top-k MoE."""
+    from tests.arch_fixtures import _W, write_arch_gguf
+
+    rng = np.random.default_rng(71)
+    E, L, H, KV, F, V, NE = 64, 2, 4, 2, 96, 160, 4
+    hd = E // H
+    w = _W(rng)
+    ws = {"token_embd.weight": w.mat(V, E), "output_norm.weight": w.norm(E),
+          "output.weight": w.mat(V, E)}
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_qkv.weight"] = w.mat(E + 2 * KV * hd, E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output_norm.weight"] = w.norm(E)
+        ws[p + "ffn_gate_inp.weight"] = w.mat(NE, E)
+        ws[p + "ffn_gate_exps.weight"] = np.stack([w.mat(F, E) for _ in range(NE)])
+        ws[p + "ffn_up_exps.weight"] = np.stack([w.mat(F, E) for _ in range(NE)])
+        ws[p + "ffn_down_exps.weight"] = np.stack([w.mat(E, F) for _ in range(NE)])
+    md = {"dbrx.embedding_length": np.uint32(E), "dbrx.block_count": np.uint32(L),
+          "dbrx.attention.head_count": np.uint32(H),
+          "dbrx.attention.head_count_kv": np.uint32(KV),
+          "dbrx.feed_forward_length": np.uint32(F),
+          "dbrx.context_length": np.uint32(128),
+          "dbrx.attention.layer_norm_epsilon": np.float32(1e-5),
+          "dbrx.attention.clamp_kqv": np.float32(8.0),
+          "dbrx.expert_count": np.uint32(NE), "dbrx.expert_used_count": np.uint32(2),
+          "dbrx.rope.freq_base": np.float32(10000.0),
+          "dbrx.vocab_size": np.uint32(V)}
+    path = tmp_path / "dbrx.gguf"
+    write_arch_gguf(path, "dbrx", md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert not cfg.use_rms_norm and cfg.clamp_kqv == 8.0
+    _self_consistency(cfg, params)
+
+
+def test_arctic_self_consistency(tmp_path):
+    """arctic: dense FFN + parallel MoE branch over ffn_norm_exps."""
+    from tests.arch_fixtures import _W, write_arch_gguf
+
+    rng = np.random.default_rng(72)
+    E, L, H, KV, F, V, NE = 64, 2, 4, 2, 96, 160, 4
+    w = _W(rng)
+    ws = {"token_embd.weight": w.mat(V, E), "output_norm.weight": w.norm(E),
+          "output.weight": w.mat(V, E)}
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_q.weight"] = w.mat(E, E)
+        ws[p + "attn_k.weight"] = w.mat(KV * (E // H), E)
+        ws[p + "attn_v.weight"] = w.mat(KV * (E // H), E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "ffn_gate.weight"] = w.mat(F, E)
+        ws[p + "ffn_up.weight"] = w.mat(F, E)
+        ws[p + "ffn_down.weight"] = w.mat(E, F)
+        ws[p + "ffn_norm_exps.weight"] = w.norm(E)
+        ws[p + "ffn_gate_inp.weight"] = w.mat(NE, E)
+        ws[p + "ffn_gate_exps.weight"] = np.stack([w.mat(F, E) for _ in range(NE)])
+        ws[p + "ffn_up_exps.weight"] = np.stack([w.mat(F, E) for _ in range(NE)])
+        ws[p + "ffn_down_exps.weight"] = np.stack([w.mat(E, F) for _ in range(NE)])
+    md = {"arctic.embedding_length": np.uint32(E), "arctic.block_count": np.uint32(L),
+          "arctic.attention.head_count": np.uint32(H),
+          "arctic.attention.head_count_kv": np.uint32(KV),
+          "arctic.feed_forward_length": np.uint32(F),
+          "arctic.context_length": np.uint32(128),
+          "arctic.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+          "arctic.expert_count": np.uint32(NE), "arctic.expert_used_count": np.uint32(2),
+          "arctic.rope.freq_base": np.float32(10000.0),
+          "arctic.vocab_size": np.uint32(V)}
+    path = tmp_path / "arctic.gguf"
+    write_arch_gguf(path, "arctic", md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert params["layers"][0].get("ffn_norm_exps") is not None
+    # both the dense and MoE branches are load-bearing
+    full = _self_consistency(cfg, params)
+    p2 = {k: v for k, v in params.items()}
+    p2["layers"] = [dict(l) for l in params["layers"]]
+    for l in p2["layers"]:
+        l["ffn_norm_exps"] = jnp.zeros_like(l["ffn_norm_exps"])
+    ctx = LlamaContext(cfg, p2, n_cells=64, compute_dtype=jnp.float32)
+    ctx.decode(Batch.single(np.array([3, 17, 42, 9, 101], np.int32),
+                            logits_last_only=False))
+    assert np.abs(ctx.get_logits() - full).max() > 1e-5
