@@ -268,6 +268,10 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.max_alibi_bias = float(
             _get(md, arch, "attention.max_alibi_bias", 8.0) or 8.0
         )
+    if arch == "codeshell":
+        cfg.use_rms_norm = False
+        cfg.act = "gelu"
+        cfg.ffn_gated = False
     if arch == "dbrx":
         cfg.use_rms_norm = False  # LayerNorm, no biases
         cfg.clamp_kqv = float(_get(md, arch, "attention.clamp_kqv", 0.0) or 0.0)

@@ -55,6 +55,8 @@ ARCHES = [
     ArchInfo("refact", "supported", "RMS norms + ALiBi, no rope"),
     ArchInfo("dbrx", "supported", "biasless LayerNorm, clamped fused qkv, normalized-top-k MoE"),
     ArchInfo("arctic", "supported", "dense FFN + parallel MoE branch (ffn_norm_exps)"),
+    ArchInfo("codeshell", "supported", "LayerNorm+bias, gelu FFN, NEOX partial rope"),
+    ArchInfo("grok", "planned", "needs grok-style tanh(s)*30 attn cap (not tanh(s/30)*30)"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),

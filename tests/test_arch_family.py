@@ -262,6 +262,7 @@ def test_mamba_logits_match_transformers(tmp_path):
     ("baichuan", {"n_layer_md": 40, "no_rope": True}),
     ("qwen", {}),
     ("refact", {}),
+    ("codeshell", {"norm_bias": True, "nongated": True}),
 ])
 def test_llama_shaped_arch_variants(arch, tweaks, tmp_path):
     """xverse (llama-shaped), orion (biased LN), plamo (shared-norm
@@ -276,6 +277,9 @@ def test_llama_shaped_arch_variants(arch, tweaks, tmp_path):
             ws[f"blk.{i}.attn_norm.bias"] = (0.05 * rng.standard_normal(dims["n_embd"])).astype(np.float32)
             ws[f"blk.{i}.ffn_norm.bias"] = (0.05 * rng.standard_normal(dims["n_embd"])).astype(np.float32)
         ws["output_norm.bias"] = (0.05 * rng.standard_normal(dims["n_embd"])).astype(np.float32)
+    if tweaks.get("nongated"):
+        for i in range(dims["n_layer"]):
+            del ws[f"blk.{i}.ffn_gate.weight"]
     md = {
         f"{arch}.embedding_length": np.uint32(dims["n_embd"]),
         f"{arch}.block_count": np.uint32(tweaks.get("n_layer_md", dims["n_layer"])),
