@@ -178,7 +178,8 @@ def config_from_metadata(md: dict) -> ModelConfig:
     # command-r/olmo/internlm2/minicpm/deepseek2 are NORM (adjacent pairs)
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
                 "stablelm", "gemma", "gemma2", "starcoder2", "mistral3",
-                "bitnet", "nemotron", "exaone", "qwen", "codeshell", "dbrx"):
+                "bitnet", "nemotron", "exaone", "qwen", "codeshell", "dbrx",
+                "grok"):
         cfg.rope_type = ROPE_TYPE_NEOX
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"
@@ -268,6 +269,13 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.max_alibi_bias = float(
             _get(md, arch, "attention.max_alibi_bias", 8.0) or 8.0
         )
+    if arch == "grok":
+        # cf. build_grok: scaled embeddings/logits, 30-softcap attention
+        # (tanh(s/30)*30 with s pre-scaled by 1/sqrt(hd)), gelu MoE
+        cfg.embd_scale = 78.38367176906169
+        cfg.logit_scale = 0.5773502691896257
+        cfg.attn_logit_softcap = 30.0
+        cfg.act = "gelu"
     if arch == "codeshell":
         cfg.use_rms_norm = False
         cfg.act = "gelu"

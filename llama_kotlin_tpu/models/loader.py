@@ -201,6 +201,13 @@ def _load_fused_qkv(f: GGUFFile, name: str, cfg: ModelConfig, compute_dtype,
     return out
 
 
+# per-arch reinterpretation of shared tensor names (grok's out-norms are
+# pre-residual norms like gemma2's, not bert-style post-norms)
+_ARCH_KEY_ALIASES = {
+    "grok": {"attn_out_norm": "post_attn_norm", "layer_out_norm": "post_ffn_norm"},
+}
+
+
 def load_gguf_model(
     path: str | Path,
     *,
@@ -241,6 +248,7 @@ def load_gguf_model(
                 )
                 continue
             key = _LAYER_TENSORS.get(suffix)
+            key = _ARCH_KEY_ALIASES.get(cfg.arch, {}).get(key, key)
             if key is not None:
                 params["layers"][int(i_str)][key] = _load_tensor(f, name, key, compute_dtype, fast_mode)
                 continue

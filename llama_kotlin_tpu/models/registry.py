@@ -56,7 +56,7 @@ ARCHES = [
     ArchInfo("dbrx", "supported", "biasless LayerNorm, clamped fused qkv, normalized-top-k MoE"),
     ArchInfo("arctic", "supported", "dense FFN + parallel MoE branch (ffn_norm_exps)"),
     ArchInfo("codeshell", "supported", "LayerNorm+bias, gelu FFN, NEOX partial rope"),
-    ArchInfo("grok", "planned", "needs grok-style tanh(s)*30 attn cap (not tanh(s/30)*30)"),
+    ArchInfo("grok", "supported", "scaled embd/logits, 30-softcap attention, gelu MoE, pre-residual out-norms"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),

@@ -425,3 +425,45 @@ def test_arctic_self_consistency(tmp_path):
     ctx.decode(Batch.single(np.array([3, 17, 42, 9, 101], np.int32),
                             logits_last_only=False))
     assert np.abs(ctx.get_logits() - full).max() > 1e-5
+
+
+def test_grok_self_consistency(tmp_path):
+    """grok: scaled embeddings/logits, softcap attention, gelu MoE with
+    pre-residual attn/layer out-norms."""
+    from tests.arch_fixtures import _W, write_arch_gguf
+
+    rng = np.random.default_rng(73)
+    E, L, H, KV, F, V, NE = 64, 2, 4, 2, 96, 160, 4
+    w = _W(rng)
+    ws = {"token_embd.weight": w.mat(V, E), "output_norm.weight": w.norm(E),
+          "output.weight": w.mat(V, E)}
+    for i in range(L):
+        p = f"blk.{i}."
+        ws[p + "attn_norm.weight"] = w.norm(E)
+        ws[p + "attn_q.weight"] = w.mat(E, E)
+        ws[p + "attn_k.weight"] = w.mat(KV * (E // H), E)
+        ws[p + "attn_v.weight"] = w.mat(KV * (E // H), E)
+        ws[p + "attn_output.weight"] = w.mat(E, E)
+        ws[p + "attn_output_norm.weight"] = w.norm(E)
+        ws[p + "ffn_norm.weight"] = w.norm(E)
+        ws[p + "layer_output_norm.weight"] = w.norm(E)
+        ws[p + "ffn_gate_inp.weight"] = w.mat(NE, E)
+        ws[p + "ffn_gate_exps.weight"] = np.stack([w.mat(F, E) for _ in range(NE)])
+        ws[p + "ffn_up_exps.weight"] = np.stack([w.mat(F, E) for _ in range(NE)])
+        ws[p + "ffn_down_exps.weight"] = np.stack([w.mat(E, F) for _ in range(NE)])
+    md = {"grok.embedding_length": np.uint32(E), "grok.block_count": np.uint32(L),
+          "grok.attention.head_count": np.uint32(H),
+          "grok.attention.head_count_kv": np.uint32(KV),
+          "grok.feed_forward_length": np.uint32(F),
+          "grok.context_length": np.uint32(128),
+          "grok.attention.layer_norm_rms_epsilon": np.float32(1e-5),
+          "grok.expert_count": np.uint32(NE), "grok.expert_used_count": np.uint32(2),
+          "grok.rope.freq_base": np.float32(10000.0),
+          "grok.vocab_size": np.uint32(V)}
+    path = tmp_path / "grok.gguf"
+    write_arch_gguf(path, "grok", md, ws)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    assert cfg.attn_logit_softcap == 30.0 and cfg.embd_scale > 78
+    assert params["layers"][0].get("post_attn_norm") is not None  # aliased
+    _self_consistency(cfg, params)
