@@ -70,6 +70,7 @@ class ModelConfig:
     learned_pos_embd: bool = False  # absolute position embedding table (gpt2)
     max_alibi_bias: float = 0.0  # ALiBi slope max (mpt/bloom); 0 = off
     token_embd_norm: bool = False  # LayerNorm right after embedding (bloom)
+    add_type_embd: bool = False  # bert: add token-type-0 embedding
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -179,7 +180,7 @@ def config_from_metadata(md: dict) -> ModelConfig:
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
                 "stablelm", "gemma", "gemma2", "starcoder2", "mistral3",
                 "bitnet", "nemotron", "exaone", "qwen", "codeshell", "dbrx",
-                "grok"):
+                "grok", "nomic-bert"):
         cfg.rope_type = ROPE_TYPE_NEOX
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"
@@ -231,9 +232,27 @@ def config_from_metadata(md: dict) -> ModelConfig:
         cfg.post_norm = True
         cfg.learned_pos_embd = True
         cfg.token_embd_norm = True
+        cfg.add_type_embd = True
         cfg.act = "gelu"
         cfg.ffn_gated = False
         cfg.rope_type = ROPE_TYPE_NONE
+    if arch == "nomic-bert":
+        # bert block but NEOX rope instead of positions, gated silu FFN
+        cfg.use_rms_norm = False
+        cfg.causal_attn = False
+        cfg.post_norm = True
+        cfg.token_embd_norm = True
+    if arch == "jina-bert-v2":
+        # bert block with ALiBi, gated gelu, optional mid-block re-norm
+        cfg.use_rms_norm = False
+        cfg.causal_attn = False
+        cfg.post_norm = True
+        cfg.token_embd_norm = True
+        cfg.act = "gelu"
+        cfg.rope_type = ROPE_TYPE_NONE
+        cfg.max_alibi_bias = float(
+            _get(md, arch, "attention.max_alibi_bias", 8.0) or 8.0
+        )
     if arch == "mamba":
         # cf. llm_load_hparams LLM_ARCH_MAMBA (ssm_* keys)
         cfg.extra.update(

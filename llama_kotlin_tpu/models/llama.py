@@ -102,8 +102,8 @@ def forward(
         # pos == -1 and are never read, clamp keeps the gather in-bounds
         h = h + take_rows(params["pos_embd"], jnp.maximum(token_pos, 0),
                           dtype=compute_dtype)
-    if params.get("token_types_embd") is not None:  # bert: type-0 embedding
-        h = h + params["token_types_embd"][0].astype(compute_dtype)
+    if cfg.add_type_embd and params.get("token_types_embd") is not None:
+        h = h + params["token_types_embd"][0].astype(compute_dtype)  # bert type 0
     if cfg.token_embd_norm and params.get("tok_norm") is not None:
         h = layer_norm(h, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
 
@@ -212,8 +212,10 @@ def forward(
                 q = rms_norm(q, lp["attn_q_norm"], cfg.rms_eps, cfg.norm_weight_offset)
                 k = rms_norm(k, lp["attn_k_norm"], cfg.rms_eps, cfg.norm_weight_offset)
             else:
-                q = layer_norm(q, lp["attn_q_norm"], None, cfg.norm_eps)
-                k = layer_norm(k, lp["attn_k_norm"], None, cfg.norm_eps)
+                q = layer_norm(q, lp["attn_q_norm"], lp.get("attn_q_norm_b"),
+                               cfg.norm_eps)
+                k = layer_norm(k, lp["attn_k_norm"], lp.get("attn_k_norm_b"),
+                               cfg.norm_eps)
         q = apply_rope(q, token_pos, rope, freq_factors)
         k = apply_rope(k, token_pos, rope, freq_factors)
         return q, k, v
@@ -238,7 +240,10 @@ def forward(
             attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps,
                                 cfg.norm_weight_offset)
         if cfg.post_norm:  # bert: norm AFTER each residual add
-            h = lnorm(lp, "attn_out_norm", h + attn_out.astype(h.dtype))
+            h_res = lnorm(lp, "attn_out_norm", h + attn_out.astype(h.dtype))
+            if lp.get("attn_norm_2") is not None:  # jina-bert-v2 re-adds input
+                h_res = lnorm(lp, "attn_norm_2", h_res + h)
+            h = h_res
             x = h
         elif cfg.parallel_residual:
             key = "ffn_norm" if lp.get("ffn_norm") is not None else "attn_norm"

@@ -37,6 +37,8 @@ _LAYER_TENSORS = {
     "attn_v.bias": "bv",
     "attn_output.bias": "bo",
     "attn_q_norm.weight": "attn_q_norm",
+    "attn_q_norm.bias": "attn_q_norm_b",
+    "attn_k_norm.bias": "attn_k_norm_b",
     "attn_k_norm.weight": "attn_k_norm",
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_b",
@@ -111,6 +113,7 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "attn_q_a_norm", "attn_kv_a_norm",
                  "ssm_conv1d", "ssm_conv1d_b", "ssm_dt_b", "ssm_a", "ssm_d",
                  "attn_out_norm", "attn_out_norm_b", "layer_out_norm",
+                 "attn_q_norm_b", "attn_k_norm_b",
                  "layer_out_norm_b", "token_types_embd",
                  "attn_sub_norm", "ffn_sub_norm", "wq_scale", "wk_scale",
                  "wv_scale", "wo_scale", "ffn_gate_scale", "ffn_up_scale",

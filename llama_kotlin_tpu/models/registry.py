@@ -58,6 +58,8 @@ ARCHES = [
     ArchInfo("codeshell", "supported", "LayerNorm+bias, gelu FFN, NEOX partial rope"),
     ArchInfo("grok", "supported", "scaled embd/logits, 30-softcap attention, gelu MoE, pre-residual out-norms"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
+    ArchInfo("nomic-bert", "supported", "rope encoder, gated silu FFN"),
+    ArchInfo("jina-bert-v2", "supported", "bidirectional ALiBi, gated gelu, mid-block re-norm"),
     ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),
     ArchInfo("bitnet", "supported", "per-projection scalar scales, attn/ffn sub-norms, tied head"),

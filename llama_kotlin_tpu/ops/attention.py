@@ -118,8 +118,9 @@ def attention_reference(
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     if alibi_slopes is not None:
-        # ALiBi bias: -slope * (token_pos - cell_pos), like soft_max_ext
-        bias = -(token_pos[:, None] - cell_pos[None, :]).astype(jnp.float32)
+        # ALiBi bias: -slope * |token_pos - cell_pos| (llama_set_inputs uses
+        # -fabs so the same form covers bidirectional jina-bert-v2)
+        bias = -jnp.abs(token_pos[:, None] - cell_pos[None, :]).astype(jnp.float32)
         slopes = alibi_slopes.reshape(1, n_kv, rep, 1)
         scores = scores + slopes * bias[:, None, None, :]
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)

@@ -467,3 +467,60 @@ def test_grok_self_consistency(tmp_path):
     assert cfg.attn_logit_softcap == 30.0 and cfg.embd_scale > 78
     assert params["layers"][0].get("post_attn_norm") is not None  # aliased
     _self_consistency(cfg, params)
+
+
+def test_nomic_and_jina_bert_variants(tmp_path):
+    """nomic-bert (rope encoder, gated silu) and jina-bert-v2 (bidirectional
+    ALiBi, gated gelu, mid-block re-norm): finite + batch==rerun."""
+    from tests.arch_fixtures import _W, write_arch_gguf
+
+    for arch in ("nomic-bert", "jina-bert-v2"):
+        rng = np.random.default_rng(91)
+        E, L, H, F, V = 64, 2, 4, 96, 160
+        w = _W(rng)
+        ws = {"token_embd.weight": w.mat(V, E),
+              "token_embd_norm.weight": w.norm(E),
+              "token_embd_norm.bias": w.vec(E)}
+        for i in range(L):
+            p = f"blk.{i}."
+            if arch == "nomic-bert":
+                ws[p + "attn_qkv.weight"] = w.mat(3 * E, E)
+            else:
+                ws[p + "attn_q.weight"] = w.mat(E, E)
+                ws[p + "attn_q.bias"] = w.vec(E)
+                ws[p + "attn_k.weight"] = w.mat(E, E)
+                ws[p + "attn_k.bias"] = w.vec(E)
+                ws[p + "attn_v.weight"] = w.mat(E, E)
+                ws[p + "attn_v.bias"] = w.vec(E)
+                ws[p + "attn_norm_2.weight"] = w.norm(E)
+                ws[p + "attn_norm_2.bias"] = w.vec(E)
+            ws[p + "attn_output.weight"] = w.mat(E, E)
+            ws[p + "attn_output_norm.weight"] = w.norm(E)
+            ws[p + "attn_output_norm.bias"] = w.vec(E)
+            ws[p + "ffn_gate.weight"] = w.mat(F, E)
+            ws[p + "ffn_up.weight"] = w.mat(F, E)
+            ws[p + "ffn_down.weight"] = w.mat(E, F)
+            ws[p + "layer_output_norm.weight"] = w.norm(E)
+            ws[p + "layer_output_norm.bias"] = w.vec(E)
+        md = {f"{arch}.embedding_length": np.uint32(E),
+              f"{arch}.block_count": np.uint32(L),
+              f"{arch}.attention.head_count": np.uint32(H),
+              f"{arch}.feed_forward_length": np.uint32(F),
+              f"{arch}.context_length": np.uint32(128),
+              f"{arch}.attention.layer_norm_epsilon": np.float32(1e-5),
+              f"{arch}.rope.freq_base": np.float32(10000.0),
+              f"{arch}.vocab_size": np.uint32(V)}
+        path = tmp_path / f"{arch}.gguf"
+        write_arch_gguf(path, arch, md, ws)
+        cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+        f.close()
+        assert not cfg.causal_attn and cfg.post_norm, arch
+        ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+        toks = np.array([3, 17, 42, 9, 101], np.int32)
+        assert ctx.decode(Batch.single(toks, logits_last_only=False)) == 0
+        e1 = ctx.get_embeddings(pooling="none")
+        assert np.isfinite(e1).all(), arch
+        ctx2 = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+        ctx2.decode(Batch.single(toks, logits_last_only=False))
+        np.testing.assert_allclose(ctx2.get_embeddings(pooling="none"), e1,
+                                   atol=1e-5)
