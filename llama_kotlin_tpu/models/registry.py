@@ -60,7 +60,8 @@ ARCHES = [
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
     ArchInfo("nomic-bert", "supported", "rope encoder, gated silu FFN"),
     ArchInfo("jina-bert-v2", "supported", "bidirectional ALiBi, gated gelu, mid-block re-norm"),
-    ArchInfo("t5", "out-of-scope", "enc-dec; round-3+ per SURVEY non-goals"),
+    ArchInfo("t5", "supported", "enc-dec: relative-position buckets, unscaled attention, cross-attention (models/t5.py T5Context)"),
+    ArchInfo("t5encoder", "supported", "encoder-only t5 via the same loader/encode path"),
     ArchInfo("mamba", "supported", "selective SSM via lax.scan, recurrent-state MambaContext (models/mamba.py)"),
     ArchInfo("bitnet", "supported", "per-projection scalar scales, attn/ffn sub-norms, tied head"),
 ]

@@ -1187,3 +1187,84 @@ def make_mamba(rng, E=64, L=2, V=160, d_state=16, d_conv=4, expand=2, n_ctx=128)
     m.load_state_dict(_to_torch(sd), strict=False)
     m.eval()
     return "mamba", md, ws, m
+
+
+# ------------------------------------------------------------------ t5
+
+
+def make_t5(rng, E=64, L=2, H=4, dkv=16, F=128, V=160, n_buckets=32):
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    inner = H * dkv
+    w = _W(rng)
+    ws = {"token_embd.weight": w.mat(V, E), "output.weight": w.mat(V, E),
+          "enc.output_norm.weight": w.norm(E), "dec.output_norm.weight": w.norm(E)}
+    for i in range(L):
+        for side in ("enc", "dec"):
+            p = f"{side}.blk.{i}."
+            ws[p + "attn_norm.weight"] = w.norm(E)
+            ws[p + "attn_q.weight"] = w.mat(inner, E)
+            ws[p + "attn_k.weight"] = w.mat(inner, E)
+            ws[p + "attn_v.weight"] = w.mat(inner, E)
+            ws[p + "attn_o.weight"] = w.mat(E, inner)
+            if i == 0:
+                ws[p + "attn_rel_b.weight"] = w.mat(n_buckets, H)
+            ws[p + "ffn_norm.weight"] = w.norm(E)
+            ws[p + "ffn_up.weight"] = w.mat(F, E)
+            ws[p + "ffn_down.weight"] = w.mat(E, F)
+        p = f"dec.blk.{i}."
+        ws[p + "cross_attn_norm.weight"] = w.norm(E)
+        ws[p + "cross_attn_q.weight"] = w.mat(inner, E)
+        ws[p + "cross_attn_k.weight"] = w.mat(inner, E)
+        ws[p + "cross_attn_v.weight"] = w.mat(inner, E)
+        ws[p + "cross_attn_o.weight"] = w.mat(E, inner)
+    md = {
+        "t5.embedding_length": np.uint32(E),
+        "t5.block_count": np.uint32(L),
+        "t5.attention.head_count": np.uint32(H),
+        "t5.attention.key_length": np.uint32(dkv),
+        "t5.attention.value_length": np.uint32(dkv),
+        "t5.feed_forward_length": np.uint32(F),
+        "t5.context_length": np.uint32(128),
+        "t5.attention.layer_norm_rms_epsilon": np.float32(1e-6),
+        "t5.attention.relative_buckets_count": np.uint32(n_buckets),
+        "t5.decoder_start_token_id": np.uint32(0),
+        "t5.vocab_size": np.uint32(V),
+    }
+    cfg = T5Config(
+        vocab_size=V, d_model=E, d_kv=dkv, d_ff=F, num_layers=L,
+        num_decoder_layers=L, num_heads=H,
+        relative_attention_num_buckets=n_buckets,
+        relative_attention_max_distance=128, feed_forward_proj="relu",
+        tie_word_embeddings=False, layer_norm_epsilon=1e-6, dropout_rate=0.0,
+        decoder_start_token_id=0, eos_token_id=1, pad_token_id=0,
+    )
+    m = T5ForConditionalGeneration(cfg)
+    sd = {"shared.weight": ws["token_embd.weight"],
+          "lm_head.weight": ws["output.weight"],
+          "encoder.final_layer_norm.weight": ws["enc.output_norm.weight"],
+          "decoder.final_layer_norm.weight": ws["dec.output_norm.weight"]}
+    for i in range(L):
+        for side, hfside in (("enc", "encoder"), ("dec", "decoder")):
+            p, hf = f"{side}.blk.{i}.", f"{hfside}.block.{i}."
+            sd[hf + "layer.0.SelfAttention.q.weight"] = ws[p + "attn_q.weight"]
+            sd[hf + "layer.0.SelfAttention.k.weight"] = ws[p + "attn_k.weight"]
+            sd[hf + "layer.0.SelfAttention.v.weight"] = ws[p + "attn_v.weight"]
+            sd[hf + "layer.0.SelfAttention.o.weight"] = ws[p + "attn_o.weight"]
+            sd[hf + "layer.0.layer_norm.weight"] = ws[p + "attn_norm.weight"]
+            if i == 0:
+                sd[hf + "layer.0.SelfAttention.relative_attention_bias.weight"] = \
+                    ws[p + "attn_rel_b.weight"]
+            fidx = 1 if side == "enc" else 2
+            sd[hf + f"layer.{fidx}.DenseReluDense.wi.weight"] = ws[p + "ffn_up.weight"]
+            sd[hf + f"layer.{fidx}.DenseReluDense.wo.weight"] = ws[p + "ffn_down.weight"]
+            sd[hf + f"layer.{fidx}.layer_norm.weight"] = ws[p + "ffn_norm.weight"]
+        p, hf = f"dec.blk.{i}.", f"decoder.block.{i}."
+        sd[hf + "layer.1.EncDecAttention.q.weight"] = ws[p + "cross_attn_q.weight"]
+        sd[hf + "layer.1.EncDecAttention.k.weight"] = ws[p + "cross_attn_k.weight"]
+        sd[hf + "layer.1.EncDecAttention.v.weight"] = ws[p + "cross_attn_v.weight"]
+        sd[hf + "layer.1.EncDecAttention.o.weight"] = ws[p + "cross_attn_o.weight"]
+        sd[hf + "layer.1.layer_norm.weight"] = ws[p + "cross_attn_norm.weight"]
+    m.load_state_dict(_to_torch(sd), strict=False)
+    m.eval()
+    return "t5", md, ws, m

@@ -524,3 +524,38 @@ def test_nomic_and_jina_bert_variants(tmp_path):
         ctx2.decode(Batch.single(toks, logits_last_only=False))
         np.testing.assert_allclose(ctx2.get_embeddings(pooling="none"), e1,
                                    atol=1e-5)
+
+
+def test_t5_encdec_matches_transformers(tmp_path):
+    """t5: encoder hidden states AND enc-dec logits parity vs
+    T5ForConditionalGeneration (relative-position buckets, unscaled
+    attention, cross-attention)."""
+    import torch
+    from tests.arch_fixtures import make_t5
+    from llama_kotlin_tpu.models.t5 import T5Context, load_t5
+
+    rng = np.random.default_rng(19)
+    arch, md, ws, hf = make_t5(rng)
+    path = tmp_path / "t5.gguf"
+    write_arch_gguf(path, arch, md, ws)
+    cfg, params, f = load_t5(path)
+    f.close()
+    assert cfg.extra["rel_buckets"] == 32 and cfg.head_dim == 16
+
+    ctx = T5Context(cfg, params)
+    enc_toks = np.array([3, 17, 42, 9, 101, 55], np.int32)
+    dec_toks = np.array([0, 7, 23, 88], np.int32)
+    enc_ours = ctx.encode(enc_toks)
+    logits_ours = ctx.decode_logits(dec_toks)
+
+    with torch.no_grad():
+        ids = torch.from_numpy(enc_toks[None].astype(np.int64))
+        dec = torch.from_numpy(dec_toks[None].astype(np.int64))
+        enc_theirs = hf.encoder(ids).last_hidden_state[0].numpy()
+        logits_theirs = hf(input_ids=ids, decoder_input_ids=dec).logits[0].numpy()
+    np.testing.assert_allclose(enc_ours, enc_theirs, atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(logits_ours, logits_theirs, atol=1e-3, rtol=5e-3)
+
+    # greedy generation runs end-to-end
+    out = ctx.generate(enc_toks, n_steps=5, eos_id=1)
+    assert isinstance(out, list)
