@@ -164,16 +164,22 @@ class LlamaContext:
         llama_decode)."""
         all_logits = []
         all_rows = []
+        all_embd = []
         for ub in batch.split(self.n_ubatch):
-            rc = self._decode_ubatch(ub, all_logits, all_rows)
+            rc = self._decode_ubatch(ub, all_logits, all_rows, all_embd)
             if rc != 0:
                 return rc
         if all_logits:
             self._logits = jnp.concatenate(all_logits, axis=0) if len(all_logits) > 1 else all_logits[0]
             self._logits_rows = np.concatenate(all_rows) if len(all_rows) > 1 else all_rows[0]
+            # embeddings accumulate across ubatches too (a long input split
+            # into several ubatches must expose every requested row, not just
+            # the last ubatch's)
+            self._embd = jnp.concatenate(all_embd, axis=0) if len(all_embd) > 1 else all_embd[0]
         return 0
 
-    def _decode_ubatch(self, ub: Batch, all_logits: list, all_rows: list) -> int:
+    def _decode_ubatch(self, ub: Batch, all_logits: list, all_rows: list,
+                       all_embd: list) -> int:
         nt = len(ub)
         t0 = time.perf_counter()
         slots = self.meta.find_slots(nt)
@@ -206,7 +212,7 @@ class LlamaContext:
         if len(out_rows):
             all_logits.append(logits[: len(out_rows)])
             all_rows.append(out_rows)
-            self._embd = embd[: len(out_rows)]
+            all_embd.append(embd[: len(out_rows)])
         dt = (time.perf_counter() - t0) * 1e3
         if nt == 1:
             self.timings.t_eval_ms += dt

@@ -28,6 +28,17 @@ from llama_kotlin_tpu.runtime.context import LlamaContext
 from llama_kotlin_tpu.sampling.samplers import SamplerChain, SamplingParams
 
 
+def _stop_holdback(text: str, stops: tuple[str, ...]) -> int:
+    """Longest suffix of `text` that is a proper prefix of any stop string."""
+    hb = 0
+    for s in stops:
+        for ln in range(min(len(s) - 1, len(text)), hb, -1):
+            if s.startswith(text[-ln:]):
+                hb = ln
+                break
+    return hb
+
+
 class SlotState(Enum):
     IDLE = 0
     PROMPT = 1
@@ -52,6 +63,7 @@ class Request:
     t_start: float = field(default_factory=time.time)
     t_first_token: float = 0.0
     t_done: float = 0.0
+    streamed_len: int = 0  # chars of output_text already sent to the client
 
 
 @dataclass
@@ -216,8 +228,10 @@ class Engine:
             req = self.queue.pop(0)
             prompt = list(map(int, req.prompt_tokens))
             if len(prompt) >= self.slot_ctx:
-                # keep the tail (cf. server truncating long prompts)
-                keep = max(req.n_keep, 0)
+                # keep the tail (cf. server truncating long prompts); clamp
+                # n_keep so the tail length stays positive even when
+                # n_keep >= slot_ctx - 4
+                keep = min(max(req.n_keep, 0), self.slot_ctx - 5)
                 tail = prompt[-(self.slot_ctx - keep - 4):]
                 prompt = prompt[:keep] + tail
             # prompt-cache reuse: longest common prefix with what this
@@ -323,7 +337,19 @@ class Engine:
         done = eos or stopped is not None or n_gen >= req.n_predict \
             or slot.n_past >= self.slot_ctx - 1
         if req.stream:
-            req.stream(tok, "" if eos else piece, done)
+            # withhold text that could still be a prefix of a stop string so
+            # clients never see content that is later trimmed (the reference
+            # server buffers partial stop matches the same way)
+            if done:
+                safe_len = len(req.output_text)
+            else:
+                safe_len = len(req.output_text) - _stop_holdback(
+                    req.output_text, req.stop_strings)
+            delta = ""
+            if safe_len > req.streamed_len:
+                delta = req.output_text[req.streamed_len:safe_len]
+                req.streamed_len = safe_len
+            req.stream(tok, delta, done)
         if done:
             req.stop_reason = ("eos" if eos else "stop" if stopped else "length")
             req.t_done = time.time()

@@ -286,6 +286,18 @@ class NgramCache:
                 self.table.setdefault(key, {}).setdefault(nxt, 0)
                 self.table[key][nxt] += 1
 
+    def update_tail(self, tokens: list[int], n_new: int) -> None:
+        """Incremental update: count only the n-grams whose continuation
+        token is one of the last `n_new` tokens (re-running update over a
+        sliding window would re-count the overlap and bias future drafts)."""
+        total = len(tokens)
+        for n in range(self.n_min, self.n_max + 1):
+            for i in range(max(0, total - n_new - n), total - n):
+                key = tuple(tokens[i : i + n])
+                nxt = tokens[i + n]
+                self.table.setdefault(key, {}).setdefault(nxt, 0)
+                self.table[key][nxt] += 1
+
     def draft(self, tokens: list[int], n_draft: int) -> list[int]:
         out: list[int] = []
         cur = list(tokens)
@@ -356,7 +368,7 @@ def lookup_generate(
         out.extend(accepted)
         out.append(correction)
         history.extend(accepted + [correction])
-        cache.update(history[-(n_accept + cache.n_max + 2):])
+        cache.update_tail(history, n_accept + 1)
         n_past += n_accept + 1
         target.seq_rm(0, n_past, -1)
         last = correction

@@ -170,7 +170,6 @@ def penalties(c: Candidates, prev: Sequence[int], repeat: float, freq: float,
     prev_arr = np.asarray(prev, np.int64)
     uniq, counts = np.unique(prev_arr, return_counts=True)
     nl_logit = None
-    pos = {int(t): i for i, t in enumerate(c.ids)}  # only valid pre-sort full array
     # operate via a map over the candidate array
     id_index = np.full(int(c.ids.max()) + 1 if len(c.ids) else 1, -1, np.int64)
     id_index[c.ids] = np.arange(len(c.ids))

@@ -96,8 +96,12 @@ def make_handler(state: ServerState):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
-            self.send_header("Connection", "keep-alive")
+            # SSE responses have no Content-Length, so end-of-stream is only
+            # observable via connection close — keep-alive would leave
+            # EOF-reading clients hanging after the final event
+            self.send_header("Connection", "close")
             self.end_headers()
+            self.close_connection = True
 
         def _sse(self, obj):
             self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")

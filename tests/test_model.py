@@ -207,3 +207,21 @@ def test_metadata_overrides_and_load_cancel(tiny_model):
 
     with _pytest.raises(InterruptedError):
         load_gguf_model(path, progress_callback=lambda frac: False)
+
+
+def test_embeddings_span_multiple_ubatches(tiny_model):
+    """get_embeddings must cover every requested row when the batch splits
+    into several ubatches (regression: only the last ubatch's rows were
+    kept)."""
+    path, _, dims = tiny_model
+    ref_ctx = _make_ctx(path)
+    toks = np.arange(3, 23, dtype=np.int32) % dims["vocab"]
+    ref_ctx.decode(Batch.single(toks, logits_last_only=False))
+    ref = ref_ctx.get_embeddings("none")
+    assert ref.shape == (20, dims["n_embd"])
+
+    ctx = _make_ctx(path, n_ubatch=8)  # forces 3 ubatches
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    got = ctx.get_embeddings("none")
+    assert got.shape == (20, dims["n_embd"])
+    np.testing.assert_allclose(got, ref, atol=1e-5)

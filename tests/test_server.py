@@ -227,3 +227,39 @@ def test_chunked_decode_matches_per_token(tmp_path):
     assert toks_chunked == toks_plain
     assert len(toks_chunked) == 17
     assert steps_chunked < steps_plain  # fewer device round trips
+
+
+def test_stop_holdback_helper():
+    from llama_kotlin_tpu.runtime.engine import _stop_holdback
+
+    assert _stop_holdback("hello wor", ("world",)) == 3  # "wor" prefix of "world"
+    assert _stop_holdback("hello", ("world",)) == 0
+    assert _stop_holdback("ab", ("abc", "bcd")) == 2
+    assert _stop_holdback("xyb", ("abc", "bcd")) == 1  # "b" prefix of "bcd"
+    assert _stop_holdback("", ("stop",)) == 0
+    # a full match is not held back (stop detection trims it instead)
+    assert _stop_holdback("stop", ("stop",)) == 0
+
+
+def test_stream_never_leaks_trimmed_stop_content(served):
+    """Streamed deltas must concatenate to exactly the final (stop-trimmed)
+    output_text — clients never see content that is later trimmed."""
+    _, engine = served
+    params = SamplingParams(temp=0.0)
+
+    # first run without stop strings to learn the greedy output text
+    r0 = Request(prompt_tokens=np.array([1, 9, 25], np.int64), params=params,
+                 n_predict=24)
+    engine.submit(r0)
+    assert r0.done.wait(60)
+    assert len(r0.output_text) > 4
+    stop = r0.output_text[len(r0.output_text) // 2:][:3]
+
+    deltas = []
+    r1 = Request(prompt_tokens=np.array([1, 9, 25], np.int64), params=params,
+                 n_predict=24, stop_strings=(stop,),
+                 stream=lambda tok, text, done: deltas.append(text))
+    engine.submit(r1)
+    assert r1.done.wait(60)
+    assert stop not in r1.output_text
+    assert "".join(deltas) == r1.output_text
