@@ -12,17 +12,42 @@ vs_baseline divides by the closest published reference figure: llama.cpp
 CUDA 7B Q4_0 tg128 = 132.19 t/s (reference examples/llama-bench/README.md:77)
 — the reference repo publishes no TPU numbers.
 
-Env overrides: BENCH_PRESET (default llama3-8b), BENCH_STEPS, BENCH_PREFILL.
+Robustness design (round-1 postmortem: the axon PJRT plugin can HANG
+indefinitely at backend init when the TPU tunnel is down, and the env var
+JAX_PLATFORMS=cpu does NOT bypass it — the sitecustomize pins the axon
+platform; only jax.config.update("jax_platforms", "cpu") before backend
+init does):
+  * every attempt runs in a subprocess with a hard wall-clock timeout,
+    killed by process group on expiry;
+  * a cheap backend probe (90 s) runs first; if the TPU backend cannot
+    init, we skip straight to the CPU fallback instead of wasting the
+    budget;
+  * the final fallback forces the CPU backend *in-process config*, runs a
+    tiny preset, and tags the line "backend": "cpu" so the driver can tell
+    degraded from dead;
+  * the parent ALWAYS prints exactly one parsed JSON line.
+
+Env overrides: BENCH_PRESET (default llama3-8b), BENCH_STEPS, BENCH_PREFILL,
+BENCH_MODE (int8|w4a8|exact), BENCH_BATCH, BENCH_FORCE_CPU=1.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
 BASELINE_TPS = 132.19
+
+
+def _force_cpu() -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
@@ -38,12 +63,13 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
 
     t0 = time.time()
     cfg = preset_config(preset)
-    # default = W8A8 fast mode (int8 MXU dots; same HBM traffic class as the
-    # reference's Q4_K CUDA path).  BENCH_MODE=exact measures the bit-exact
-    # per-32-group dequant kernels instead (~4.5x slower, VPU-bound).
-    fast_int8 = os.environ.get("BENCH_MODE", "int8") == "int8"
+    # default = W4A8 fast mode (4-bit-resident weights, int8 MXU dots — the
+    # TPU analogue of the reference's vec_dot_q4_K_q8_K hot loop).
+    # BENCH_MODE=int8 selects the W8A8 flat path; BENCH_MODE=exact measures
+    # the bit-exact per-32-group dequant kernels (VPU-bound, slower).
+    mode = os.environ.get("BENCH_MODE", "w4a8")
     params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
-                              fast_int8=fast_int8)
+                              fast_int8=(mode == "int8"), fast_w4a8=(mode == "w4a8"))
     build_s = time.time() - t0
 
     unrolled = os.environ.get("BENCH_UNROLLED", "1") == "1"
@@ -94,7 +120,7 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     dt = time.time() - t0
     tps = steps * batch / dt
     return {
-        "metric": f"decode_tps_{preset}_" + ("w8a8" if fast_int8 else "q4_k") + (f"_b{batch}" if batch > 1 else ""),
+        "metric": f"decode_tps_{preset}_{mode}" + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TPS, 3),
@@ -109,22 +135,103 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     }
 
 
-def main() -> None:
+def child_main() -> None:
+    """Run one bench attempt in-process and print its JSON line."""
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        _force_cpu()
     preset = os.environ.get("BENCH_PRESET", "llama3-8b")
     steps = int(os.environ.get("BENCH_STEPS", "64"))
     prefill = int(os.environ.get("BENCH_PREFILL", "64"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    result = run(preset, steps, prefill, batch)
+    print(json.dumps(result), flush=True)
+
+
+def probe_main() -> None:
+    """Cheap backend-liveness probe: init + one tiny device computation."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.jit(lambda a: a * 2 + 1)(jnp.ones((128, 128), jnp.bfloat16))
+    jax.block_until_ready(x)
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+
+
+def _run_child(argv: list[str], env_extra: dict, timeout_s: float) -> tuple[dict | None, str]:
+    """Run a child bench process; return (parsed-last-json-line, err-tail)."""
+    env = dict(os.environ)
+    env.update(env_extra)
     try:
-        result = run(preset, steps, prefill, batch)
-    except Exception as e:  # robust fallback so the driver always gets a line
-        sys.stderr.write(f"bench {preset} failed: {e!r}; falling back\n")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *argv],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, start_new_session=True, text=True,
+        )
         try:
-            result = run("tinyllama-1.1b", steps, prefill)
-        except Exception as e2:
+            out, err = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            # kill the whole process group (the exact pgid we created)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait(timeout=30)
+            return None, f"timeout after {timeout_s:.0f}s"
+    except Exception as e:  # pragma: no cover - spawn failure
+        return None, f"spawn failed: {e!r}"
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), ""
+            except json.JSONDecodeError:
+                continue
+    tail = (err or out or "").strip().splitlines()[-3:]
+    return None, f"rc={proc.returncode}: " + " | ".join(tail)
+
+
+def main() -> None:
+    errors: list[str] = []
+
+    # 1. probe the default (TPU/axon) backend with a short timeout
+    probe, perr = _run_child(["--probe"], {}, timeout_s=180)
+    tpu_alive = probe is not None
+    if not tpu_alive:
+        errors.append(f"probe: {perr}")
+
+    result: dict | None = None
+    if tpu_alive:
+        # 2. full attempt on the TPU backend (compile can take minutes)
+        result, aerr = _run_child(["--run"], {}, timeout_s=900)
+        if result is None:
+            errors.append(f"tpu attempt: {aerr}")
+            # 3. one retry (tunnel flakes are transient)
+            result, aerr = _run_child(["--run"], {}, timeout_s=600)
+            if result is None:
+                errors.append(f"tpu retry: {aerr}")
+
+    if result is None:
+        # 4. last resort: explicitly-tagged CPU line on a tiny preset
+        env = {"BENCH_FORCE_CPU": "1",
+               "BENCH_PRESET": os.environ.get("BENCH_CPU_PRESET", "tinyllama-1.1b"),
+               "BENCH_STEPS": "16", "BENCH_PREFILL": "16"}
+        result, cerr = _run_child(["--run"], env, timeout_s=600)
+        if result is not None:
+            result["backend"] = "cpu"
+            result["degraded"] = True
+        else:
+            errors.append(f"cpu fallback: {cerr}")
             result = {"metric": "decode_tps", "value": 0.0, "unit": "tokens/s",
-                      "vs_baseline": 0.0, "error": repr(e2)}
-    print(json.dumps(result))
+                      "vs_baseline": 0.0}
+    if errors:
+        result.setdefault("errors", errors)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        child_main()
+    elif "--probe" in sys.argv:
+        probe_main()
+    else:
+        main()

@@ -47,6 +47,20 @@ def synthetic_q8flat(rng, n: int, k: int, scale: float = 0.02):
                    group_size=SPAN, code_offset=0, shape=(n, k))
 
 
+def synthetic_w4(rng, n: int, k: int, scale: float = 0.02):
+    """Random W4 (W4A8 fast-mode, quant/fold.py layout) weight: plane-packed
+    4-bit codes + per-32-group bf16 scales/mins + transposed scale planes."""
+    from llama_kotlin_tpu.quant.fold import GROUP, w4_from_parts
+    from llama_kotlin_tpu.quant.qtensor import SPAN
+
+    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    G = k_pad // GROUP
+    packed = rng.integers(0, 256, (n, k_pad // 2), dtype=np.uint8)
+    s_eff = (rng.random((n, G), np.float32) * scale / 8.0).astype(np.float32)
+    m_adj = (rng.random((n, G), np.float32) * scale * 0.5).astype(np.float32)
+    return w4_from_parts(packed, s_eff, m_adj, (n, k))
+
+
 def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 0.02):
     """Build a QTensor with random codes/scales directly (no float
     quantization pass) — fast enough for billion-parameter synthetic
@@ -85,12 +99,15 @@ def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 
                    code_offset=probe.code_offset, shape=(n, k))
 
 
-def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=False):
+def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=False,
+                 fast_w4a8=False):
     import jax
 
     if qtype is None or not TYPE_TRAITS[qtype].is_quantized:
         x = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
         return jax.device_put(jnp.asarray(x, dtype=dtype))
+    if fast_w4a8:
+        return jax.tree.map(jnp.asarray, synthetic_w4(rng, n, k))
     if fast_int8:
         return jax.tree.map(jnp.asarray, synthetic_q8flat(rng, n, k))
     return jax.tree.map(jnp.asarray, synthetic_qtensor(rng, n, k, qtype))
@@ -98,7 +115,8 @@ def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=Fal
 
 def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
                      seed: int = 0, compute_dtype=jnp.bfloat16,
-                     tie_output: bool = False, fast_int8: bool = False) -> dict:
+                     tie_output: bool = False, fast_int8: bool = False,
+                     fast_w4a8: bool = False) -> dict:
     """Random params pytree for `cfg`, with matmul weights in `qtype`."""
     rng = np.random.default_rng(seed)
     E, F, V = cfg.n_embd, cfg.n_ff, cfg.vocab_size
@@ -109,25 +127,25 @@ def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
         return jnp.asarray(1.0 + 0.01 * rng.standard_normal(E), jnp.float32)
 
     params: dict = {
-        "tok_embd": _rand_weight(rng, V, E, qtype, compute_dtype, fast_int8),
+        "tok_embd": _rand_weight(rng, V, E, qtype, compute_dtype, fast_int8, fast_w4a8),
         "output_norm": norm_w(),
         "rope_freqs": None,
     }
     if not tie_output:
-        params["output"] = _rand_weight(rng, V, E, qtype, compute_dtype, fast_int8)
+        params["output"] = _rand_weight(rng, V, E, qtype, compute_dtype, fast_int8, fast_w4a8)
     params["layers"] = []
     for _ in range(cfg.n_layer):
         params["layers"].append(
             {
                 "attn_norm": norm_w(),
-                "wq": _rand_weight(rng, qdim, E, qtype, compute_dtype, fast_int8),
-                "wk": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8),
-                "wv": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8),
-                "wo": _rand_weight(rng, E, qdim, qtype, compute_dtype, fast_int8),
+                "wq": _rand_weight(rng, qdim, E, qtype, compute_dtype, fast_int8, fast_w4a8),
+                "wk": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8, fast_w4a8),
+                "wv": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8, fast_w4a8),
+                "wo": _rand_weight(rng, E, qdim, qtype, compute_dtype, fast_int8, fast_w4a8),
                 "ffn_norm": norm_w(),
-                "ffn_gate": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8),
-                "ffn_up": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8),
-                "ffn_down": _rand_weight(rng, E, F, qtype, compute_dtype, fast_int8),
+                "ffn_gate": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8),
+                "ffn_up": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8),
+                "ffn_down": _rand_weight(rng, E, F, qtype, compute_dtype, fast_int8, fast_w4a8),
             }
         )
     return params

@@ -176,8 +176,8 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     k_pad = w.k_pad
     lead_shape = x.shape[:-1]
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
-    if x.shape[-1] != k:
-        return None
+    if x.shape[-1] != k or w.hi_signed:
+        return None  # W4 layout: qmm_w4.py (signed high nibbles)
     plan = _plan_tiles(n, k_pad, w.group_size)
     if plan is None:
         return None

@@ -1,0 +1,220 @@
+"""W4A8 fast-mode matmul: 4-bit-resident weights, int8 activations, exact
+per-32-group scaling — the TPU-native redesign of the reference CPU hot
+loop ggml_vec_dot_q4_K_q8_K (ggml/src/ggml-quants.c): W4 weights times
+Q8-quantized activations with integer dots and per-group rescale.
+
+Design problem: Q4_K semantics need per-32-element group scales applied to
+integer dot partials, but 32-wide MXU dots are ~60x too slow, and
+per-element VPU dequantization caps at ~10% of HBM bandwidth (round-1
+measurement).  This kernel solves both:
+
+1. Nibble unpacking with ONE byte-wide AND per nibble, no shifts (Mosaic
+   has no 8-bit shifts; widening to i32 was the round-1 bottleneck).  The
+   W4 packing (quant/fold.py) stores the low nibble raw-unsigned and the
+   high nibble pre-signed, so
+       lo = byte & 0x0F            -> q_lo          (int8, 0..15)
+       hi = byte & 0xF0  (bitcast) -> 16*(q_hi - 8) (int8, exact)
+   Both feed the MXU directly; the hi plane's *16 is folded into its
+   scale plane, and the lo plane's raw bias is folded into the per-group
+   min term (applied outside via one small group-sum matmul).
+
+2. Per-32-group integer partials from full 512-wide MXU dots, by laying
+   the activations out block-diagonally over the MXU's row dimension:
+   X_bd[r*b + i, c] = x8[i, c] iff (c//32) % 16 == r, else 0.  A single
+   [16b, 512] x [512, bn] int8 dot then yields all 16 groups' partials
+   P[(r,i), n] at once — at decode batch b=8 this uses exactly the 128 MXU
+   rows that a plain [8, k] dot would waste.  Group scales multiply the
+   [16b, bn] partials (per-partial VPU work, 1/32 of per-element), and a
+   reshape-sum folds the 16 group rows back down to [b, bn] in f32.
+
+The result is numerically *tighter* than the bf16 dequant paths: integer
+dots are exact, scales are bf16-exact by storage, products/accumulation
+stay f32.
+
+Layout of operands (prepared by ops/qmatmul.py / quant/fold.py):
+- codes   [n, k/2] u8: W4 plane packing (fold_to_w4)
+- x_bd_lo / x_bd_hi [16*b, k/2] i8: block-diagonal activations for the lo
+  and hi plane column orders (plane column c of span s = element s*256+c%128
+  for lo, +128 for hi)
+- scw_lo / scw_hi [k/64, n] bf16: per-group scales transposed into plane
+  column order (hi includes the /16)
+- sxv [k/1024, 16*b] f32: per-chunk activation scales sx[b, superblock]
+  broadcast over the block-diagonal row layout
+
+Returns the scale-weighted main term; the caller subtracts the group-sum
+min term (see qmatmul._w4_matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
+
+CHUNK = 512  # plane columns per block-diagonal dot (16 groups of 32)
+NG = CHUNK // 32  # groups per chunk = block-diagonal row blocks
+
+
+def _plan(n: int, kc: int) -> Optional[tuple[int, int]]:
+    """(bn, bkc): output rows and plane columns per grid step."""
+    if kc % CHUNK != 0:
+        return None
+    for bkc in (2048, 1024, 512):
+        if kc % bkc == 0:
+            for bn in (512, 256, 128):
+                if n % bn == 0:
+                    return bn, bkc
+    return None
+
+
+def build_xbd(x8: jnp.ndarray, k_pad: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x8 [b, k_pad] int8 (element order) -> block-diagonal lo/hi plane
+    arrays [16*b, k_pad/2] int8."""
+    b = x8.shape[0]
+    spans = k_pad // SPAN
+    xr = x8.reshape(b, spans, 2, SPAN // 2)
+    planes = (xr[:, :, 0].reshape(b, k_pad // 2),
+              xr[:, :, 1].reshape(b, k_pad // 2))
+    kc = k_pad // 2
+    col_block = (jax.lax.broadcasted_iota(jnp.int32, (NG * b, kc), 1) // 32) % NG
+    row_block = jax.lax.broadcasted_iota(jnp.int32, (NG * b, kc), 0) // b
+    mask = (col_block == row_block)
+    out = []
+    for p in planes:
+        rep = jnp.broadcast_to(p[None], (NG, b, kc)).reshape(NG * b, kc)
+        out.append(jnp.where(mask, rep, jnp.int8(0)))
+    return out[0], out[1]
+
+
+def build_sxv(sx: jnp.ndarray, k_pad: int) -> jnp.ndarray:
+    """sx [b, S] f32 -> [k_pad/1024, 16*b]: chunk t, row (r, i) ->
+    sx[i, 4*t + r//4] (chunk t's 512 plane columns cover superblocks
+    4t..4t+3, 4 row-blocks each)."""
+    b = sx.shape[0]
+    nch = k_pad // (2 * CHUNK)
+    t = np.arange(nch)[:, None, None]          # [nch,1,1]
+    r = np.arange(NG)[None, :, None]           # [1,NG,1]
+    i = np.arange(b)[None, None, :]            # [1,1,b]
+    sb = np.broadcast_to(4 * t + r // 4, (nch, NG, b))
+    ii = np.broadcast_to(i, (nch, NG, b))
+    return sx[ii.reshape(-1), sb.reshape(-1)].reshape(nch, NG * b)
+
+
+def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
+                  max_rows: int = 32) -> Optional[jnp.ndarray]:
+    """x [..., k] (float) @ W4 w^T -> [..., n] f32, or None if not eligible.
+
+    Decode-path entry: quantizes activations per-256 superblock (the
+    reference's Q8_K row quantization, ggml-quants.c quantize_row_q8_K),
+    runs the block-diagonal kernel for the scale-weighted main term, and
+    subtracts the per-group min term via one [b, G] x [G, n] matmul on the
+    sx-scaled group sums (the analogue of Q8_K bsums).
+    """
+    from llama_kotlin_tpu.ops.pallas.qmm_int8 import quantize_activations
+
+    if not w.hi_signed or w.aux is None:
+        return None
+    n, k = w.shape
+    kc = w.codes.shape[-1]
+    k_pad = kc * 2
+    if _plan(n, kc) is None:
+        return None
+    lead_shape = x.shape[:-1]
+    b_real = int(np.prod(lead_shape)) if lead_shape else 1
+    if x.shape[-1] != k or b_real > max_rows:
+        return None  # prefill batches route to the dense/bf16 path
+    bp = max(8, int(2 ** np.ceil(np.log2(b_real))))
+    x2 = x.reshape(b_real, k).astype(jnp.float32)
+    if bp != b_real or k_pad != k:
+        x2 = jnp.pad(x2, ((0, bp - b_real), (0, k_pad - k)))
+    x8, sx = quantize_activations(x2)  # int8 [bp, k_pad], f32 [bp, S]
+    xlo, xhi = build_xbd(x8, k_pad)
+    sxv = jnp.asarray(build_sxv(sx, k_pad))
+    y_main = qmm_w4(xlo, xhi, sxv, w, interpret=interpret)
+    if y_main is None:
+        return None
+    # min term on sx-scaled group sums (exact in f32)
+    G = k_pad // 32
+    xg = x8.reshape(bp, G, 32).astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
+    xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
+    y = y_main - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32)
+    return y[:b_real].reshape(*lead_shape, n)
+
+
+def qmm_w4_or_none(x, w, **kw):
+    try:
+        return qmm_w4_matmul(x, w, **kw)
+    except Exception:
+        return None
+
+
+def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
+           w: QTensor, *, interpret: bool = False) -> Optional[jnp.ndarray]:
+    """Main term of the W4A8 matmul: [b, n] f32 (mins applied by caller)."""
+    if not w.hi_signed or w.aux is None:
+        return None
+    n, k = w.shape
+    kc = w.codes.shape[-1]  # k_pad / 2
+    plan = _plan(n, kc)
+    if plan is None:
+        return None
+    bn, bkc = plan
+    rows = x8_bd_lo.shape[0]  # 16 * b
+    b = rows // NG
+    scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
+
+    grid = (n // bn, kc // bkc)
+    nch_blk = bkc // CHUNK
+
+    def kernel(xlo_ref, xhi_ref, sxv_ref, codes_ref, sclo_ref, schi_ref, out_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        cw = codes_ref[...]  # [bn, bkc] u8
+        lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
+        hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+        acc = jnp.zeros_like(out_ref)
+        for t in range(nch_blk):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            p_lo = jax.lax.dot_general(
+                xlo_ref[:, sl], lo_w[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [16b, bn]
+            p_hi = jax.lax.dot_general(
+                xhi_ref[:, sl], hi_w[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sc_lo = jnp.repeat(sclo_ref[t * NG:(t + 1) * NG, :], b, axis=0)
+            sc_hi = jnp.repeat(schi_ref[t * NG:(t + 1) * NG, :], b, axis=0)
+            sxc = sxv_ref[t, :][:, None]  # [16b, 1]
+            contrib = (p_lo.astype(jnp.float32) * sc_lo.astype(jnp.float32)
+                       + p_hi.astype(jnp.float32) * sc_hi.astype(jnp.float32)
+                       ) * sxc
+            acc = acc + contrib.reshape(NG, b, bn).sum(axis=0)
+        out_ref[...] += acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, bkc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bkc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch_blk, rows), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bkc), (lambda i, j: (i, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 32, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 32, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, bn), (lambda i, j: (0, i)), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(x8_bd_lo, x8_bd_hi, sxv, w.codes, scw_lo, scw_hi)
+    return out

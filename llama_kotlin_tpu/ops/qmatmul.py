@@ -80,6 +80,12 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
         return y + w.scale * delta
     if isinstance(w, QTensor):
         if allow_pallas and _use_pallas():
+            if w.hi_signed:
+                from llama_kotlin_tpu.ops.pallas.qmm_w4 import qmm_w4_or_none
+
+                y = qmm_w4_or_none(x, w)
+                if y is not None:
+                    return y
             if w.bits == 8 and w.group_size == 256 and w.g_min is None \
                     and w.sb_scale is None:
                 from llama_kotlin_tpu.ops.pallas.qmm_int8 import qmm_int8_or_none

@@ -1,0 +1,121 @@
+"""Fold 4-bit quantized tensors into the W4A8 fast-mode layout ("W4").
+
+The W4 layout keeps weights 4-bit-resident in HBM (the same bytes/weight
+class as the reference's Q4_K hot loop, ggml_vec_dot_q4_K_q8_K in
+ggml/src/ggml-quants.c) while letting the codes reach the MXU as int8
+operands with ONE byte-wide AND each — no shifts, no per-element scale
+multiplies (see ops/pallas/qmm_w4.py for the kernel design):
+
+- codes: plane-packed bytes where byte j of span s holds
+    low nibble  = q[s*256 + j]        (raw unsigned code, 0..15)
+    high nibble = q[s*256 + 128 + j] - 8  (two's complement)
+  so `byte & 0x0F` is the raw low code and `byte & 0xF0` bitcast to int8
+  is exactly 16*(q_hi - 8).
+- g_scale: bf16 [n, G] effective per-32-group scale (superblock scale
+  folded in: f32(d) * sc for Q4_K).
+- g_min: bf16 [n, G] adjusted per-group min m_adj, consumed OUTSIDE the
+  matmul kernel via one small group-sum matmul:
+    y = kernel(x8, codes, scales) - (group_sums(x_hat) @ m_adj^T)
+  m_adj absorbs both the wire min and the nibble biases:
+    lo groups ((g % 8) < 4):  m_adj = m_eff + code_offset * s_eff
+    hi groups:                m_adj = m_eff + (code_offset - 8) * s_eff
+  which makes the total bit-exact with the standard dequantization
+  value = (q - code_offset) * s_eff - m_eff.
+- aux['scw_lo'] / aux['scw_hi']: the same scales transposed to [G/2, n]
+  and permuted into plane-column order (the order the kernel's 512-column
+  chunks sweep groups), with the hi plane's 1/16 correction pre-folded
+  into scw_hi.  Stored at load time so the hot path never transposes.
+
+HBM bytes read per weight: 4 bits codes + 0.5 bit scw + 0.5 bit m_adj
+= 5.0 bits (vs 8 for the W8A8 Q8F path and 4.5 for the wire format).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN, unpack_codes, effective_scales
+
+GROUP = 32  # W4 group size (= Q4_K group)
+
+
+def _plane_group_perm(n_groups: int, hi: bool) -> np.ndarray:
+    """Group ids in plane-column order: column c of the lo (hi) plane array
+    covers group 8*(c//128) + (c%128)//32 (+4 for hi); one entry per
+    32-column run."""
+    idx = np.arange(n_groups // 2)
+    return 8 * (idx // 4) + idx % 4 + (4 if hi else 0)
+
+
+def fold_to_w4(qt: QTensor) -> QTensor:
+    """Any 4-bit-coded, group-32 QTensor (Q4_0/Q4_1/Q4_K) -> W4 layout.
+
+    Bit-exact with the source's dequantization up to the bf16 rounding of
+    the folded effective scales (the source's own f16/6-bit scale grid is
+    coarser than bf16's 8 mantissa bits for Q4_0/Q4_1; for Q4_K the folded
+    product f32(d)*sc rounds to bf16, a 2^-9 relative perturbation below
+    the 4-bit codes' own quantization noise).
+    """
+    if qt.bits != 4 or qt.group_size != GROUP:
+        raise ValueError(f"fold_to_w4 needs 4-bit group-32 codes, got "
+                         f"bits={qt.bits} group={qt.group_size}")
+    if qt.hi_signed:
+        return qt
+    n, k = qt.shape
+    k_pad = qt.k_pad
+    G = k_pad // GROUP
+
+    codes = np.asarray(unpack_codes(qt)).astype(np.int32)  # [n, k_pad] element order
+    s_eff, m_eff = (np.asarray(a, np.float32) if a is not None else None
+                    for a in effective_scales(qt))
+    if m_eff is None:
+        m_eff = np.zeros_like(s_eff)
+
+    off = float(qt.code_offset)
+    g_idx = np.arange(G)
+    is_lo = (g_idx % 8) < 4
+    m_adj = m_eff + np.where(is_lo, off, off - 8.0).astype(np.float32) * s_eff
+
+    # pack: byte j of span s = q_lo | ((q_hi - 8) & 0xF) << 4
+    el = codes.reshape(n, k_pad // SPAN, 2, SPAN // 2)
+    lo = el[:, :, 0].astype(np.uint8)
+    hi = ((el[:, :, 1] - 8) & 0xF).astype(np.uint8)
+    packed = (lo | (hi << 4)).reshape(n, k_pad // 2)
+    return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype)
+
+
+def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
+                  shape: tuple[int, int], qtype=None) -> QTensor:
+    """Assemble a W4 QTensor from plane-packed codes [n, k_pad/2] u8,
+    effective per-32-group scales s_eff [n, G] f32, and pre-adjusted mins
+    m_adj [n, G] f32 (see module docstring for m_adj semantics)."""
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+    G = s_eff.shape[1]
+    s_bf = s_eff.astype(jnp.bfloat16)
+    sT = np.asarray(s_bf).T  # [G, n]
+    scw_lo = np.ascontiguousarray(sT[_plane_group_perm(G, hi=False)])
+    scw_hi = np.ascontiguousarray(
+        (sT[_plane_group_perm(G, hi=True)].astype(np.float32) / 16.0)
+    ).astype(jnp.bfloat16)
+
+    return QTensor(
+        codes=packed, g_scale=s_bf, g_min=m_adj.astype(jnp.bfloat16),
+        sb_scale=None, sb_min=None,
+        qtype=qtype if qtype is not None else GGMLQuantType.Q4_K,
+        bits=4, group_size=GROUP,
+        code_offset=0, shape=shape, hi_signed=True,
+        aux={"scw_lo": scw_lo, "scw_hi": scw_hi},
+    )
+
+
+def float_to_w4(x: np.ndarray) -> QTensor:
+    """float [n, k] -> W4 via a Q4_K quantization pass (asymmetric per-32
+    groups with 6-bit scales under f16 superblock scales), then fold."""
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType
+    from llama_kotlin_tpu.quant.repack import repack_float
+
+    return fold_to_w4(repack_float(np.ascontiguousarray(x, np.float32),
+                                   GGMLQuantType.Q4_K))

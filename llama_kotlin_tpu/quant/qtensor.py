@@ -58,6 +58,15 @@ class QTensor:
     group_size: int = field(metadata=dict(static=True))
     code_offset: int = field(metadata=dict(static=True))
     shape: tuple[int, int] = field(metadata=dict(static=True))  # logical (n, k)
+    # W4A8 fast-mode layout (quant/fold.py): 4-bit planes where the low
+    # nibble is the raw unsigned code and the high nibble is stored
+    # pre-signed (value-8, two's complement), so `byte & 0xF0` bitcast to
+    # int8 is exactly 16*(q-8) — both nibbles reach the MXU with one AND
+    # each, no shifts (see ops/pallas/qmm_w4.py)
+    hi_signed: bool = field(default=False, metadata=dict(static=True))
+    # auxiliary device arrays for fast kernels (e.g. transposed per-group
+    # scale planes); None for standard layouts
+    aux: Optional[dict] = None
 
     @property
     def n(self) -> int:
@@ -92,7 +101,12 @@ def unpack_codes(qt: QTensor) -> jnp.ndarray:
         spans = c.shape[-1] // half
         b = c.reshape(n, spans, half).astype(jnp.int32)
         lo = b & 0x0F
-        hi = (b >> 4) & 0x0F
+        if qt.hi_signed:
+            # high nibble holds (q-8) in two's complement: arithmetic shift
+            # on int8 sign-extends it to [-8, 7]
+            hi = (b.astype(jnp.int8) >> 4).astype(jnp.int32)
+        else:
+            hi = (b >> 4) & 0x0F
         return jnp.concatenate([lo, hi], axis=-1).reshape(n, spans * SPAN)
     if qt.bits == 2:
         quarter = SPAN // 4  # 64 bytes per span

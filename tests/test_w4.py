@@ -1,0 +1,106 @@
+"""W4A8 fast-mode tests: fold parity and the block-diagonal group-dot
+kernel (ops/pallas/qmm_w4.py) against the dequantization reference.
+
+Mirrors the reference's vec-dot testing strategy (test-quantize-fns.cpp:
+quant/dequant/vec_dot vs float reference with error budgets) for the
+TPU-native W4 layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.ops.pallas.qmm_int8 import quantize_activations
+from llama_kotlin_tpu.ops.pallas.qmm_w4 import (
+    build_sxv,
+    build_xbd,
+    qmm_w4_matmul,
+)
+from llama_kotlin_tpu.quant.fold import fold_to_w4, float_to_w4
+from llama_kotlin_tpu.quant.formats import GGMLQuantType
+from llama_kotlin_tpu.quant.qtensor import dequantize, unpack_codes
+from llama_kotlin_tpu.quant.repack import repack_float
+
+
+@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_0,
+                                   GGMLQuantType.Q4_1])
+def test_fold_to_w4_dequant_parity(rng, qtype):
+    """Folding preserves dequantized values up to bf16 scale rounding."""
+    n, k = 8, 512
+    x = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = repack_float(x, qtype)
+    w4 = fold_to_w4(qt)
+    assert w4.hi_signed and w4.bits == 4 and w4.group_size == 32
+    ref = np.asarray(dequantize(qt, jnp.float32))
+    got = np.asarray(dequantize(w4, jnp.float32))
+    # bf16 rounding of the folded scale (2^-9 * |q-off| <= 15) and of the
+    # folded min m_adj: ~0.6% of full scale worst-case, far below the 4-bit
+    # codes' own ~3% quantization noise
+    denom = np.abs(ref).max() + 1e-8
+    assert np.abs(got - ref).max() / denom < 1e-2
+    # code round trip is exact: |codes| <= 15 both nibble planes
+    codes = np.asarray(unpack_codes(w4))
+    assert codes.min() >= -8 and codes.max() <= 15
+
+
+def test_xbd_layout(rng):
+    """Block-diagonal activations: row r*b+i carries x8[i] on exactly the
+    plane columns whose group index (c//32 mod 16) == r."""
+    b, k_pad = 8, 1024
+    x8 = rng.integers(-127, 128, (b, k_pad), dtype=np.int8)
+    xlo, xhi = (np.asarray(a) for a in build_xbd(jnp.asarray(x8), k_pad))
+    assert xlo.shape == (16 * b, k_pad // 2)
+    spans = k_pad // 256
+    planes = x8.reshape(b, spans, 2, 128)
+    lo_plane = planes[:, :, 0].reshape(b, -1)
+    for c in range(0, k_pad // 2, 32):
+        r = (c // 32) % 16
+        for i in range(b):
+            np.testing.assert_array_equal(xlo[r * b + i, c:c + 32],
+                                          lo_plane[i, c:c + 32])
+        dead = [rr for rr in range(16) if rr != r]
+        assert all(not xlo[rr * b:(rr + 1) * b, c:c + 32].any() for rr in dead)
+
+
+@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_1])
+@pytest.mark.parametrize("shape", [(128, 1024), (256, 2048)])
+def test_qmm_w4_kernel_matches_reference(rng, qtype, shape):
+    """Kernel (interpret mode) vs dequantized matmul on the SAME quantized
+    activations — agreement to f32 accumulation order."""
+    n, k = shape
+    b = 3
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    w4 = fold_to_w4(repack_float(wf, qtype))
+    x = (rng.standard_normal((b, k)) * 0.7).astype(np.float32)
+
+    got = qmm_w4_matmul(jnp.asarray(x), jax.tree.map(jnp.asarray, w4),
+                        interpret=True)
+    assert got is not None and got.shape == (b, n)
+
+    # reference: same activation quantization, dequantized weights, f32 dot
+    bp = 8
+    x2 = np.pad(x, ((0, bp - b), (0, 0)))
+    x8, sx = (np.asarray(a) for a in quantize_activations(jnp.asarray(x2)))
+    x_hat = (x8.astype(np.float32).reshape(bp, -1, 256)
+             * np.asarray(sx)[..., None]).reshape(bp, k)
+    ref = x_hat @ np.asarray(dequantize(w4, jnp.float32)).T
+    np.testing.assert_allclose(np.asarray(got), ref[:b], rtol=2e-4, atol=2e-4)
+
+
+def test_qmm_w4_quality_vs_float(rng):
+    """End-to-end error of the W4A8 path vs the float matmul stays in the
+    Q4_K noise class (the activation quant adds < the weight quant noise)."""
+    n, k = 256, 1024
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    w4 = float_to_w4(wf)
+    got = np.asarray(qmm_w4_matmul(jnp.asarray(x), jax.tree.map(jnp.asarray, w4),
+                                   interpret=True))
+    exact = x @ wf.T
+    q4_ref = x @ np.asarray(dequantize(w4, jnp.float32)).T  # weight-quant-only error
+    e_kernel = np.abs(got - exact).mean()
+    e_weight = np.abs(q4_ref - exact).mean()
+    assert e_kernel < e_weight * 1.15  # activation quant adds <15% on top
