@@ -345,26 +345,34 @@ def forward(
             h = h + cvec.astype(h.dtype)
         return h
 
-    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1):
+    kv_quant = cache.quantized
+
+    def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1,
+                   ks_layer=None, vs_layer=None):
         """Unrolled-path layer: scatter K/V into the carried cache layer,
         then attend over it (per-layer masks, e.g. gemma2 SWA)."""
         q, k, v = qkv(lp, attn_in(lp, h), li)
         # cache layout is head-major [n_kv, cells, head_dim]; padded batch
         # rows carry slot == n_cells, dropped by the OOB scatter mode
-        k_layer = k_layer.at[:, slots].set(
-            k.swapaxes(0, 1).astype(k_layer.dtype), mode="drop"
-        )
-        v_layer = v_layer.at[:, slots].set(
-            v.swapaxes(0, 1).astype(v_layer.dtype), mode="drop"
-        )
+        kh, vh = k.swapaxes(0, 1), v.swapaxes(0, 1)  # [KV, nt, D]
+        if kv_quant:
+            from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+
+            kh, ks = quantize_rows(kh)
+            vh, vs = quantize_rows(vh)
+            ks_layer = ks_layer.at[:, slots].set(ks, mode="drop")
+            vs_layer = vs_layer.at[:, slots].set(vs, mode="drop")
+        k_layer = k_layer.at[:, slots].set(kh.astype(k_layer.dtype), mode="drop")
+        v_layer = v_layer.at[:, slots].set(vh.astype(v_layer.dtype), mode="drop")
         attn = attention(
-            q.astype(compute_dtype), k_layer[:, :n_vis], v_layer[:, :n_vis], mask,
+            q.astype(compute_dtype), k_layer, v_layer, mask,
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
             alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
+            k_scale=ks_layer, v_scale=vs_layer,
         )
-        attn = attn.reshape(nt, cfg.attn_out_dim)
+        attn = attn.astype(compute_dtype).reshape(nt, cfg.attn_out_dim)
         h = post_attn_ffn(lp, h, attn, cvec, li)
-        return h, k_layer, v_layer
+        return h, k_layer, v_layer, ks_layer, vs_layer
 
     if "layers_stacked" in params:
         # lax.scan over stacked layers: one-layer compile regardless of
@@ -412,17 +420,24 @@ def forward(
 
         def attend(q, k, v, i):
             qc = q.astype(compute_dtype)
-            kc_ = k.astype(cache.k.dtype)
-            vc_ = v.astype(cache.v.dtype)
+            kc_ = k.astype(compute_dtype)
+            vc_ = v.astype(compute_dtype)
             if use_flash:
                 out = flash_attention_stacked_or_none(
                     qc, cache.k, cache.v, i, kc_, vc_, mask_cells, mask_new,
                     scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+                    k_scale=cache.k_scale, v_scale=cache.v_scale, n_vis=n_vis,
                 )
                 if out is not None:
                     return out
-            k_cat = jnp.concatenate([cache.k[i], kc_.swapaxes(0, 1)], axis=1)
-            v_cat = jnp.concatenate([cache.v[i], vc_.swapaxes(0, 1)], axis=1)
+            k_old, v_old = cache.k[i][:, :n_vis], cache.v[i][:, :n_vis]
+            if cache.quantized:
+                k_old = k_old.astype(jnp.float32) * cache.k_scale[i][:, :n_vis, None]
+                v_old = v_old.astype(jnp.float32) * cache.v_scale[i][:, :n_vis, None]
+            k_cat = jnp.concatenate([k_old.astype(compute_dtype),
+                                     kc_.swapaxes(0, 1)], axis=1)
+            v_cat = jnp.concatenate([v_old.astype(compute_dtype),
+                                     vc_.swapaxes(0, 1)], axis=1)
             m_cat = jnp.concatenate([mask_cells, mask_new], axis=1)
             return attention_reference(
                 qc, k_cat, v_cat, m_cat,
@@ -438,32 +453,58 @@ def forward(
                 else:
                     lp[key] = StackedSlice(v, i)
             q, k, v = qkv(lp, attn_in(lp, h), i)
-            attn = attend(q, k, v, i).reshape(nt, cfg.attn_out_dim)
+            if kv_quant:
+                # quantize first and attend over the dequantized values so
+                # this step's tokens see exactly what later steps will read
+                from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+
+                kh, ks = quantize_rows(k.swapaxes(0, 1))
+                vh, vs = quantize_rows(v.swapaxes(0, 1))
+                k = (kh.astype(jnp.float32) * ks[..., None]).swapaxes(0, 1)
+                v = (vh.astype(jnp.float32) * vs[..., None]).swapaxes(0, 1)
+            attn = attend(q, k, v, i).astype(compute_dtype).reshape(nt, cfg.attn_out_dim)
             h = post_attn_ffn(lp, h, attn, cvec, i)
+            if kv_quant:
+                return h, (kh, vh, ks, vs)
             return h, (k.swapaxes(0, 1).astype(cache.k.dtype),
-                       v.swapaxes(0, 1).astype(cache.v.dtype))
+                       v.swapaxes(0, 1).astype(cache.v.dtype),
+                       jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
         cvecs = control_vectors
         if cvecs is None:
             cvecs = jnp.zeros((cfg.n_layer, h.shape[-1]), jnp.float32)
-        h, (k_rows, v_rows) = jax.lax.scan(
+        h, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
             scan_body, h,
             (small, jnp.arange(cfg.n_layer, dtype=jnp.int32), cvecs),
         )
         # one scatter for all layers: k_rows [L, KV, nt, D] -> cache cells
         new_k = cache.k.at[:, :, slots].set(k_rows, mode="drop")
         new_v = cache.v.at[:, :, slots].set(v_rows, mode="drop")
+        new_ks = cache.k_scale
+        new_vs = cache.v_scale
+        if kv_quant:
+            new_ks = new_ks.at[:, :, slots].set(ks_rows, mode="drop")
+            new_vs = new_vs.at[:, :, slots].set(vs_rows, mode="drop")
     else:
         new_k = cache.k
         new_v = cache.v
+        new_ks = cache.k_scale
+        new_vs = cache.v_scale
         for i in range(cfg.n_layer):
             lp = layer_params(params, i)
             window = cfg.layer_swa_window(i)
             mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
             cvec = None if control_vectors is None else control_vectors[i]
-            h, kl, vl = layer_body(lp, h, new_k[i], new_v[i], mask, cvec, li=i)
+            h, kl, vl, ksl, vsl = layer_body(
+                lp, h, new_k[i], new_v[i], mask, cvec, li=i,
+                ks_layer=None if new_ks is None else new_ks[i],
+                vs_layer=None if new_vs is None else new_vs[i],
+            )
             new_k = new_k.at[i].set(kl)
             new_v = new_v.at[i].set(vl)
+            if ksl is not None:
+                new_ks = new_ks.at[i].set(ksl)
+                new_vs = new_vs.at[i].set(vsl)
             if collect_layer_outputs:  # cvector extraction (cb "l_out")
                 stats[f"l_out.{i}"] = h.astype(jnp.float32)
 
@@ -486,6 +527,7 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    out_cache = replace(cache, k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
     if collect_stats or collect_layer_outputs:
-        return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32), stats
-    return logits, replace(cache, k=new_k, v=new_v), h_out.astype(jnp.float32)
+        return logits, out_cache, h_out.astype(jnp.float32), stats
+    return logits, out_cache, h_out.astype(jnp.float32)

@@ -64,30 +64,43 @@ def attention(
     q: jnp.ndarray,  # [nt, n_head, head_dim]
     k_cache: jnp.ndarray,  # [n_kv_head, cells, head_dim]
     v_cache: jnp.ndarray,  # [n_kv_head, cells, head_dim]
-    mask: jnp.ndarray,  # bool [nt, cells]
+    mask: jnp.ndarray,  # bool [nt, n_vis]
     *,
     scale: float,
     logit_softcap: float = 0.0,
     alibi_slopes: Optional[jnp.ndarray] = None,  # [n_head]
     token_pos: Optional[jnp.ndarray] = None,
     cell_pos: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [n_kv_head, cells] (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
     allow_pallas: bool = True,
 ) -> jnp.ndarray:
     """Masked multi-head attention with GQA; returns [nt, n_head, head_dim].
 
-    Scores in f32; output in q.dtype.
+    Scores in f32; output in q.dtype.  The cache arrays may be LARGER than
+    the mask's cell extent (used-prefix bucketing): only the first
+    mask.shape[1] cells are attended.  k_scale/v_scale mark an
+    int8-quantized cache (per-row scales, runtime/kv_cache.py).
     """
+    n_vis = mask.shape[1]
     if (allow_pallas and alibi_slopes is None
             and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: k/v dims differ
             and jax.default_backend() not in ("cpu",)):
         from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
 
         out = flash_attention_or_none(q, k_cache, v_cache, mask,
-                                      scale=scale, logit_softcap=logit_softcap)
+                                      scale=scale, logit_softcap=logit_softcap,
+                                      k_scale=k_scale, v_scale=v_scale,
+                                      n_vis=n_vis)
         if out is not None:
             return out
+    kf = k_cache[:, :n_vis]
+    vf = v_cache[:, :n_vis]
+    if k_scale is not None:
+        kf = kf.astype(jnp.float32) * k_scale[:, :n_vis, None]
+        vf = vf.astype(jnp.float32) * v_scale[:, :n_vis, None]
     return attention_reference(
-        q, k_cache, v_cache, mask, scale=scale, logit_softcap=logit_softcap,
+        q, kf, vf, mask, scale=scale, logit_softcap=logit_softcap,
         alibi_slopes=alibi_slopes, token_pos=token_pos, cell_pos=cell_pos,
     )
 

@@ -9,6 +9,17 @@ Shapes: q [nt, H, D], k/v [KV, cells, D] (head-major cache layout),
 mask int8/bool [nt, cells].  Grid (head, cell_tile); the q block and the
 f32 accumulator live in VMEM across the cell sweep.  GQA maps query head
 h to kv head h // (H // KV) in the k/v index maps.
+
+Two serving-critical extensions over the reference design:
+- `n_vis` bounds the cell sweep: the kernel reads only the first n_vis
+  cells of the (larger) cache arrays, so attention cost scales with the
+  bucketed live span, not allocated cells — no slice copy, the grid just
+  stops early (the analogue of the reference's cache-prefix views,
+  llama.cpp build path n_kv = cell range).
+- int8 quantized K/V (type_k/type_v analogue, include/llama.h:304-311):
+  codes ride the MXU dots raw and the per-row scales fold into the score
+  tile (K) and the probability tile (V) — one [nt, Ct] multiply each,
+  never a dequantized tile in HBM.
 """
 
 from __future__ import annotations
@@ -24,8 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
-            *, scale, logit_softcap, n_ctiles):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
+            scale, logit_softcap, n_ctiles, quantized):
+    if quantized:
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        out_ref, acc_ref, m_ref, l_ref = rest
     c_i = pl.program_id(1)
 
     @pl.when(c_i == 0)
@@ -39,6 +54,8 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [nt, Ct]
+    if quantized:  # fold per-cell K scales into the score columns
+        s = s * ks_ref[0][None, :]
     if logit_softcap > 0.0:
         s = jnp.tanh(s / logit_softcap) * logit_softcap
     visible = mask_ref[...] != 0
@@ -56,6 +73,8 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
     )
     m_ref[...] = m_new
     v = v_ref[0].astype(jnp.float32)  # [Ct, D]
+    if quantized:  # fold per-cell V scales into the probability columns
+        p = p * vs_ref[0][None, :]
     pv = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [nt, D]
@@ -69,34 +88,53 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
 
 
 def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
+                    k_scale=None, v_scale=None, n_vis: Optional[int] = None,
+                    out_dtype=None,
                     interpret: bool = False) -> Optional[jnp.ndarray]:
-    """q [nt, H, D], k/v [KV, cells, D], mask [nt, cells] -> [nt, H, D]."""
+    """q [nt, H, D], k/v [KV, cells, D], mask [nt, n_vis] -> [nt, H, D].
+
+    n_vis (static) bounds the cell sweep to a prefix of the cache;
+    defaults to the mask's cell extent.  k_scale/v_scale [KV, cells] f32
+    enable the int8-quantized cache path."""
     nt, h, d = q.shape
     kv, cells, _ = k.shape
-    if h % kv != 0 or d not in (64, 128) or nt % 8 != 0:
+    n_vis = n_vis if n_vis is not None else mask.shape[1]
+    if h % kv != 0 or d not in (64, 128) or nt % 8 != 0 or n_vis > cells:
         return None
+    quantized = k_scale is not None
     rep = h // kv
-    ct = next((c for c in (512, 256, 128) if cells % c == 0), 0)
+    ct = next((c for c in (512, 256, 128) if n_vis % c == 0), 0)
     if ct == 0:
         return None
-    n_ctiles = cells // ct
+    n_ctiles = n_vis // ct
+    if mask.shape[1] != n_vis:
+        return None
 
     qh = q.swapaxes(0, 1)  # [H, nt, D]
     mask_i8 = mask.astype(jnp.int8) if mask.dtype != jnp.int8 else mask
+    out_dtype = out_dtype or q.dtype
 
     grid = (h, n_ctiles)
+    in_specs = [
+        pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ct, d), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ct, d), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nt, ct), (lambda hi, ci: (0, ci)), memory_space=pltpu.VMEM),
+    ]
+    operands = [qh, k, v, mask_i8]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, ct), (lambda hi, ci: (hi // rep, ci)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), (lambda hi, ci: (hi // rep, ci)), memory_space=pltpu.VMEM),
+        ]
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     out = pl.pallas_call(
         lambda *refs: _kernel(*refs, scale=scale, logit_softcap=logit_softcap,
-                              n_ctiles=n_ctiles),
+                              n_ctiles=n_ctiles, quantized=quantized),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ct, d), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ct, d), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, ct), (lambda hi, ci: (0, ci)), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, nt, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, nt, d), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((nt, d), jnp.float32),
             pltpu.VMEM((nt, 128), jnp.float32),
@@ -106,12 +144,16 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qh, k, v, mask_i8)
+    )(*operands)
     return out.swapaxes(0, 1)
 
 
-def flash_attention_or_none(q, k, v, mask, *, scale, logit_softcap=0.0):
+def flash_attention_or_none(q, k, v, mask, *, scale, logit_softcap=0.0,
+                            k_scale=None, v_scale=None, n_vis=None,
+                            out_dtype=None):
     try:
-        return flash_attention(q, k, v, mask, scale=scale, logit_softcap=logit_softcap)
+        return flash_attention(q, k, v, mask, scale=scale,
+                               logit_softcap=logit_softcap, k_scale=k_scale,
+                               v_scale=v_scale, n_vis=n_vis, out_dtype=out_dtype)
     except Exception:
         return None

@@ -7,6 +7,12 @@ lax.scan, and the per-layer scatter happens once outside the scan.
 Online-softmax over cell tiles, then one extra merge of the [nt] new
 rows with their own visibility mask (the new tokens' cache cells are
 excluded from `mask_cells` by the caller).
+
+Supports the same two cache extensions as ops/pallas/flash.py:
+`n_vis` bounds the cell sweep to the bucketed live prefix, and int8
+quantized K/V caches ride their per-row scales into the score /
+probability tiles (the fresh rows stay float — they were computed this
+step).
 """
 
 from __future__ import annotations
@@ -23,7 +29,11 @@ NEG_INF = -1e30
 
 
 def _kernel(L_ref, q_ref, k_ref, v_ref, mask_ref, kn_ref, vn_ref, mask_new_ref,
-            out_ref, acc_ref, m_ref, l_ref, *, scale, logit_softcap, n_ctiles):
+            *rest, scale, logit_softcap, n_ctiles, quantized):
+    if quantized:
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        out_ref, acc_ref, m_ref, l_ref = rest
     c_i = pl.program_id(1)
 
     @pl.when(c_i == 0)
@@ -34,7 +44,7 @@ def _kernel(L_ref, q_ref, k_ref, v_ref, mask_ref, kn_ref, vn_ref, mask_new_ref,
 
     q = q_ref[0].astype(jnp.float32)  # [nt, D]
 
-    def online_update(s, visible, v_tile):
+    def online_update(s, visible, v_tile, v_colscale=None):
         """Merge one score tile [nt, C] + value tile [C, D] into the
         running softmax stats."""
         if logit_softcap > 0.0:
@@ -51,6 +61,8 @@ def _kernel(L_ref, q_ref, k_ref, v_ref, mask_ref, kn_ref, vn_ref, mask_new_ref,
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
         )
         m_ref[...] = m_new
+        if v_colscale is not None:  # per-cell V scales fold into the probs
+            p = p * v_colscale
         pv = jax.lax.dot_general(
             p, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -60,7 +72,12 @@ def _kernel(L_ref, q_ref, k_ref, v_ref, mask_ref, kn_ref, vn_ref, mask_new_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    online_update(s, mask_ref[...] != 0, v_ref[0, 0].astype(jnp.float32))
+    if quantized:
+        s = s * ks_ref[0, 0][None, :]
+        online_update(s, mask_ref[...] != 0, v_ref[0, 0].astype(jnp.float32),
+                      v_colscale=vs_ref[0, 0][None, :])
+    else:
+        online_update(s, mask_ref[...] != 0, v_ref[0, 0].astype(jnp.float32))
 
     @pl.when(c_i == n_ctiles - 1)
     def _merge_new_and_finalize():
@@ -77,19 +94,25 @@ def _kernel(L_ref, q_ref, k_ref, v_ref, mask_ref, kn_ref, vn_ref, mask_new_ref,
 def flash_attention_stacked(q, k_stacked, v_stacked, layer, new_k, new_v,
                             mask_cells, mask_new, *, scale: float,
                             logit_softcap: float = 0.0,
+                            k_scale=None, v_scale=None,
+                            n_vis: Optional[int] = None,
                             interpret: bool = False) -> Optional[jnp.ndarray]:
     """q [nt, H, D]; k/v_stacked [L, KV, cells, D]; layer scalar;
-    new_k/new_v [nt, KV, D]; mask_cells [nt, cells]; mask_new [nt, nt].
+    new_k/new_v [nt, KV, D]; mask_cells [nt, n_vis]; mask_new [nt, nt].
     Returns [nt, H, D] or None if unsupported."""
     nt, h, d = q.shape
     _, kv, cells, _ = k_stacked.shape
-    if h % kv != 0 or d not in (64, 128) or nt % 8 != 0:
+    n_vis = n_vis if n_vis is not None else mask_cells.shape[1]
+    if h % kv != 0 or d not in (64, 128) or nt % 8 != 0 or n_vis > cells:
         return None
+    if mask_cells.shape[1] != n_vis:
+        return None
+    quantized = k_scale is not None
     rep = h // kv
-    ct = next((c for c in (512, 256, 128) if cells % c == 0), 0)
+    ct = next((c for c in (512, 256, 128) if n_vis % c == 0), 0)
     if ct == 0:
         return None
-    n_ctiles = cells // ct
+    n_ctiles = n_vis // ct
 
     qh = q.swapaxes(0, 1)  # [H, nt, D]
     knh = new_k.swapaxes(0, 1)  # [KV, nt, D]
@@ -97,20 +120,31 @@ def flash_attention_stacked(q, k_stacked, v_stacked, layer, new_k, new_v,
     m_cells = mask_cells.astype(jnp.int8)
     m_new = mask_new.astype(jnp.int8)
 
+    in_specs = [
+        pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ct, d), (lambda hi, ci, L: (L[0], hi // rep, ci, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ct, d), (lambda hi, ci, L: (L[0], hi // rep, ci, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nt, ct), (lambda hi, ci, L: (0, ci)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi // rep, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi // rep, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nt, nt), (lambda hi, ci, L: (0, 0)), memory_space=pltpu.VMEM),
+    ]
+    operands = [qh, k_stacked, v_stacked, m_cells, knh, vnh, m_new]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, ct), (lambda hi, ci, L: (L[0], hi // rep, ci)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ct), (lambda hi, ci, L: (L[0], hi // rep, ci)),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(h, n_ctiles),
-        in_specs=[
-            pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi, 0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ct, d), (lambda hi, ci, L: (L[0], hi // rep, ci, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ct, d), (lambda hi, ci, L: (L[0], hi // rep, ci, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, ct), (lambda hi, ci, L: (0, ci)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi // rep, 0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi // rep, 0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, nt), (lambda hi, ci, L: (0, 0)), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nt, d), (lambda hi, ci, L: (hi, 0, 0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -121,15 +155,14 @@ def flash_attention_stacked(q, k_stacked, v_stacked, layer, new_k, new_v,
     )
     out = pl.pallas_call(
         lambda *refs: _kernel(*refs, scale=scale, logit_softcap=logit_softcap,
-                              n_ctiles=n_ctiles),
+                              n_ctiles=n_ctiles, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h, nt, d), q.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), qh, k_stacked, v_stacked,
-      m_cells, knh, vnh, m_new)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out.swapaxes(0, 1)
 
 

@@ -95,5 +95,14 @@ def cache_sharding(mesh: Mesh, n_kv_head: int) -> NamedSharding:
 
 def shard_cache(cache, mesh: Mesh) -> Any:
     n_kv = cache.k.shape[1]
-    sh = cache_sharding(mesh, n_kv)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), cache)
+    tp = mesh.shape["tp"]
+    split = tp > 1 and n_kv % tp == 0
+
+    def put(a):
+        # codes are rank-4 [L, KV, cells, D], quantized-cache scales rank-3
+        # [L, KV, cells]; both shard the KV-head axis over tp
+        spec = P(*(["tp" if (i == 1 and split) else None
+                    for i in range(a.ndim)]))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, cache)

@@ -79,9 +79,11 @@ class LlamaContext:
         n_seq_max: int = 32,
         compute_dtype=jnp.bfloat16,
         kv_dtype=None,
+        kv_quant: bool = False,
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         forward_fn=None,
         prefer_unrolled: bool = False,
+        vis_bucketing: bool = True,
     ):
         self.cfg = cfg
         self._raw_params = params  # unstacked view kept for LoRA re-application
@@ -100,8 +102,17 @@ class LlamaContext:
         # padded tokens carry slot index == n_cells; the scatter drops them
         self.cache = KVCache.create(
             cfg.n_layer, n_cells, cfg.n_head_kv, cfg.head_dim, dtype=kv_dtype,
-            v_head_dim=cfg.v_head_dim,
+            v_head_dim=cfg.v_head_dim, quantized=kv_quant,
         )
+        # used-prefix attention bucketing: attend over a bucketed prefix of
+        # the cell array instead of every allocated cell (the analogue of
+        # the reference's n_kv cache-prefix views).  Coarse doubling buckets
+        # bound the number of compiled variants at log2(n_cells / 512).
+        self._vis_buckets: tuple[int, ...] = (n_cells,)
+        if vis_bucketing and n_cells % 128 == 0:
+            vb = [b for b in (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+                  if b < n_cells and n_cells % b == 0]
+            self._vis_buckets = tuple(vb) + (n_cells,)
         self.timings = Timings()
         self._logits: Optional[jax.Array] = None
         self._logits_rows: Optional[np.ndarray] = None
@@ -202,11 +213,17 @@ class LlamaContext:
         out_ids = np.zeros(n_out, np.int32)
         out_ids[: len(out_rows)] = out_rows
 
+        # attention span: smallest bucket covering every live cell (includes
+        # the freshly committed slots)
+        span = self.meta.used_span()
+        n_vis = next((b for b in self._vis_buckets if b >= span),
+                     self.n_cells)
+
         logits, self.cache, embd = self._step(
             self.params,
             jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
             jnp.asarray(slot_arr), self.cache,
-            jnp.asarray(self.meta.pos), jnp.asarray(self.meta.seq),
+            jnp.asarray(self.meta.pos[:n_vis]), jnp.asarray(self.meta.seq[:n_vis]),
             jnp.asarray(out_ids),
         )
         if len(out_rows):

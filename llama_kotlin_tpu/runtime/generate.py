@@ -118,9 +118,14 @@ def generate(ctx, prompt_tokens, n_steps: int, sp: SampleParams = SampleParams()
     pos = np.arange(n_prompt, n_prompt + n_steps, dtype=np.int32)
     ctx.meta.commit(slots_flat, pos, np.full(n_steps, seq_id, np.int32))
 
+    # attention span: bucketed live prefix (covers prompt + reserved slots)
+    span = ctx.meta.used_span()
+    n_vis = next((b for b in getattr(ctx, "_vis_buckets", (ctx.n_cells,))
+                  if b >= span), ctx.n_cells)
+
     out_tokens, cache, cell_pos, cell_seq, _ = generate_loop(
         ctx.params, ctx.cfg, ctx.cache,
-        jnp.asarray(ctx.meta.pos), jnp.asarray(ctx.meta.seq),
+        jnp.asarray(ctx.meta.pos[:n_vis]), jnp.asarray(ctx.meta.seq[:n_vis]),
         jnp.asarray([first], jnp.int32), jnp.asarray([n_prompt], jnp.int32),
         jnp.asarray([seq_id], jnp.int32), jnp.asarray(slots),
         n_steps, sp, ctx.compute_dtype,

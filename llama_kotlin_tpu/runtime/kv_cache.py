@@ -40,27 +40,65 @@ class KVCache:
     Layout is head-major [n_layer, n_kv_head, cells, head_dim]: per-head
     cell rows are contiguous, which is what the flash-attention kernel
     blocks over and what TP sharding splits on.
+
+    Quantized mode (parity: type_k/type_v, reference include/llama.h:304-311
+    + the quantized-V flash-attn requirement): k/v hold int8 codes and
+    k_scale/v_scale hold one f32 scale per cached row [n_layer, n_kv_head,
+    cells] — per-row rather than the reference's per-32-group q8_0, which
+    on a 128-wide head is the natural TPU layout (scales stay a lane
+    vector; the flash kernel folds them into the score/probability tiles
+    instead of dequantizing K/V in HBM).
     """
 
     k: jax.Array  # [n_layer, n_kv_head, cells, head_dim]
     v: jax.Array  # [n_layer, n_kv_head, cells, head_dim]
+    k_scale: Optional[jax.Array] = None  # [n_layer, n_kv_head, cells] f32
+    v_scale: Optional[jax.Array] = None
 
     @property
     def n_cells(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     @staticmethod
     def create(n_layer: int, cells: int, n_kv_head: int, head_dim: int,
                dtype=jnp.bfloat16, sharding=None,
-               v_head_dim: int = 0) -> "KVCache":
-        """v_head_dim != head_dim for MLA archs (deepseek2: k 192, v 128)."""
+               v_head_dim: int = 0, quantized: bool = False) -> "KVCache":
+        """v_head_dim != head_dim for MLA archs (deepseek2: k 192, v 128).
+        quantized=True stores int8 codes + per-row scales (type_k/type_v
+        analogue)."""
         v_head_dim = v_head_dim or head_dim
+        if quantized:
+            dtype = jnp.int8
         kshape = (n_layer, n_kv_head, cells, head_dim)
         vshape = (n_layer, n_kv_head, cells, v_head_dim)
-        if sharding is not None:
-            return KVCache(k=jax.device_put(jnp.zeros(kshape, dtype), sharding),
-                           v=jax.device_put(jnp.zeros(vshape, dtype), sharding))
-        return KVCache(k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype))
+        sshape = (n_layer, n_kv_head, cells)
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else (lambda a: a)
+        return KVCache(
+            k=put(jnp.zeros(kshape, dtype)), v=put(jnp.zeros(vshape, dtype)),
+            k_scale=put(jnp.zeros(sshape, jnp.float32)) if quantized else None,
+            v_scale=put(jnp.zeros(sshape, jnp.float32)) if quantized else None,
+        )
+
+
+def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 quantization over the last axis:
+    returns (codes int8 [..., d], scale f32 [...])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                     -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+def dequantize_cache_layer(codes: jnp.ndarray, scale: jnp.ndarray,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """codes [KV, cells, D] int8 + scale [KV, cells] -> float [KV, cells, D]."""
+    return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 class CellMetadata:
@@ -201,6 +239,13 @@ def apply_k_shift(cache: KVCache, meta: CellMetadata, deltas: np.ndarray,
     deltas = np.asarray(deltas, np.int32)
     if deltas.shape[0] < cache.n_cells:  # pad to cover any scratch rows
         deltas = np.pad(deltas, (0, cache.n_cells - deltas.shape[0]))
+    if cache.quantized:
+        # dequant -> rotate -> requantize (rotation changes per-row amax)
+        kf = cache.k.astype(jnp.float32) * cache.k_scale[..., None]
+        kf = _rotate_k(kf, jnp.asarray(deltas),
+                       rope, rope.rope_type == ROPE_TYPE_NEOX, freq_factors)
+        codes, scale = quantize_rows(kf)
+        return replace(cache, k=codes, k_scale=scale)
     k = _rotate_k(cache.k, jnp.asarray(deltas),
                   rope, rope.rope_type == ROPE_TYPE_NEOX, freq_factors)
     return replace(cache, k=k)

@@ -44,12 +44,40 @@ def _unpack(data: bytes, magic: bytes) -> dict:
     return dict(np.load(io.BytesIO(data[8:]), allow_pickle=False))
 
 
+def _cache_kv_f32(ctx: LlamaContext) -> tuple[np.ndarray, np.ndarray]:
+    """Cache tensors as float32 — quantized caches are dequantized so the
+    blob stays portable across kv cache types (the reference stores raw
+    type_k bytes; float blobs trade size for cross-type restore)."""
+    k = np.asarray(ctx.cache.k, np.float32)
+    v = np.asarray(ctx.cache.v, np.float32)
+    if ctx.cache.quantized:
+        k = k * np.asarray(ctx.cache.k_scale, np.float32)[..., None]
+        v = v * np.asarray(ctx.cache.v_scale, np.float32)[..., None]
+    return k, v
+
+
+def _restore_cache(ctx: LlamaContext, k: np.ndarray, v: np.ndarray) -> None:
+    from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+
+    if ctx.cache.quantized:
+        kc, ks = quantize_rows(jnp.asarray(k))
+        vc, vs = quantize_rows(jnp.asarray(v))
+        ctx.cache = replace(ctx.cache, k=kc, v=vc, k_scale=ks, v_scale=vs)
+    else:
+        ctx.cache = replace(
+            ctx.cache,
+            k=jnp.asarray(k, ctx.cache.k.dtype),
+            v=jnp.asarray(v, ctx.cache.v.dtype),
+        )
+
+
 def _meta_dict(ctx: LlamaContext) -> dict:
+    k, v = _cache_kv_f32(ctx)
     return {
         "cell_pos": ctx.meta.pos.copy(),
         "cell_seq": ctx.meta.seq.copy(),
-        "cache_k": np.asarray(ctx.cache.k, np.float32),
-        "cache_v": np.asarray(ctx.cache.v, np.float32),
+        "cache_k": k,
+        "cache_v": v,
     }
 
 
@@ -71,11 +99,7 @@ def set_state_data(ctx: LlamaContext, data: bytes) -> None:
         )
     ctx.meta.pos[:] = p["cell_pos"]
     ctx.meta.seq[:] = p["cell_seq"]
-    ctx.cache = replace(
-        ctx.cache,
-        k=jnp.asarray(p["cache_k"], ctx.cache.k.dtype),
-        v=jnp.asarray(p["cache_v"], ctx.cache.v.dtype),
-    )
+    _restore_cache(ctx, p["cache_k"], p["cache_v"])
     if "logits" in p:
         ctx._logits = jnp.asarray(p["logits"])
         ctx._logits_rows = p["logits_rows"]
@@ -95,11 +119,7 @@ def load_session_file(ctx: LlamaContext, path) -> np.ndarray:
     p = _unpack(data, SESSION_MAGIC)
     ctx.meta.pos[:] = p["cell_pos"]
     ctx.meta.seq[:] = p["cell_seq"]
-    ctx.cache = replace(
-        ctx.cache,
-        k=jnp.asarray(p["cache_k"], ctx.cache.k.dtype),
-        v=jnp.asarray(p["cache_v"], ctx.cache.v.dtype),
-    )
+    _restore_cache(ctx, p["cache_k"], p["cache_v"])
     return p["tokens"]
 
 
@@ -111,10 +131,15 @@ def get_seq_data(ctx: LlamaContext, seq_id: int) -> bytes:
     cells = np.nonzero(has)[0]
     order = np.argsort(ctx.meta.pos[cells], kind="stable")
     cells = cells[order].astype(np.int32)
+    k = np.asarray(ctx.cache.k[:, :, cells], np.float32)  # [L, KV, n, D]
+    v = np.asarray(ctx.cache.v[:, :, cells], np.float32)
+    if ctx.cache.quantized:
+        k = k * np.asarray(ctx.cache.k_scale[:, :, cells], np.float32)[..., None]
+        v = v * np.asarray(ctx.cache.v_scale[:, :, cells], np.float32)[..., None]
     payload = {
         "pos": ctx.meta.pos[cells],
-        "k": np.asarray(ctx.cache.k[:, :, cells], np.float32),  # [L, KV, n, D]
-        "v": np.asarray(ctx.cache.v[:, :, cells], np.float32),
+        "k": k,
+        "v": v,
     }
     return _pack(payload, STATE_MAGIC)
 
@@ -128,9 +153,22 @@ def set_seq_data(ctx: LlamaContext, data: bytes, dest_seq: int) -> int:
     if slots is None:
         return 1
     ctx.meta.commit(slots, p["pos"], np.full(n, dest_seq, np.int32))
-    ctx.cache = replace(
-        ctx.cache,
-        k=ctx.cache.k.at[:, :, slots].set(jnp.asarray(p["k"], ctx.cache.k.dtype)),
-        v=ctx.cache.v.at[:, :, slots].set(jnp.asarray(p["v"], ctx.cache.v.dtype)),
-    )
+    if ctx.cache.quantized:
+        from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+
+        kc, ks = quantize_rows(jnp.asarray(p["k"]))
+        vc, vs = quantize_rows(jnp.asarray(p["v"]))
+        ctx.cache = replace(
+            ctx.cache,
+            k=ctx.cache.k.at[:, :, slots].set(kc),
+            v=ctx.cache.v.at[:, :, slots].set(vc),
+            k_scale=ctx.cache.k_scale.at[:, :, slots].set(ks),
+            v_scale=ctx.cache.v_scale.at[:, :, slots].set(vs),
+        )
+    else:
+        ctx.cache = replace(
+            ctx.cache,
+            k=ctx.cache.k.at[:, :, slots].set(jnp.asarray(p["k"], ctx.cache.k.dtype)),
+            v=ctx.cache.v.at[:, :, slots].set(jnp.asarray(p["v"], ctx.cache.v.dtype)),
+        )
     return 0

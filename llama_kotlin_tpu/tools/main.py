@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--grp-attn-n", type=int, default=1, help="self-extend factor")
     ap.add_argument("--grp-attn-w", type=int, default=512, help="self-extend width")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cache-type-k", "-ctk", default="f16",
+                    choices=["f16", "bf16", "q8_0"],
+                    help="KV cache type (q8_0 = int8-quantized K/V)")
     return ap
 
 
@@ -62,7 +65,8 @@ def main(argv=None):
     template = args.chat_template or detect_template(
         f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()
-    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx)
+    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx,
+                       kv_quant=(args.cache_type_k == "q8_0"))
     print(f"model: {cfg.name or cfg.arch} | layers={cfg.n_layer} "
           f"embd={cfg.n_embd} vocab={cfg.vocab_size}", file=sys.stderr)
 

@@ -386,6 +386,9 @@ def main():
     ap.add_argument("--n-slots", type=int, default=4)
     ap.add_argument("--n-ctx", type=int, default=4096)
     ap.add_argument("--n-batch", type=int, default=256)
+    ap.add_argument("--cache-type-k", "-ctk", default="f16",
+                    choices=["f16", "bf16", "q8_0"],
+                    help="KV cache type (q8_0 = int8-quantized K/V)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -398,7 +401,8 @@ def main():
     tokenizer = build_tokenizer(f.metadata)
     template = detect_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()
-    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx)
+    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx,
+                   kv_quant=(args.cache_type_k == "q8_0"))
     state = serve(ctx, tokenizer, model_name=cfg.name or "model", template=template,
                   host=args.host, port=args.port, n_slots=args.n_slots,
                   n_batch=args.n_batch)
