@@ -261,10 +261,10 @@ def forward(
 
         def moe_ffn(lp, x):
             # MoE: top-k routed experts (cf. llm_build_moe_ffn + mul_mat_id,
-            # src/llama.cpp:8725-8824).  Dense expert sweep with per-token
-            # routing weights — every expert computed, non-routed tokens
-            # weighted 0 (XLA-friendly static shapes; grouped-matmul kernel
-            # is a later optimisation for large n_expert).  Returns f32.
+            # src/llama.cpp:8725-8824).  Stacked dense experts use grouped
+            # ragged matmuls (only routed experts' weights/FLOPs,
+            # ops/moe.py); per-expert QTensor lists use the dense sweep
+            # fallback.  Returns f32.
             router = qmatmul(x, lp["ffn_gate_inp"], compute_dtype=compute_dtype)
             probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
             top_w, top_i = jax.lax.top_k(probs, cfg.n_expert_used)  # [nt, k]
@@ -272,6 +272,27 @@ def forward(
                 top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
             if cfg.moe_expert_scale != 1.0:  # deepseek2 scale_w
                 top_w = top_w * cfg.moe_expert_scale
+            gate_w, up_w, down_w = (lp["ffn_gate_exps"], lp["ffn_up_exps"],
+                                    lp["ffn_down_exps"])
+            if (getattr(gate_w, "ndim", 0) == 3
+                    and getattr(up_w, "ndim", 0) == 3
+                    and getattr(down_w, "ndim", 0) == 3):
+                # stacked dense experts: grouped ragged matmuls read only
+                # the routed experts' weights (ops/moe.py, the
+                # ggml_mul_mat_id analogue)
+                from llama_kotlin_tpu.ops.moe import moe_grouped_ffn
+
+                down = moe_grouped_ffn(
+                    x.astype(compute_dtype), gate_w, up_w, down_w,
+                    top_i, top_w, act,
+                )
+            else:
+                down = _moe_sweep(lp, x, top_i, top_w, act)
+            return _moe_shared(lp, x, down)
+
+        def _moe_sweep(lp, x, top_i, top_w, act):
+            # dense expert sweep fallback (quantized per-expert QTensors):
+            # every expert computed, non-routed tokens weighted 0
             down = jnp.zeros((nt, cfg.n_embd), jnp.float32)
             for e in range(cfg.n_expert):
                 w_tok = jnp.sum(jnp.where(top_i == e, top_w, 0.0), axis=-1)  # [nt]
@@ -281,6 +302,9 @@ def forward(
                 down_e = qmatmul(ffn_e.astype(compute_dtype), lp["ffn_down_exps"][e],
                                  compute_dtype=compute_dtype)
                 down = down + w_tok[:, None] * down_e.astype(jnp.float32)
+            return down
+
+        def _moe_shared(lp, x, down):
             if lp.get("ffn_gate_shexp") is not None:
                 # shared expert: always-on gated-silu FFN; qwen2moe modulates
                 # it by a sigmoid gate (silu(x)/x == σ(x)), deepseek2 adds it
@@ -391,11 +415,11 @@ def forward(
         )
 
         stacked = params["layers_stacked"]
-        # NOTE: the zero-copy StackedSlice/qmm_stacked path measured ~20x
-        # slower than plain qmm (scalar-prefetch-indexed blocks defeat
-        # Mosaic's pipelining), so big weights ride as scan xs again
-        # (slice copies); the unrolled path below avoids both costs and is
-        # preferred for serving (LlamaContext(prefer_unrolled=True)).
+        # NOTE: a zero-copy StackedSlice scalar-prefetch kernel measured
+        # ~20x slower than plain qmm (prefetch-indexed blocks defeat
+        # Mosaic's pipelining; kernel removed, see git history), so big
+        # weights ride as scan xs (slice copies); the unrolled path avoids
+        # both costs and is preferred for serving (prefer_unrolled=True).
         BIG: set = set()
         small = {k: v for k, v in stacked.items() if k not in BIG}
         big = {k: v for k, v in stacked.items() if k in BIG}

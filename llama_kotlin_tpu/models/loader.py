@@ -133,8 +133,9 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
     if key in _ALWAYS_FLOAT or not TYPE_TRAITS[qt].is_quantized:
         x = numpy_ref.dequantize(data, qt, shape=np_shape)
         dt = jnp.float32 if key in _ALWAYS_FLOAT else compute_dtype
-        if len(np_shape) == 3 and key.endswith("_exps"):
-            return [jnp.asarray(x[e], dtype=dt) for e in range(np_shape[0])]
+        # dense MoE expert stacks stay one [n_expert, n, k] array: the
+        # grouped ragged-matmul path (ops/moe.py) needs the stacked layout
+        # and the dense sweep indexes it the same way a list would be
         return jnp.asarray(x, dtype=dt)
     if len(np_shape) == 2:
         n, k = np_shape

@@ -28,10 +28,11 @@ Weight = Union[QTensor, jax.Array]
 class StackedSlice:
     """Deferred layer selection on stacked [L, ...] weights (scan path).
 
-    Instead of letting lax.scan dynamic-slice each layer's weights (which
-    materialises a copy of every tile before the pallas_call), qmatmul
-    resolves this marker with the qmm_stacked kernel, which indexes the
-    layer inside its BlockSpecs via scalar prefetch — zero copies.
+    Resolved by plain leading-axis indexing.  A zero-copy scalar-prefetch
+    kernel variant (qmm_stacked) was built and device-measured ~20x SLOWER
+    than sliced qmm — prefetched block indices defeat Mosaic's pipelining —
+    so it was removed; see git history (ops/pallas/qmm_stacked.py) for the
+    measurement context.
     """
 
     def __init__(self, w, index):
@@ -59,12 +60,6 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
     if isinstance(w, StackedSlice):
         inner = w.w
         if isinstance(inner, QTensor):
-            if allow_pallas and _use_pallas():
-                from llama_kotlin_tpu.ops.pallas.qmm_stacked import qmm_stacked_or_none
-
-                y = qmm_stacked_or_none(x, inner, w.index, compute_dtype=compute_dtype)
-                if y is not None:
-                    return y
             sliced = jax.tree.map(lambda a: a[w.index], inner)
         elif isinstance(inner, LoraWeight):
             sliced = jax.tree.map(lambda a: a[w.index], inner)

@@ -53,12 +53,20 @@ def shard_weight(key: str, w: Any, mesh: Mesh) -> Any:
     if w is None:
         return None
     tp = mesh.shape["tp"]
-    if isinstance(w, list):  # per-expert weights
+    if isinstance(w, list):  # per-expert quantized weights
         if tp > 1 and key in EXPERT_COLUMN and all(_divisible(e, 0, tp) for e in w):
             return [_put(e, mesh, P("tp", None)) for e in w]
         if tp > 1 and key in EXPERT_ROW and all(_divisible(e, 1, tp) for e in w):
             return [_put(e, mesh, P(None, "tp")) for e in w]
         return [_put(e, mesh, P()) for e in w]
+    if not isinstance(w, QTensor) and getattr(w, "ndim", 0) == 3 \
+            and key in (EXPERT_COLUMN | EXPERT_ROW):
+        # stacked dense experts [E, n, k]: shard like the dense FFN
+        if tp > 1 and key in EXPERT_COLUMN and w.shape[1] % tp == 0:
+            return _put(w, mesh, P(None, "tp", None))
+        if tp > 1 and key in EXPERT_ROW and w.shape[2] % tp == 0:
+            return _put(w, mesh, P(None, None, "tp"))
+        return _put(w, mesh, P())
     if tp > 1 and key in COLUMN_PARALLEL and _divisible(w, 0, tp):
         return _put(w, mesh, P("tp", None))
     if tp > 1 and key in ROW_PARALLEL and _divisible(w, 1, tp):

@@ -139,21 +139,47 @@ class Engine:
         self.metrics["n_decode_steps"] += 1
         return True
 
+    _DEFAULT_ORDER = ("top_k", "tfs_z", "typical_p", "top_p", "min_p",
+                      "temperature")
+
+    def _device_eligible(self, p) -> bool:
+        """Params the on-device sampler reproduces exactly (greedy, or the
+        default chain order with top_k/top_p/min_p/temp + penalties).
+        Grammar, mirostat, logit bias, CFG, tfs/typical/dynatemp stay on
+        the per-token host path."""
+        if (p.grammar is not None or p.mirostat != 0 or p.logit_bias
+                or p.cfg_scale != 1.0):
+            return False
+        if p.temp <= 0.0:
+            return True
+        if (p.tfs_z != 1.0 or p.typical_p != 1.0 or p.dynatemp_range != 0.0
+                or tuple(p.samplers) != self._DEFAULT_ORDER):
+            return False
+        # device top_p/min_p run inside the top_k candidate window — exact
+        # only when top_k prefilters (the default chain order), or trivially
+        # when both are off (full-vocab categorical)
+        return p.top_k > 0 or (p.top_p >= 1.0 and p.min_p <= 0.0)
+
     def _chunk_plan(self) -> Optional[tuple[list[Slot], int]]:
-        """(active_slots, K) when the on-device multi-step loop applies."""
+        """(active_slots, K) when the on-device multi-step loop applies:
+        all generating slots share one device-eligible sampling config."""
         if self.chunk_steps <= 1 or self.queue:
             return None
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active or any(s.state == SlotState.PROMPT for s in self.slots):
             return None
         K = self.chunk_steps
+        key0 = None
         for s in active:
             p = s.request.params
-            if (p.temp > 0.0 or p.grammar is not None or p.mirostat != 0
-                    or p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
-                    or p.penalty_present != 0.0 or p.logit_bias
-                    or p.cfg_scale != 1.0):
-                return None  # device loop is plain greedy only
+            if not self._device_eligible(p):
+                return None
+            pkey = (p.temp, p.top_k, p.top_p, p.min_p, p.penalty_last_n,
+                    p.penalty_repeat, p.penalty_freq, p.penalty_present)
+            if key0 is None:
+                key0 = pkey
+            elif pkey != key0:
+                return None  # mixed configs: per-token host sampling
             K = min(K,
                     s.request.n_predict - len(s.request.output_tokens),
                     self.slot_ctx - s.n_past - 1)
@@ -177,14 +203,46 @@ class Engine:
         pos = np.array([s.n_past + k for k in range(K) for s in active], np.int32)
         seqs = np.array([s.seq_id for _ in range(K) for s in active], np.int32)
         self.ctx.meta.commit(slots_flat, pos, seqs)
+
+        p = active[0].request.params
+        # host SamplerChain in this engine runs with nl_id=-1 (no newline
+        # special-casing); the device sampler matches
+        nl_tok = -1
+        sp = SampleParams(
+            temp=max(p.temp, 0.0), top_k=p.top_k, top_p=p.top_p,
+            min_p=p.min_p, seed=p.seed & 0x7FFFFFFF,
+            penalty_last_n=p.penalty_last_n if (
+                p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+                or p.penalty_present != 0.0) else 0,
+            penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
+            penalty_present=p.penalty_present, nl_token=nl_tok,
+        ) if p.temp > 0.0 or p.penalty_repeat != 1.0 or p.penalty_freq != 0.0 \
+            or p.penalty_present != 0.0 else SampleParams()
+        pen_window = None
+        if sp.use_penalties:
+            Ln = sp.penalty_last_n
+            pen_window = np.full((B, Ln), -1, np.int32)
+            for b, s in enumerate(active):
+                hist = s.tokens[-Ln:]
+                # ring eviction starts at column 0: empty (-1) columns are
+                # consumed first, then the oldest real token — so history
+                # goes at the END, oldest first
+                pen_window[b, Ln - len(hist):] = hist
+            pen_window = jnp.asarray(pen_window)
+
+        span = self.ctx.meta.used_span()
+        n_vis = next((b for b in self.ctx._vis_buckets if b >= span),
+                     self.ctx.n_cells)
         out_tokens, cache, _, _, _ = generate_loop(
             self.ctx.params, self.ctx.cfg, self.ctx.cache,
-            jnp.asarray(self.ctx.meta.pos), jnp.asarray(self.ctx.meta.seq),
+            jnp.asarray(self.ctx.meta.pos[:n_vis]),
+            jnp.asarray(self.ctx.meta.seq[:n_vis]),
             jnp.asarray([s.tokens[-1] for s in active], jnp.int32),
             jnp.asarray([s.n_past for s in active], jnp.int32),
             jnp.asarray([s.seq_id for s in active], jnp.int32),
             jnp.asarray(slots_flat.reshape(K, B)),
-            K, SampleParams(), self.ctx.compute_dtype,
+            K, sp, self.ctx.compute_dtype,
+            pen_window=pen_window,
         )
         self.ctx.cache = cache
         out = np.asarray(out_tokens)  # [K, B]

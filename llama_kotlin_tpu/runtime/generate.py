@@ -25,22 +25,71 @@ from llama_kotlin_tpu.runtime.kv_cache import KVCache
 
 
 class SampleParams(NamedTuple):
-    """On-device sampling parameters (greedy when temp == 0)."""
+    """On-device sampling parameters (greedy when temp == 0).
+
+    Mirrors the default sampler-chain order (common/sampling.cpp:230-264:
+    penalties -> top_k -> top_p -> min_p -> temperature -> dist).  top_p /
+    min_p operate on a static top-candidate window: exact when top_k > 0
+    (top_k runs first in the default chain); with top_k == 0 the window is
+    CAND_CAP — tokens beyond the top-512 carry negligible mass for any
+    realistic top_p (the engine only routes eligible configs here).
+    """
 
     temp: float = 0.0
     top_k: int = 0  # 0 = off
     seed: int = 0
+    top_p: float = 1.0
+    min_p: float = 0.0
+    penalty_last_n: int = 0  # 0 = penalties off
+    penalty_repeat: float = 1.0
+    penalty_freq: float = 0.0
+    penalty_present: float = 0.0
+    nl_token: int = -1  # restore this token's logit (penalize_nl=False)
+
+    @property
+    def use_penalties(self) -> bool:
+        return self.penalty_last_n > 0 and (
+            self.penalty_repeat != 1.0 or self.penalty_freq != 0.0
+            or self.penalty_present != 0.0)
 
 
-def _sample(logits: jnp.ndarray, sp: SampleParams, key) -> jnp.ndarray:
-    """logits [B, V] -> token ids [B]."""
+CAND_CAP = 512  # top-candidate window for device top_p/min_p with top_k=0
+
+
+def _sample(logits: jnp.ndarray, sp: SampleParams, key,
+            counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """logits [B, V] -> token ids [B].  counts [B, V] = occurrence counts
+    over the penalty window (parity: llama_sample_repetition_penalties)."""
+    logits = logits.astype(jnp.float32)
+    if sp.use_penalties and counts is not None:
+        orig = logits
+        seen = counts > 0
+        if sp.penalty_repeat != 1.0:
+            pen = jnp.where(logits > 0, logits / sp.penalty_repeat,
+                            logits * sp.penalty_repeat)
+            logits = jnp.where(seen, pen, logits)
+        logits = logits - counts * sp.penalty_freq \
+            - seen.astype(jnp.float32) * sp.penalty_present
+        if sp.nl_token >= 0:  # penalize_nl=False keeps newline unpenalized
+            logits = logits.at[:, sp.nl_token].set(orig[:, sp.nl_token])
     if sp.temp <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / sp.temp
-    if sp.top_k > 0:
-        kth = jax.lax.top_k(scaled, sp.top_k)[0][..., -1:]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    if sp.top_k <= 0 and sp.top_p >= 1.0 and sp.min_p <= 0.0:
+        # pure temperature: full-vocab categorical
+        return jax.random.categorical(key, logits / sp.temp, axis=-1).astype(jnp.int32)
+    cap = sp.top_k if sp.top_k > 0 else min(CAND_CAP, logits.shape[-1])
+    vals, idx = jax.lax.top_k(logits, cap)  # [B, cap] sorted desc
+    keep = jnp.ones_like(vals, bool)
+    if sp.top_p < 1.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum_excl = jnp.cumsum(probs, axis=-1) - probs
+        keep &= cum_excl < sp.top_p  # smallest set with cumsum >= top_p
+    if sp.min_p > 0.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        keep &= probs >= sp.min_p * probs[:, :1]
+    scaled = jnp.where(keep, vals / sp.temp, -jnp.inf)
+    choice = jax.random.categorical(key, scaled, axis=-1)  # [B] in [0, cap)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "compute_dtype", "sp"),
@@ -58,18 +107,40 @@ def generate_loop(
     n_steps: int,
     sp: SampleParams = SampleParams(),
     compute_dtype=jnp.bfloat16,
+    pen_window: Optional[jnp.ndarray] = None,  # [B, last_n] i32, -1 = empty
 ):
     """Decode n_steps tokens for B sequences entirely on device.
 
     Returns (out_tokens [n_steps, B], cache, cell_pos, cell_seq,
     last_logits [B, V]).
+
+    pen_window carries the host sampler's recent tokens when sp enables
+    penalties: empty (-1) columns first, then history oldest-first, so the
+    ring pointer starting at column 0 evicts empties before real tokens.
+    Occurrence counts are derived on device and maintained across steps.
     """
     B = tokens0.shape[0]
     out_ids = jnp.arange(B, dtype=jnp.int32)
     key0 = jax.random.PRNGKey(sp.seed)
+    rows = jnp.arange(B)
+
+    use_pen = sp.use_penalties and pen_window is not None
+    if use_pen:
+        counts0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+        valid = pen_window >= 0
+        counts0 = counts0.at[rows[:, None], jnp.maximum(pen_window, 0)].add(
+            valid.astype(jnp.float32))
+        ptr0 = jnp.int32(0)  # oldest entry (host rotates the window to 0)
+        Ln = pen_window.shape[1]
+    else:
+        counts0 = jnp.zeros((B, 1), jnp.float32)
+        pen_window = jnp.zeros((B, 1), jnp.int32)
+        ptr0 = jnp.int32(0)
+        Ln = 1
 
     def body(i, carry):
-        tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits_prev, key = carry
+        (tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits_prev,
+         key, counts, window, ptr) = carry
         step_slots = slots[i]
         cell_pos = cell_pos.at[step_slots].set(pos)
         cell_seq = cell_seq.at[step_slots].set(
@@ -80,17 +151,24 @@ def generate_loop(
             cell_pos, cell_seq, out_ids, compute_dtype=compute_dtype,
         )
         key, sub = jax.random.split(key)
-        next_tokens = _sample(logits, sp, sub)
+        next_tokens = _sample(logits, sp, sub, counts if use_pen else None)
         out_tokens = out_tokens.at[i].set(next_tokens)
+        if use_pen:
+            evicted = window[:, ptr % Ln]
+            counts = counts.at[rows, jnp.maximum(evicted, 0)].add(
+                -(evicted >= 0).astype(jnp.float32))
+            counts = counts.at[rows, next_tokens].add(1.0)
+            window = window.at[:, ptr % Ln].set(next_tokens)
+            ptr = ptr + 1
         return (next_tokens, pos + 1, cache, cell_pos, cell_seq, out_tokens,
-                logits, key)
+                logits, key, counts, window, ptr)
 
     out_tokens = jnp.zeros((n_steps, B), jnp.int32)
     logits0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
-    carry = (tokens0, pos0, cache, cell_pos, cell_seq, out_tokens, logits0, key0)
-    tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits, _ = jax.lax.fori_loop(
-        0, n_steps, body, carry
-    )
+    carry = (tokens0, pos0, cache, cell_pos, cell_seq, out_tokens, logits0,
+             key0, counts0, pen_window, ptr0)
+    (tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits, _k, _c, _w,
+     _p) = jax.lax.fori_loop(0, n_steps, body, carry)
     return out_tokens, cache, cell_pos, cell_seq, logits
 
 

@@ -1,0 +1,123 @@
+"""On-device sampling (runtime/generate.py _sample + engine chunked path).
+
+Parity targets: the default sampler-chain order of common/sampling.cpp
+(penalties -> top_k -> top_p -> min_p -> temperature -> dist) and
+llama_sample_repetition_penalties (src/llama-sampling.cpp).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.runtime.generate import SampleParams, _sample
+from llama_kotlin_tpu.sampling.samplers import SamplerChain, SamplingParams
+
+
+def test_device_penalties_match_host_greedy(rng):
+    """Greedy + repetition/freq/presence penalties: device == host chain."""
+    V = 97
+    logits = rng.standard_normal((1, V)).astype(np.float32) * 2
+    hist = [5, 5, 5, 12, 40, 40, 3]
+
+    p = SamplingParams(temp=0.0, penalty_last_n=16, penalty_repeat=1.3,
+                       penalty_freq=0.2, penalty_present=0.4)
+    chain = SamplerChain(p, V)
+    for t in hist:
+        chain.accept(t, apply_grammar=False)
+    host_tok = chain.sample(logits[0].copy())
+
+    counts = np.zeros((1, V), np.float32)
+    for t in hist:
+        counts[0, t] += 1
+    sp = SampleParams(temp=0.0, penalty_last_n=16, penalty_repeat=1.3,
+                      penalty_freq=0.2, penalty_present=0.4)
+    dev_tok = int(_sample(jnp.asarray(logits), sp, jax.random.PRNGKey(0),
+                          jnp.asarray(counts))[0])
+    assert dev_tok == host_tok
+
+
+def test_device_topk_topp_minp_support(rng):
+    """Sampled tokens always come from the host chain's allowed set."""
+    V = 211
+    logits = rng.standard_normal((1, V)).astype(np.float32) * 3
+
+    p = SamplingParams(temp=0.7, top_k=20, top_p=0.8, min_p=0.1,
+                       penalty_repeat=1.0)
+    # host allowed set: run the chain's filters (deterministic part)
+    from llama_kotlin_tpu.sampling import samplers as S
+
+    c = S.Candidates.from_logits(logits[0])
+    S.top_k(c, 20)
+    S.top_p(c, 0.8, min_keep=1)
+    S.min_p(c, 0.1, min_keep=1)
+    allowed = set(int(i) for i in c.ids)
+
+    sp = SampleParams(temp=0.7, top_k=20, top_p=0.8, min_p=0.1)
+    for seed in range(40):
+        tok = int(_sample(jnp.asarray(logits), sp,
+                          jax.random.PRNGKey(seed))[0])
+        assert tok in allowed
+
+
+def test_device_full_vocab_temperature(rng):
+    """top_k=0, top_p=1, min_p=0: full-vocab categorical (no truncation)."""
+    V = 1000
+    logits = np.full((1, V), -10.0, np.float32)
+    logits[0, 900] = 10.0  # far beyond any candidate cap
+    sp = SampleParams(temp=1.0)
+    tok = int(_sample(jnp.asarray(logits), sp, jax.random.PRNGKey(1))[0])
+    assert tok == 900
+
+
+def test_chunked_sampled_decode_engages(tmp_path):
+    """temp>0 + penalties requests run through the on-device chunked loop
+    (fewer engine steps) and still complete with correct bookkeeping."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.runtime.engine import Engine, Request
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+    from tests.test_server import ToyTokenizer
+
+    rng = np.random.default_rng(5)
+    dims = tiny_llama_dims(vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path / "s.gguf"
+    write_llama_gguf(path, weights, dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    tok = ToyTokenizer(dims["vocab"])
+
+    def run(chunk_steps):
+        ctx = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+        engine = Engine(ctx, tok, n_slots=2, n_batch=64, chunk_steps=chunk_steps)
+        req = Request(
+            prompt_tokens=np.array([1, 5, 9], np.int32),
+            params=SamplingParams(temp=0.8, top_k=40, top_p=0.9, min_p=0.0,
+                                  penalty_last_n=32, penalty_repeat=1.2,
+                                  seed=7),
+            n_predict=17,
+        )
+        engine.submit(req)
+        stop = threading.Event()
+        t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+        t.start()
+        ok = req.done.wait(timeout=240)
+        stop.set()
+        t.join(timeout=30)
+        assert ok
+        return req.output_tokens, engine.metrics["n_decode_steps"]
+
+    toks_chunked, steps_chunked = run(8)
+    toks_plain, steps_plain = run(0)
+    assert len(toks_chunked) == 17 and len(toks_plain) == 17
+    assert steps_chunked < steps_plain  # the device loop engaged
+    assert all(0 <= t < dims["vocab"] for t in toks_chunked)

@@ -54,3 +54,39 @@ def test_moe_logits_match_transformers(moe_model):
     with torch.no_grad():
         theirs = hf(torch.from_numpy(toks[None].astype(np.int64))).logits[0].numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
+
+
+def test_grouped_ffn_matches_sweep(rng):
+    """ops/moe.py ragged grouped path == the dense expert sweep."""
+    import jax
+    import jax.numpy as jnp
+    from llama_kotlin_tpu.ops.moe import moe_grouped_ffn
+
+    nt, d, f, E, k = 5, 32, 48, 8, 2
+    x = jnp.asarray(rng.standard_normal((nt, d)).astype(np.float32))
+    wg = jnp.asarray(rng.standard_normal((E, f, d)).astype(np.float32) * 0.1)
+    wu = jnp.asarray(rng.standard_normal((E, f, d)).astype(np.float32) * 0.1)
+    wd = jnp.asarray(rng.standard_normal((E, d, f)).astype(np.float32) * 0.1)
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((nt, E)).astype(np.float32)), -1)
+    top_w, top_i = jax.lax.top_k(probs, k)
+    act = jax.nn.silu
+
+    got = moe_grouped_ffn(x, wg, wu, wd, top_i, top_w, act)
+
+    ref = np.zeros((nt, d), np.float32)
+    for e in range(E):
+        w_tok = np.asarray(jnp.sum(jnp.where(top_i == e, top_w, 0.0), -1))
+        y = np.asarray(act(x @ wg[e].T) * (x @ wu[e].T)) @ np.asarray(wd[e]).T
+        ref += w_tok[:, None] * y
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_grouped_path_selected_for_stacked(moe_model):
+    """The loader produces stacked dense experts and forward routes them
+    through the grouped path (same logits as before the optimisation)."""
+    path, _, _ = moe_model
+    cfg, params, fobj = load_gguf_model(path, compute_dtype=jnp.float32)
+    fobj.close()
+    w = params["layers"][0]["ffn_gate_exps"]
+    assert not isinstance(w, list) and w.ndim == 3
