@@ -71,6 +71,12 @@ class ModelConfig:
     max_alibi_bias: float = 0.0  # ALiBi slope max (mpt/bloom); 0 = off
     token_embd_norm: bool = False  # LayerNorm right after embedding (bloom)
     add_type_embd: bool = False  # bert: add token-type-0 embedding
+    # per-layer head/ff arrays (openelm; cf. hparams.n_head(il) arrays,
+    # reference src/llama.cpp:2213-2215); None = uniform (the scalars).
+    # The scalar fields then hold the MAX so cache shapes cover every layer.
+    n_head_arr: Optional[tuple[int, ...]] = None
+    n_head_kv_arr: Optional[tuple[int, ...]] = None
+    n_ff_arr: Optional[tuple[int, ...]] = None
     extra: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -114,6 +120,15 @@ class ModelConfig:
             n_ctx_orig=self.rope_orig_ctx or self.n_ctx_train,
         )
 
+    def layer_n_head(self, layer: int) -> int:
+        return self.n_head_arr[layer] if self.n_head_arr else self.n_head
+
+    def layer_n_head_kv(self, layer: int) -> int:
+        return self.n_head_kv_arr[layer] if self.n_head_kv_arr else self.n_head_kv
+
+    def layer_n_ff(self, layer: int) -> int:
+        return self.n_ff_arr[layer] if self.n_ff_arr else self.n_ff
+
     def layer_swa_window(self, layer: int) -> int:
         """Sliding window for a given layer (0 = full attention)."""
         if self.swa_window <= 0:
@@ -130,11 +145,28 @@ def _get(md: dict, arch: str, key: str, default=None):
     return v
 
 
+def _scalar_or_arr(v, default: int) -> tuple[int, Optional[tuple[int, ...]]]:
+    """GGUF head_count/feed_forward_length may be per-layer arrays
+    (openelm).  Returns (max_value, tuple_or_None)."""
+    if v is None:
+        return default, None
+    if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0) == 1:
+        arr = tuple(int(x) for x in v)
+        return max(arr), arr
+    return int(v), None
+
+
 def config_from_metadata(md: dict) -> ModelConfig:
     """Build a ModelConfig from GGUF metadata KVs (cf. llm_load_hparams)."""
     arch = md.get("general.architecture", "llama")
     n_embd = int(_get(md, arch, "embedding_length", 4096))
-    n_head = int(_get(md, arch, "attention.head_count", 32)) or 1  # mamba: 0
+    n_head, n_head_arr = _scalar_or_arr(
+        md.get(f"{arch}.attention.head_count"), 32)
+    n_head = n_head or 1  # mamba: 0
+    n_head_kv, n_head_kv_arr = _scalar_or_arr(
+        md.get(f"{arch}.attention.head_count_kv"), n_head)
+    n_ff, n_ff_arr = _scalar_or_arr(
+        md.get(f"{arch}.feed_forward_length"), 4 * n_embd)
     n_layer = int(_get(md, arch, "block_count", 32))
     cfg = ModelConfig(
         arch=arch,
@@ -142,8 +174,11 @@ def config_from_metadata(md: dict) -> ModelConfig:
         n_embd=n_embd,
         n_layer=n_layer,
         n_head=n_head,
-        n_head_kv=int(_get(md, arch, "attention.head_count_kv", n_head) or n_head),
-        n_ff=int(_get(md, arch, "feed_forward_length", 4 * n_embd)),
+        n_head_kv=n_head_kv or n_head,
+        n_ff=n_ff,
+        n_head_arr=n_head_arr,
+        n_head_kv_arr=n_head_kv_arr,
+        n_ff_arr=n_ff_arr,
         head_dim=int(_get(md, arch, "attention.key_length", 0) or 0),
         v_head_dim=int(_get(md, arch, "attention.value_length", 0) or 0),
         n_ctx_train=int(_get(md, arch, "context_length", 2048)),
@@ -180,8 +215,13 @@ def config_from_metadata(md: dict) -> ModelConfig:
     if arch in ("falcon", "gptneox", "qwen2", "qwen2moe", "phi2", "phi3",
                 "stablelm", "gemma", "gemma2", "starcoder2", "mistral3",
                 "bitnet", "nemotron", "exaone", "qwen", "codeshell", "dbrx",
-                "grok", "nomic-bert"):
+                "grok", "nomic-bert", "openelm"):
         cfg.rope_type = ROPE_TYPE_NEOX
+    if arch == "openelm":
+        # per-layer heads, fused qkv with per-head q/k RMS norm, output
+        # tied to tok_embd (cf. build_openelm src/llama.cpp:13126 and the
+        # TENSOR_DUPLICATED output at :7756)
+        cfg.tie_word_embeddings = True
     if arch in ("gemma", "gemma2"):
         cfg.act = "gelu"
         cfg.embd_scale = float(n_embd) ** 0.5

@@ -43,6 +43,8 @@ def can_stack(params: dict, cfg: ModelConfig) -> bool:
         return False
     if cfg.max_alibi_bias > 0:  # ALiBi needs the reference attention path
         return False
+    if cfg.n_head_arr or cfg.n_head_kv_arr or cfg.n_ff_arr:
+        return False  # per-layer shapes (openelm) can't ride one scan body
     keys = set(layers[0])
     return all(set(l) == keys for l in layers)
 
@@ -202,9 +204,14 @@ def forward(
             q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
             v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
-        q = q.reshape(nt, cfg.n_head, cfg.head_dim)
-        k = k.reshape(nt, cfg.n_head_kv, cfg.head_dim)
-        v = v.reshape(nt, cfg.n_head_kv, cfg.head_dim)
+        # per-layer head counts (openelm) fall back to the uniform scalars;
+        # li is only a concrete int on the unrolled path, which is forced
+        # whenever per-layer arrays are present (can_stack)
+        n_h = cfg.layer_n_head(li) if isinstance(li, int) and li >= 0 else cfg.n_head
+        n_kv = cfg.layer_n_head_kv(li) if isinstance(li, int) and li >= 0 else cfg.n_head_kv
+        q = q.reshape(nt, n_h, cfg.head_dim)
+        k = k.reshape(nt, n_kv, cfg.head_dim)
+        v = v.reshape(nt, n_kv, cfg.head_dim)
         if lp.get("attn_q_norm") is not None:
             # per-head-dim norm; command-r's weights are [n_head, head_dim]
             # and broadcast, stablelm-style are [head_dim]
@@ -376,25 +383,27 @@ def forward(
         """Unrolled-path layer: scatter K/V into the carried cache layer,
         then attend over it (per-layer masks, e.g. gemma2 SWA)."""
         q, k, v = qkv(lp, attn_in(lp, h), li)
+        kvl = k.shape[1]  # per-layer kv head count (cache dim covers max)
         # cache layout is head-major [n_kv, cells, head_dim]; padded batch
         # rows carry slot == n_cells, dropped by the OOB scatter mode
-        kh, vh = k.swapaxes(0, 1), v.swapaxes(0, 1)  # [KV, nt, D]
+        kh, vh = k.swapaxes(0, 1), v.swapaxes(0, 1)  # [KV_l, nt, D]
         if kv_quant:
             from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
 
             kh, ks = quantize_rows(kh)
             vh, vs = quantize_rows(vh)
-            ks_layer = ks_layer.at[:, slots].set(ks, mode="drop")
-            vs_layer = vs_layer.at[:, slots].set(vs, mode="drop")
-        k_layer = k_layer.at[:, slots].set(kh.astype(k_layer.dtype), mode="drop")
-        v_layer = v_layer.at[:, slots].set(vh.astype(v_layer.dtype), mode="drop")
+            ks_layer = ks_layer.at[:kvl, slots].set(ks, mode="drop")
+            vs_layer = vs_layer.at[:kvl, slots].set(vs, mode="drop")
+        k_layer = k_layer.at[:kvl, slots].set(kh.astype(k_layer.dtype), mode="drop")
+        v_layer = v_layer.at[:kvl, slots].set(vh.astype(v_layer.dtype), mode="drop")
         attn = attention(
-            q.astype(compute_dtype), k_layer, v_layer, mask,
+            q.astype(compute_dtype), k_layer[:kvl], v_layer[:kvl], mask,
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
             alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
-            k_scale=ks_layer, v_scale=vs_layer,
+            k_scale=None if ks_layer is None else ks_layer[:kvl],
+            v_scale=None if vs_layer is None else vs_layer[:kvl],
         )
-        attn = attn.astype(compute_dtype).reshape(nt, cfg.attn_out_dim)
+        attn = attn.astype(compute_dtype).reshape(nt, -1)
         h = post_attn_ffn(lp, h, attn, cvec, li)
         return h, k_layer, v_layer, ks_layer, vs_layer
 

@@ -175,8 +175,10 @@ def _load_fused_qkv(f: GGUFFile, name: str, cfg: ModelConfig, compute_dtype,
     qt = info.ggml_type
     data = f.tensor_data(name)
     np_shape = tuple(reversed(info.shape))
-    qdim = cfg.n_head * cfg.head_dim
-    kvdim = cfg.n_head_kv * cfg.head_dim
+    # per-layer head counts (openelm): split sizes follow this block's layer
+    li = int(name.split(".")[1]) if name.startswith("blk.") else -1
+    qdim = cfg.layer_n_head(li) * cfg.head_dim if li >= 0 else cfg.n_head * cfg.head_dim
+    kvdim = (cfg.layer_n_head_kv(li) if li >= 0 else cfg.n_head_kv) * cfg.head_dim
     if name.endswith(".bias"):
         b = numpy_ref.dequantize(data, qt, shape=np_shape)
         return {

@@ -58,6 +58,7 @@ ARCHES = [
     ArchInfo("codeshell", "supported", "LayerNorm+bias, gelu FFN, NEOX partial rope"),
     ArchInfo("grok", "supported", "scaled embd/logits, 30-softcap attention, gelu MoE, pre-residual out-norms"),
     ArchInfo("bert", "supported", "encoder-only: bidirectional post-norm blocks, token types, WPM tokenizer"),
+    ArchInfo("openelm", "supported", "per-layer head/kv/ff arrays, fused qkv, per-head qk RMS norm, tied output"),
     ArchInfo("nomic-bert", "supported", "rope encoder, gated silu FFN"),
     ArchInfo("jina-bert-v2", "supported", "bidirectional ALiBi, gated gelu, mid-block re-norm"),
     ArchInfo("t5", "supported", "enc-dec: relative-position buckets, unscaled attention, cross-attention (models/t5.py T5Context)"),
