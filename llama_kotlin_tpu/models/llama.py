@@ -78,6 +78,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     collect_stats: bool = False,
     collect_layer_outputs: bool = False,
+    inp_embd: Optional[jnp.ndarray] = None,  # [nt, n_embd]: embedding input
 ) -> tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One ubatch step. Returns (logits [n_out, vocab] f32, updated cache,
     embeddings [n_out, n_embd] f32 — final-norm hidden states, cf.
@@ -96,7 +97,12 @@ def forward(
     rope = cfg.rope_params()
     freq_factors = params.get("rope_freqs")
 
-    h = take_rows(params["tok_embd"], tokens, dtype=compute_dtype)
+    # embedding input (llava image embeds riding llama_batch.embd,
+    # reference llava.cpp:394 llava_eval_image_embed)
+    if inp_embd is not None:
+        h = inp_embd.astype(compute_dtype)
+    else:
+        h = take_rows(params["tok_embd"], tokens, dtype=compute_dtype)
     if cfg.embd_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
     if cfg.learned_pos_embd and params.get("pos_embd") is not None:

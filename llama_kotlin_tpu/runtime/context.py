@@ -126,6 +126,18 @@ class LlamaContext:
             return logits, cache, embd
 
         self._step = jax.jit(_step, donate_argnums=(5,))
+
+        def _step_embd(params, embd, pos, seq, slots, cache, cell_pos,
+                       cell_seq, out_ids):
+            nt = embd.shape[0]
+            logits, cache, e = base_forward(
+                params, cfg, jnp.zeros(nt, jnp.int32), pos, seq, slots, cache,
+                cell_pos, cell_seq, out_ids, compute_dtype=compute_dtype,
+                inp_embd=embd,
+            )
+            return logits, cache, e
+
+        self._step_embd = jax.jit(_step_embd, donate_argnums=(5,))
         self._embd: Optional[jax.Array] = None
 
     def _prepare_params(self, params: dict) -> dict:
@@ -237,6 +249,47 @@ class LlamaContext:
         else:
             self.timings.t_p_eval_ms += dt
             self.timings.n_p_eval += nt
+        return 0
+
+    def decode_embd(self, embd: np.ndarray, pos0: int, seq_id: int = 0,
+                    output_last: bool = False) -> int:
+        """Decode a run of embedding inputs (llama_batch.embd analogue, used
+        by llava image-embedding eval; reference llava.cpp:394).  Returns
+        0 ok, 1 cache full."""
+        n = embd.shape[0]
+        for i in range(0, n, self.n_ubatch):
+            chunk = embd[i : i + self.n_ubatch]
+            nt = chunk.shape[0]
+            slots = self.meta.find_slots(nt)
+            if slots is None:
+                return 1
+            pos = np.arange(pos0 + i, pos0 + i + nt, dtype=np.int32)
+            self.meta.commit(slots, pos, np.full(nt, seq_id, np.int32))
+
+            nb = bucket_size(nt, self.buckets)
+            e = np.zeros((nb, chunk.shape[1]), np.float32)
+            e[:nt] = chunk
+            pos_a = np.full(nb, -1, np.int32)
+            pos_a[:nt] = pos
+            seq_a = np.full(nb, self.n_seq_max - 1, np.int32)
+            seq_a[:nt] = seq_id
+            slot_a = np.full(nb, self.n_cells, np.int32)
+            slot_a[:nt] = slots
+            last = output_last and i + nt >= n
+            out_ids = np.array([nt - 1 if last else 0], np.int32)
+
+            span = self.meta.used_span()
+            n_vis = next((b for b in self._vis_buckets if b >= span), self.n_cells)
+            logits, self.cache, embd_out = self._step_embd(
+                self.params, jnp.asarray(e), jnp.asarray(pos_a),
+                jnp.asarray(seq_a), jnp.asarray(slot_a), self.cache,
+                jnp.asarray(self.meta.pos[:n_vis]),
+                jnp.asarray(self.meta.seq[:n_vis]), jnp.asarray(out_ids),
+            )
+            if last:
+                self._logits = logits[:1]
+                self._logits_rows = np.array([nt - 1], np.int32)
+                self._embd = embd_out[:1]
         return 0
 
     # -- results -------------------------------------------------------------

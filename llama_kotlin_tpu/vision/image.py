@@ -1,0 +1,95 @@
+"""Image preprocessing for the CLIP encoder.
+
+Parity target: clip_image_preprocess (reference examples/llava/clip.cpp):
+resize to the model's square input with bilinear interpolation, scale to
+[0,1], normalize per channel with the mmproj's image_mean/std.  llava-1.6
+anyres grid slicing (select_best_resolution + pad) is implemented for the
+"spatial_unpad" merge type's slice geometry; the flat path (llava-1.5)
+resizes directly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """img [H, W, C] float -> [out_h, out_w, C], align-corners=False
+    (matches the reference's bilinear_resize helper)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    return top * (1 - wy) + bot * wy
+
+
+def preprocess(image: np.ndarray, cfg) -> np.ndarray:
+    """uint8/float [H, W, 3] -> normalized [3, S, S] f32."""
+    img = np.asarray(image, np.float32)
+    if img.max() > 1.5:  # uint8 range
+        img = img / 255.0
+    s = cfg.image_size
+    if img.shape[:2] != (s, s):
+        img = bilinear_resize(img, s, s)
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    img = (img - mean) / std
+    return img.transpose(2, 0, 1).astype(np.float32)
+
+
+def select_best_resolution(orig_w: int, orig_h: int,
+                           pinpoints: Iterable[int]) -> tuple[int, int]:
+    """llava-1.6 anyres: pick the grid resolution that maximizes effective
+    resolution with minimal wasted area (clip.cpp select_best_resolution)."""
+    best = None
+    best_fit = (-1, float("inf"))
+    pts = list(pinpoints)
+    for i in range(0, len(pts) - 1, 2):
+        gw, gh = pts[i], pts[i + 1]
+        scale = min(gw / orig_w, gh / orig_h)
+        dw, dh = int(orig_w * scale), int(orig_h * scale)
+        eff = min(dw * dh, orig_w * orig_h)
+        waste = gw * gh - eff
+        if (eff, waste) > (best_fit[0], -best_fit[1]) and (
+                eff > best_fit[0] or (eff == best_fit[0] and waste < best_fit[1])):
+            best_fit = (eff, waste)
+            best = (gw, gh)
+    return best or (pts[0], pts[1])
+
+
+def anyres_slices(image: np.ndarray, cfg) -> list[np.ndarray]:
+    """llava-1.6: resize to the best grid resolution, cut into
+    image_size x image_size tiles, prepend the base (flat-resized) image.
+    Returns a list of [3, S, S] preprocessed tensors."""
+    s = cfg.image_size
+    h, w = image.shape[:2]
+    gw, gh = select_best_resolution(w, h, cfg.image_grid_pinpoints)
+    img = np.asarray(image, np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    resized = bilinear_resize(img, gh, gw)
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    out = [preprocess(image, cfg)]  # base image first (flat resize)
+    for y in range(0, gh, s):
+        for x in range(0, gw, s):
+            tile = resized[y : y + s, x : x + s]
+            if tile.shape[:2] != (s, s):
+                pad = np.zeros((s, s, 3), np.float32)
+                pad[: tile.shape[0], : tile.shape[1]] = tile
+                tile = pad
+            out.append(((tile - mean) / std).transpose(2, 0, 1).astype(np.float32))
+    return out

@@ -1,0 +1,90 @@
+"""llava glue: image embedding creation + eval into a text context.
+
+Parity target: reference examples/llava/llava.cpp
+(llava_image_embed_make_with_bytes :412, llava_eval_image_embed :394) and
+the llava-cli prompt flow (examples/llava/llava-cli.cpp): text before
+<image>, image embeddings, text after, then generate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from llama_kotlin_tpu.vision.clip import ClipModel
+
+IMAGE_PLACEHOLDER = "<image>"
+
+
+def image_embed_from_array(clip: ClipModel, image: np.ndarray) -> np.ndarray:
+    """uint8 HWC image -> [n_image_pos, n_embd_llm] f32 (llava-1.5 flat;
+    anyres grids handled per-slice then concatenated)."""
+    cfg = clip.cfg
+    if cfg.mm_patch_merge_type == "spatial_unpad" and cfg.image_grid_pinpoints:
+        from llama_kotlin_tpu.vision.image import anyres_slices
+
+        slices = anyres_slices(image, cfg)
+        return np.concatenate([clip.embed_pixels(s) for s in slices], axis=0)
+    return clip.embed_image(image)
+
+
+def eval_image_embed(ctx, embed: np.ndarray, n_past: int, seq_id: int = 0) -> int:
+    """Insert image embeddings into the context at n_past; returns the new
+    n_past (cf. llava_eval_image_embed)."""
+    rc = ctx.decode_embd(np.asarray(embed, np.float32), n_past, seq_id)
+    if rc != 0:
+        raise RuntimeError("KV cache full while evaluating image embeddings")
+    return n_past + embed.shape[0]
+
+
+def llava_generate(ctx, tokenizer, clip: ClipModel, prompt: str,
+                   image: np.ndarray, n_predict: int = 64,
+                   seq_id: int = 0) -> str:
+    """Full llava-cli flow for one (prompt-with-<image>, image) pair:
+    greedy generation, returns the generated text."""
+    from llama_kotlin_tpu.runtime.batch import Batch
+
+    if IMAGE_PLACEHOLDER in prompt:
+        before, after = prompt.split(IMAGE_PLACEHOLDER, 1)
+    else:
+        before, after = prompt, ""
+
+    n_past = 0
+    toks_before = list(tokenizer.encode(before, add_special=True))
+    if toks_before:
+        t = np.asarray(toks_before, np.int32)
+        if ctx.decode(Batch.single(t, seq_id=seq_id)) != 0:
+            raise RuntimeError("cache full (prompt)")
+        n_past = len(toks_before)
+
+    embed = image_embed_from_array(clip, image)
+    n_past = eval_image_embed(ctx, embed, n_past, seq_id)
+
+    toks_after = list(tokenizer.encode(after, add_special=False)) if after else []
+    tail = np.asarray(toks_after or [], np.int32)
+    if len(tail):
+        b = Batch.single(tail, seq_id=seq_id, pos0=n_past)
+        if ctx.decode(b) != 0:
+            raise RuntimeError("cache full (prompt tail)")
+        n_past += len(tail)
+    else:
+        # need logits after the image: re-eval nothing; decode_embd already
+        # produced last-row logits when output_last — simplest correct path
+        # is a 1-token no-op? Instead require callers to pass text after the
+        # image (llava templates always do: "ASSISTANT:")
+        raise ValueError("prompt must contain text after <image>")
+
+    out = []
+    eos = getattr(getattr(tokenizer, "vocab", None), "eos_id", -1)
+    cur = int(np.argmax(ctx.get_logits()[-1]))
+    for _ in range(n_predict):
+        if cur == eos:
+            break
+        out.append(cur)
+        if ctx.decode(Batch.single(np.array([cur], np.int32), seq_id=seq_id,
+                                   pos0=n_past)) != 0:
+            break
+        n_past += 1
+        cur = int(np.argmax(ctx.get_logits()[-1]))
+    return tokenizer.decode(out)
