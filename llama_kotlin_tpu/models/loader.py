@@ -146,8 +146,8 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
         try:
             return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
         except NotImplementedError:
-            # codebook (IQ) formats: no exact QTensor repack yet — decode
-            # to the compute dtype (use fast_mode="int8" for Q8F serving)
+            # formats without a QTensor repack (none currently; IQ repacks
+            # exactly via quant/repack.py repack_iq) — dense fallback
             x = numpy_ref.dequantize(data, qt, shape=np_shape)
             return jnp.asarray(x, dtype=compute_dtype)
     if len(np_shape) == 3:

@@ -249,6 +249,32 @@ def repack_q8_k(data, n, k) -> QTensor:
     return _make(GGMLQuantType.Q8_K, codes, 8, QK_K, 0, n, k, g_scale=d)
 
 
+# -- IQ (codebook) formats ----------------------------------------------------
+
+
+def repack_iq(data: np.ndarray, qtype: GGMLQuantType, n: int, k: int) -> QTensor:
+    """Exact IQ -> QTensor repack: int8 codes + small-int group scales under
+    an f32 per-superblock scale (see quant/iq.py for the factoring and the
+    f32-exactness argument; parity target: the dequantize_row_iq* family in
+    reference ggml/src/ggml-quants.c:3311-3590).  8-bit-resident — larger
+    than the wire format but exact; serving can still pick Q8F/W4 modes."""
+    from llama_kotlin_tpu.quant import iq
+
+    tr = TYPE_TRAITS[qtype]
+    expect = n * (k // tr.block_size) * tr.type_size
+    data = np.ascontiguousarray(data, np.uint8).reshape(-1)
+    if data.size != expect:
+        raise ValueError(f"wire size {data.size} != expected {expect} for {tr.name} [{n},{k}]")
+    codes, g, sb, gs = iq.iq_split(data, qtype)
+    return _make(qtype, codes.reshape(n, k), 8, gs, 0, n, k,
+                 g_scale=g.reshape(n, k // gs),
+                 sb_scale=sb.reshape(n, -1) if sb is not None else None)
+
+
+def _iq_repacker(qtype: GGMLQuantType):
+    return lambda data, n, k: repack_iq(data, qtype, n, k)
+
+
 REPACKERS = {
     GGMLQuantType.Q4_0: repack_q4_0,
     GGMLQuantType.Q4_1: repack_q4_1,
@@ -261,6 +287,12 @@ REPACKERS = {
     GGMLQuantType.Q5_K: repack_q5_k,
     GGMLQuantType.Q6_K: repack_q6_k,
     GGMLQuantType.Q8_K: repack_q8_k,
+    **{qt: _iq_repacker(qt) for qt in (
+        GGMLQuantType.IQ2_XXS, GGMLQuantType.IQ2_XS, GGMLQuantType.IQ2_S,
+        GGMLQuantType.IQ3_XXS, GGMLQuantType.IQ3_S,
+        GGMLQuantType.IQ1_S, GGMLQuantType.IQ1_M,
+        GGMLQuantType.IQ4_NL, GGMLQuantType.IQ4_XS,
+    )},
 }
 
 

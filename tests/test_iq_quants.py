@@ -80,12 +80,83 @@ def test_iq_decode_of_oracle_encoded(qtype):
     np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.parametrize("qtype", IQ_TYPES, ids=lambda t: TYPE_TRAITS[t].name)
+def test_iq_qtensor_repack_bitexact(qtype):
+    """Exact IQ -> QTensor repack: jnp dequantize of the repacked tensor
+    must equal the wire decoder bit-for-bit (all partial products carry
+    <=24 significand bits, so f32 evaluation is exact in any order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.quant import qtensor
+    from llama_kotlin_tpu.quant.repack import repack
+
+    rng = np.random.default_rng(100 + int(qtype))
+    bs = TYPE_TRAITS[qtype].block_size
+    n, nb_per_row = 4, 2048 // bs
+    k = nb_per_row * bs
+    blocks = _random_blocks(qtype, n * nb_per_row, rng)
+    data = blocks.reshape(-1)
+    ref = numpy_ref.dequantize(data, qtype, shape=(n, k))
+    qt = jax.tree.map(jnp.asarray, repack(data, qtype, n, k))
+    assert qt.codes.dtype == jnp.int8
+    out = np.asarray(qtensor.dequantize(qt))
+    np.testing.assert_array_equal(out, ref.astype(np.float32))
+
+
+@pytest.mark.parametrize("qtype", [GGMLQuantType.IQ4_NL, GGMLQuantType.IQ4_XS,
+                                   GGMLQuantType.IQ3_XXS, GGMLQuantType.IQ3_S,
+                                   GGMLQuantType.IQ2_S, GGMLQuantType.IQ1_M])
+def test_iq_repack_bitexact_on_oracle_encoded(qtype):
+    """Same parity on reference-encoder wire bits (realistic scale values,
+    not the pinned d=1.5 of the random blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.quant import qtensor
+    from llama_kotlin_tpu.quant.repack import repack
+    from tests.ggml_oracle import oracle_quantize_nrow
+
+    if get_oracle() is None:
+        pytest.skip("oracle lib unavailable")
+    rng = np.random.default_rng(11)
+    n, k = 8, 512
+    x = (rng.standard_normal(n * k) * 0.1).astype(np.float32)
+    wire = np.frombuffer(oracle_quantize_nrow(x, TYPE_TRAITS[qtype].name, k), np.uint8)
+    ref = numpy_ref.dequantize(wire, qtype, shape=(n, k))
+    qt = jax.tree.map(jnp.asarray, repack(wire, qtype, n, k))
+    out = np.asarray(qtensor.dequantize(qt))
+    np.testing.assert_array_equal(out, ref.astype(np.float32))
+
+
+def test_iq_qmm_parity():
+    """IQ QTensors flow through the fused dequant-matmul kernel family."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.ops.qmatmul import qmatmul
+    from llama_kotlin_tpu.quant import qtensor
+    from llama_kotlin_tpu.quant.repack import repack
+
+    rng = np.random.default_rng(12)
+    qtype = GGMLQuantType.IQ4_XS
+    n, k = 256, 512
+    blocks = _random_blocks(qtype, n * (k // 256), rng)
+    qt = jax.tree.map(jnp.asarray, repack(blocks.reshape(-1), qtype, n, k))
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.float32)
+    w = qtensor.dequantize(qt)
+    want = x @ w.T
+    got = qmatmul(x, qt, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
 def test_iq_model_load(tmp_path):
-    """A GGUF with IQ4_NL weights loads and decodes (dense fallback) and
-    the Q8F fast mode accepts IQ wire formats."""
+    """A GGUF with IQ4_NL weights loads through the exact QTensor repack
+    (no dense fallback) and the Q8F fast mode accepts IQ wire formats."""
     import jax.numpy as jnp
 
     from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.quant.qtensor import QTensor
     from llama_kotlin_tpu.quant.repack import repack_q8flat
     from llama_kotlin_tpu.runtime.batch import Batch
     from llama_kotlin_tpu.runtime.context import LlamaContext
@@ -98,6 +169,7 @@ def test_iq_model_load(tmp_path):
     write_llama_gguf(path, weights, dims, qtype=GGMLQuantType.IQ4_NL)
     cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
     f.close()
+    assert isinstance(params["layers"][0]["ffn_up"], QTensor)  # exact repack, not dense
     ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
     rc = ctx.decode(Batch.single(np.array([3, 5, 9], np.int32)))
     assert rc == 0
