@@ -28,7 +28,7 @@ init does):
   * the parent ALWAYS prints exactly one parsed JSON line.
 
 Env overrides: BENCH_PRESET (default llama3-8b), BENCH_STEPS, BENCH_PREFILL,
-BENCH_MODE (int8|w4a8|exact), BENCH_BATCH, BENCH_FORCE_CPU=1.
+BENCH_MODE (int8|w4a8|exact|dequant), BENCH_BATCH, BENCH_FORCE_CPU=1.
 """
 
 from __future__ import annotations
@@ -65,11 +65,16 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     cfg = preset_config(preset)
     # default = W4A8 fast mode (4-bit-resident weights, int8 MXU dots — the
     # TPU analogue of the reference's vec_dot_q4_K_q8_K hot loop).
-    # BENCH_MODE=int8 selects the W8A8 flat path; BENCH_MODE=exact measures
-    # the bit-exact per-32-group dequant kernels (VPU-bound, slower).
+    # BENCH_MODE=int8 selects the W8A8 flat path; BENCH_MODE=exact selects
+    # W4X (exact f32 weight scales + dual-plane ~16-bit activations — the
+    # highest-fidelity mode, tighter than bf16 dequant on both axes);
+    # BENCH_MODE=dequant measures the bit-exact per-32-group dequant
+    # kernels (VPU-bound, slower; kept for parity testing).
     mode = os.environ.get("BENCH_MODE", "w4a8")
-    params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
-                              fast_int8=(mode == "int8"), fast_w4a8=(mode == "w4a8"))
+    params = synthetic_params(
+        cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
+        fast_int8=(mode == "int8"),
+        fast_w4a8={"w4a8": True, "exact": "w4x"}.get(mode, False))
     build_s = time.time() - t0
 
     unrolled = os.environ.get("BENCH_UNROLLED", "1") == "1"

@@ -122,6 +122,20 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
                  "output_norm_b", "output_b", "tok_norm", "tok_norm_b"}
 
 
+def _repack_w4(data, qt, n: int, k: int, mode: str):
+    """W4/W4X serving repack: fold 4-bit group-32 formats into the
+    4-bit-resident block-diagonal kernel layout (ops/pallas/qmm_w4.py).
+    Ineligible formats fall back to Q8F in "w4" (speed) mode and to the
+    exact standard repack in "w4x" (fidelity) mode."""
+    from llama_kotlin_tpu.quant.fold import GROUP, fold_to_w4
+    from llama_kotlin_tpu.quant.repack import repack, repack_q8flat
+
+    rp = repack(data, qt, n, k)
+    if rp.bits == 4 and rp.group_size == GROUP:
+        return fold_to_w4(rp, precise=(mode == "w4x"))
+    return rp if mode == "w4x" else repack_q8flat(data, qt, n, k)
+
+
 def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
                  fast_mode: str | None = None) -> Any:
     """Load one tensor: QTensor for quantized matmul weights, dense array
@@ -143,6 +157,8 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
             from llama_kotlin_tpu.quant.repack import repack_q8flat
 
             return jax.tree.map(jnp.asarray, repack_q8flat(data, qt, n, k))
+        if fast_mode in ("w4", "w4x"):
+            return jax.tree.map(jnp.asarray, _repack_w4(data, qt, n, k, fast_mode))
         try:
             return jax.tree.map(jnp.asarray, repack(data, qt, n, k))
         except NotImplementedError:
@@ -198,7 +214,12 @@ def _load_fused_qkv(f: GGUFFile, name: str, cfg: ModelConfig, compute_dtype,
         flat = np.ascontiguousarray(data, np.uint8).reshape(n, row_b)
         for key, (r0, r1) in zip(("wq", "wk", "wv"), bounds):
             part = np.ascontiguousarray(flat[r0:r1]).reshape(-1)
-            rp = repack_q8flat(part, qt, r1 - r0, k) if fast_mode == "int8" else repack(part, qt, r1 - r0, k)
+            if fast_mode == "int8":
+                rp = repack_q8flat(part, qt, r1 - r0, k)
+            elif fast_mode in ("w4", "w4x"):
+                rp = _repack_w4(part, qt, r1 - r0, k, fast_mode)
+            else:
+                rp = repack(part, qt, r1 - r0, k)
             out[key] = jax.tree.map(jnp.asarray, rp)
     else:
         x = numpy_ref.dequantize(data, qt, shape=np_shape)

@@ -47,9 +47,10 @@ def synthetic_q8flat(rng, n: int, k: int, scale: float = 0.02):
                    group_size=SPAN, code_offset=0, shape=(n, k))
 
 
-def synthetic_w4(rng, n: int, k: int, scale: float = 0.02):
+def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False):
     """Random W4 (W4A8 fast-mode, quant/fold.py layout) weight: plane-packed
-    4-bit codes + per-32-group bf16 scales/mins + transposed scale planes."""
+    4-bit codes + per-32-group bf16 scales/mins + transposed scale planes.
+    precise=True builds the W4X f32-scale layout (dual-plane activations)."""
     from llama_kotlin_tpu.quant.fold import GROUP, w4_from_parts
     from llama_kotlin_tpu.quant.qtensor import SPAN
 
@@ -58,7 +59,7 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02):
     packed = rng.integers(0, 256, (n, k_pad // 2), dtype=np.uint8)
     s_eff = (rng.random((n, G), np.float32) * scale / 8.0).astype(np.float32)
     m_adj = (rng.random((n, G), np.float32) * scale * 0.5).astype(np.float32)
-    return w4_from_parts(packed, s_eff, m_adj, (n, k))
+    return w4_from_parts(packed, s_eff, m_adj, (n, k), precise=precise)
 
 
 def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 0.02):
@@ -107,7 +108,8 @@ def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=Fal
         x = (rng.standard_normal((n, k)) * 0.02).astype(np.float32)
         return jax.device_put(jnp.asarray(x, dtype=dtype))
     if fast_w4a8:
-        return jax.tree.map(jnp.asarray, synthetic_w4(rng, n, k))
+        return jax.tree.map(jnp.asarray,
+                            synthetic_w4(rng, n, k, precise=(fast_w4a8 == "w4x")))
     if fast_int8:
         return jax.tree.map(jnp.asarray, synthetic_q8flat(rng, n, k))
     return jax.tree.map(jnp.asarray, synthetic_qtensor(rng, n, k, qtype))
@@ -143,9 +145,20 @@ def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
                 "wv": _rand_weight(rng, kvdim, E, qtype, compute_dtype, fast_int8, fast_w4a8),
                 "wo": _rand_weight(rng, E, qdim, qtype, compute_dtype, fast_int8, fast_w4a8),
                 "ffn_norm": norm_w(),
-                "ffn_gate": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8),
-                "ffn_up": _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8),
-                "ffn_down": _rand_weight(rng, E, F, qtype, compute_dtype, fast_int8, fast_w4a8),
             }
         )
+        lp = params["layers"][-1]
+        if cfg.n_expert > 0:
+            lp["ffn_gate_inp"] = jnp.asarray(
+                rng.standard_normal((cfg.n_expert, E)) * 0.02, jnp.float32)
+            for key, (nn, kk) in (("ffn_gate_exps", (F, E)),
+                                  ("ffn_up_exps", (F, E)),
+                                  ("ffn_down_exps", (E, F))):
+                lp[key] = [_rand_weight(rng, nn, kk, qtype, compute_dtype,
+                                        fast_int8, fast_w4a8)
+                           for _ in range(cfg.n_expert)]
+        else:
+            lp["ffn_gate"] = _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8)
+            lp["ffn_up"] = _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8)
+            lp["ffn_down"] = _rand_weight(rng, E, F, qtype, compute_dtype, fast_int8, fast_w4a8)
     return params

@@ -106,6 +106,24 @@ def build_sxv(sx: jnp.ndarray, k_pad: int) -> jnp.ndarray:
     return sx[ii.reshape(-1), sb.reshape(-1)].reshape(nch, NG * b)
 
 
+def quantize_activations_2p(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dual-plane activation quantization for the W4X high-fidelity mode:
+    x [b, k] f32 -> (x8 [2b, k] i8, sx [2b, S] f32) where plane 0 is the
+    standard per-superblock int8 quantization and plane 1 quantizes the
+    residual (scale ~ s1/254).  x ~= s1*x1 + s2*x2 with elementwise error
+    <= s2/2 ~ 2^-15.8 * amax — far tighter than casting x to bf16
+    (2^-9 * |x|), so the W4X matmul dominates the bf16 dequant paths in
+    activation fidelity while keeping pure int8 MXU dots."""
+    from llama_kotlin_tpu.ops.pallas.qmm_int8 import quantize_activations
+
+    b, k = x.shape
+    x = x.astype(jnp.float32)
+    x1, s1 = quantize_activations(x)
+    r = x - x1.astype(jnp.float32) * jnp.repeat(s1, SPAN, axis=-1)
+    x2, s2 = quantize_activations(r)
+    return jnp.concatenate([x1, x2], axis=0), jnp.concatenate([s1, s2], axis=0)
+
+
 def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
                   max_rows: int = 32) -> Optional[jnp.ndarray]:
     """x [..., k] (float) @ W4 w^T -> [..., n] f32, or None if not eligible.
@@ -115,11 +133,17 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
     runs the block-diagonal kernel for the scale-weighted main term, and
     subtracts the per-group min term via one [b, G] x [G, n] matmul on the
     sx-scaled group sums (the analogue of Q8_K bsums).
+
+    W4X tensors (fold_to_w4(precise=True): f32 scales + aux['precise'])
+    take the dual-plane activation path: both planes stack along the batch
+    axis of the SAME block-diagonal kernel (per-row scales ride sxv), and
+    the two half-results sum at the end — weight HBM traffic unchanged.
     """
     from llama_kotlin_tpu.ops.pallas.qmm_int8 import quantize_activations
 
     if not w.hi_signed or w.aux is None:
         return None
+    precise = "precise" in w.aux
     n, k = w.shape
     kc = w.codes.shape[-1]
     k_pad = kc * 2
@@ -133,7 +157,10 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
     x2 = x.reshape(b_real, k).astype(jnp.float32)
     if bp != b_real or k_pad != k:
         x2 = jnp.pad(x2, ((0, bp - b_real), (0, k_pad - k)))
-    x8, sx = quantize_activations(x2)  # int8 [bp, k_pad], f32 [bp, S]
+    if precise:
+        x8, sx = quantize_activations_2p(x2)  # [2bp, k_pad], [2bp, S]
+    else:
+        x8, sx = quantize_activations(x2)  # int8 [bp, k_pad], f32 [bp, S]
     xlo, xhi = build_xbd(x8, k_pad)
     sxv = jnp.asarray(build_sxv(sx, k_pad))
     y_main = qmm_w4(xlo, xhi, sxv, w, interpret=interpret)
@@ -141,8 +168,12 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
         return None
     # min term on sx-scaled group sums (exact in f32)
     G = k_pad // 32
-    xg = x8.reshape(bp, G, 32).astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
+    nb = x8.shape[0]
+    xg = x8.reshape(nb, G, 32).astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
     xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
+    if precise:
+        y_main = y_main[:bp] + y_main[bp:]
+        xg = xg[:bp] + xg[bp:]
     y = y_main - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
                          preferred_element_type=jnp.float32)
     return y[:b_real].reshape(*lead_shape, n)

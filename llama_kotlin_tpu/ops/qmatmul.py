@@ -122,5 +122,6 @@ def take_rows(w: Weight, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
         sb_min=None if w.sb_min is None else w.sb_min[ids],
         qtype=w.qtype, bits=w.bits, group_size=w.group_size,
         code_offset=w.code_offset, shape=(int(ids.shape[0]), w.k),
+        hi_signed=w.hi_signed,
     )
     return dequantize(sub, dtype=dtype)

@@ -49,7 +49,7 @@ def _plane_group_perm(n_groups: int, hi: bool) -> np.ndarray:
     return 8 * (idx // 4) + idx % 4 + (4 if hi else 0)
 
 
-def fold_to_w4(qt: QTensor) -> QTensor:
+def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
     """Any 4-bit-coded, group-32 QTensor (Q4_0/Q4_1/Q4_K) -> W4 layout.
 
     Bit-exact with the source's dequantization up to the bf16 rounding of
@@ -57,6 +57,14 @@ def fold_to_w4(qt: QTensor) -> QTensor:
     coarser than bf16's 8 mantissa bits for Q4_0/Q4_1; for Q4_K the folded
     product f32(d)*sc rounds to bf16, a 2^-9 relative perturbation below
     the 4-bit codes' own quantization noise).
+
+    precise=True selects the W4X high-fidelity layout: scales and mins stay
+    f32 (the folded Q4_K products carry <=17 significand bits, so f32 holds
+    them EXACTLY — the weight dequantization is bit-exact; only the m_adj
+    sum m_eff - 8*s_eff can round at 2^-24), and the kernel dispatch uses
+    dual-plane int8 activations (~15.8 effective bits vs bf16's 8; see
+    ops/pallas/qmm_w4.py quantize_activations_2p).  HBM cost: 4 bits codes
+    + 1 bit scw + 1 bit m_adj = 6.0 bits/weight.
     """
     if qt.bits != 4 or qt.group_size != GROUP:
         raise ValueError(f"fold_to_w4 needs 4-bit group-32 codes, got "
@@ -83,31 +91,35 @@ def fold_to_w4(qt: QTensor) -> QTensor:
     lo = el[:, :, 0].astype(np.uint8)
     hi = ((el[:, :, 1] - 8) & 0xF).astype(np.uint8)
     packed = (lo | (hi << 4)).reshape(n, k_pad // 2)
-    return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype)
+    return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype,
+                         precise=precise)
 
 
 def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
-                  shape: tuple[int, int], qtype=None) -> QTensor:
+                  shape: tuple[int, int], qtype=None, precise: bool = False) -> QTensor:
     """Assemble a W4 QTensor from plane-packed codes [n, k_pad/2] u8,
     effective per-32-group scales s_eff [n, G] f32, and pre-adjusted mins
-    m_adj [n, G] f32 (see module docstring for m_adj semantics)."""
+    m_adj [n, G] f32 (see module docstring for m_adj semantics).
+    precise=True keeps all scale planes f32 (W4X layout)."""
     from llama_kotlin_tpu.quant.formats import GGMLQuantType
 
     G = s_eff.shape[1]
-    s_bf = s_eff.astype(jnp.bfloat16)
-    sT = np.asarray(s_bf).T  # [G, n]
-    scw_lo = np.ascontiguousarray(sT[_plane_group_perm(G, hi=False)])
+    sdt = jnp.float32 if precise else jnp.bfloat16
+    s_st = s_eff.astype(sdt)
+    sT = np.asarray(s_st, np.float32).T  # [G, n]
+    scw_lo = np.ascontiguousarray(sT[_plane_group_perm(G, hi=False)]).astype(sdt)
     scw_hi = np.ascontiguousarray(
-        (sT[_plane_group_perm(G, hi=True)].astype(np.float32) / 16.0)
-    ).astype(jnp.bfloat16)
+        sT[_plane_group_perm(G, hi=True)] / 16.0  # exact: power-of-two scale
+    ).astype(sdt)
 
     return QTensor(
-        codes=packed, g_scale=s_bf, g_min=m_adj.astype(jnp.bfloat16),
+        codes=packed, g_scale=s_st, g_min=m_adj.astype(sdt),
         sb_scale=None, sb_min=None,
         qtype=qtype if qtype is not None else GGMLQuantType.Q4_K,
         bits=4, group_size=GROUP,
         code_offset=0, shape=shape, hi_signed=True,
-        aux={"scw_lo": scw_lo, "scw_hi": scw_hi},
+        aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
+             **({"precise": np.ones((), np.bool_)} if precise else {})},
     )
 
 

@@ -42,6 +42,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--cache-type-k", "-ctk", default="f16",
                     choices=["f16", "bf16", "q8_0"],
                     help="KV cache type (q8_0 = int8-quantized K/V)")
+    ap.add_argument("--fast-mode", default=None, choices=["int8", "w4", "w4x"],
+                    help="serving weight layout: int8 = W8A8 flat, w4 = "
+                         "4-bit-resident W4A8, w4x = W4 with exact f32 "
+                         "scales + dual-plane activations (high fidelity); "
+                         "default = exact dequant repack")
     return ap
 
 
@@ -60,7 +65,7 @@ def main(argv=None):
         print(f"error: model file not found: {args.model}", file=sys.stderr)
         sys.exit(1)
     print(f"loading {args.model} ...", file=sys.stderr)
-    cfg, params, f = load_gguf_model(args.model)
+    cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
     tok = build_tokenizer(f.metadata)
     template = args.chat_template or detect_template(
         f.metadata.get("tokenizer.chat_template"), cfg.arch)

@@ -389,6 +389,8 @@ def main():
     ap.add_argument("--cache-type-k", "-ctk", default="f16",
                     choices=["f16", "bf16", "q8_0"],
                     help="KV cache type (q8_0 = int8-quantized K/V)")
+    ap.add_argument("--fast-mode", default=None, choices=["int8", "w4", "w4x"],
+                    help="serving weight layout (see tools/main.py --fast-mode)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -397,7 +399,7 @@ def main():
     from llama_kotlin_tpu.runtime.context import LlamaContext
     from llama_kotlin_tpu.tokenizer import build_tokenizer
 
-    cfg, params, f = load_gguf_model(args.model)
+    cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
     tokenizer = build_tokenizer(f.metadata)
     template = detect_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()

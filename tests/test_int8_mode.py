@@ -88,6 +88,44 @@ def test_int8_mode_model_quality(tmp_path):
     assert top1 >= 0.8
 
 
+@pytest.mark.parametrize("mode", ["w4", "w4x"])
+def test_w4_mode_model_load(tmp_path, mode):
+    """fast_mode=w4/w4x: Q4_K weights fold to the 4-bit-resident layout
+    (hi_signed QTensors) and logits stay close to the exact model."""
+    from llama_kotlin_tpu.quant.qtensor import QTensor
+
+    rng = np.random.default_rng(6)
+    # Q4_K needs k % 256 == 0 on every quantized tensor's contraction axis
+    dims = tiny_llama_dims(n_embd=256, n_ff=256, vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path / "m4.gguf"
+    write_llama_gguf(path, weights, dims, qtype=GGMLQuantType.Q4_K)
+
+    toks = np.array([3, 17, 42, 9, 101], np.int32)
+
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=32, compute_dtype=jnp.float32)
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    exact = ctx.get_logits()
+
+    cfg2, params2, f2 = load_gguf_model(path, compute_dtype=jnp.float32,
+                                        fast_mode=mode)
+    f2.close()
+    w = params2["layers"][0]["ffn_up"]
+    assert isinstance(w, QTensor) and w.hi_signed
+    assert ("precise" in w.aux) == (mode == "w4x")
+    ctx2 = LlamaContext(cfg2, params2, n_cells=32, compute_dtype=jnp.float32)
+    ctx2.decode(Batch.single(toks, logits_last_only=False))
+    fast = ctx2.get_logits()
+
+    kl, top1 = kl_divergence([exact.astype(np.float16)], [fast.astype(np.float16)])
+    # CPU path dequantizes W4 (no pallas): w4x is bit-exact, w4 only bf16
+    # scale rounding — both tiny
+    assert kl < (1e-6 if mode == "w4x" else 0.01), kl
+    assert top1 >= 0.9
+
+
 def test_qmm_long_prefill_chunking():
     """b > 1024 row-chunks instead of bailing to the XLA fallback."""
     import jax

@@ -90,6 +90,45 @@ def test_qmm_w4_kernel_matches_reference(rng, qtype, shape):
     np.testing.assert_allclose(np.asarray(got), ref[:b], rtol=2e-4, atol=2e-4)
 
 
+def test_w4x_precise_dequant_bitexact(rng):
+    """W4X (precise fold): f32 scale planes hold the folded Q4_K products
+    exactly, so dequantization matches the source repack bit-for-bit
+    (the <=17-significand-bit argument in quant/fold.py)."""
+    n, k = 8, 512
+    x = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = repack_float(x, GGMLQuantType.Q4_K)
+    w4x = fold_to_w4(qt, precise=True)
+    assert "precise" in w4x.aux and w4x.g_scale.dtype == np.float32
+    ref = np.asarray(dequantize(qt, jnp.float32))
+    got = np.asarray(dequantize(w4x, jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_w4x_dual_plane_tighter_than_bf16(rng):
+    """The W4X matmul (dual-plane int8 activations, exact weight scales)
+    must beat the bf16 dequant path in end-to-end fidelity vs the f32
+    reference — the basis for serving it as the high-fidelity mode."""
+    n, k = 256, 2048
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = repack_float(wf, GGMLQuantType.Q4_K)
+    w4x = fold_to_w4(qt, precise=True)
+    x = rng.standard_normal((3, k)).astype(np.float32)
+
+    wdq = np.asarray(dequantize(qt, jnp.float32))
+    ref = x @ wdq.T  # f32 reference on exactly-dequantized weights
+
+    got = np.asarray(qmm_w4_matmul(jnp.asarray(x), jax.tree.map(jnp.asarray, w4x),
+                                   interpret=True))
+    assert got.shape == (3, n)
+    # the bf16 path: bf16 activations x bf16 weights, f32 accumulate
+    bf = np.asarray(jnp.dot(jnp.asarray(x, jnp.bfloat16),
+                            jnp.asarray(wdq, jnp.bfloat16).T,
+                            preferred_element_type=jnp.float32))
+    e_w4x = np.abs(got - ref).mean()
+    e_bf16 = np.abs(bf - ref).mean()
+    assert e_w4x < e_bf16 * 0.25, (e_w4x, e_bf16)  # ~2^-15.8 vs 2^-9 precision
+
+
 def test_qmm_w4_quality_vs_float(rng):
     """End-to-end error of the W4A8 path vs the float matmul stays in the
     Q4_K noise class (the activation quant adds < the weight quant noise)."""
