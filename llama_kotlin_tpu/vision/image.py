@@ -70,6 +70,86 @@ def select_best_resolution(orig_w: int, orig_h: int,
     return best or (pts[0], pts[1])
 
 
+# -- minicpmv LLaVA-UHD slicing (clip.cpp:1791-1935) --------------------------
+
+
+def _ensure_divide(length: int, patch: int) -> int:
+    return max(int(round(length / patch) * patch), patch)
+
+
+def uhd_find_best_resize(w: int, h: int, scale_resolution: int = 448,
+                         patch: int = 14, allow_upscale: bool = False) -> tuple[int, int]:
+    if (w * h > scale_resolution * scale_resolution) or allow_upscale:
+        r = w / h
+        h = int(scale_resolution / np.sqrt(r))
+        w = int(h * r)
+    return _ensure_divide(w, patch), _ensure_divide(h, patch)
+
+
+def uhd_best_grid(max_slice_nums: int, multiple: int, log_ratio: float) -> tuple[int, int]:
+    candidates = []
+    for i in (multiple - 1, multiple, multiple + 1):
+        if i == 1 or i > max_slice_nums:
+            continue
+        for m in range(1, i + 1):
+            if i % m == 0:
+                candidates.append((m, i // m))
+    best, best_err = (1, 1), float("inf")
+    for gx, gy in candidates:
+        err = abs(log_ratio - np.log(gx / gy))
+        if err < best_err:
+            best, best_err = (gx, gy), err
+    return best
+
+
+def uhd_get_refine_size(w: int, h: int, grid: tuple[int, int],
+                        scale_resolution: int = 448, patch: int = 14,
+                        allow_upscale: bool = False) -> tuple[int, int]:
+    gx, gy = grid
+    rw, rh = _ensure_divide(w, gx), _ensure_divide(h, gy)
+    bw, bh = uhd_find_best_resize(rw // gx, rh // gy, scale_resolution, patch,
+                                  allow_upscale)
+    return bw * gx, bh * gy
+
+
+def uhd_slice_image(image: np.ndarray, cfg, max_slice_nums: int = 9,
+                    scale_resolution: int = 448):
+    """minicpmv LLaVA-UHD slicing (uhd_slice_image, clip.cpp:1870): returns
+    (source [3,h,w] normalized, slices list-of-rows of [3,h,w] normalized,
+    grid (gx, gy)).  Uses bilinear resize (reference: bicubic)."""
+    h, w = image.shape[:2]
+    img = np.asarray(image, np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+
+    def norm(x):
+        return ((x - mean) / std).transpose(2, 0, 1).astype(np.float32)
+
+    patch = cfg.patch_size
+    log_ratio = np.log(w / h)
+    ratio = w * h / (scale_resolution * scale_resolution)
+    multiple = int(min(np.ceil(ratio), max_slice_nums))
+
+    if multiple <= 1:
+        bw, bh = uhd_find_best_resize(w, h, scale_resolution, patch, allow_upscale=True)
+        return norm(bilinear_resize(img, bh, bw)), [], (1, 1)
+
+    bw, bh = uhd_find_best_resize(w, h, scale_resolution, patch)
+    source = norm(bilinear_resize(img, bh, bw))
+    grid = uhd_best_grid(max_slice_nums, multiple, log_ratio)
+    rw, rh = uhd_get_refine_size(w, h, grid, scale_resolution, patch, allow_upscale=True)
+    refined = bilinear_resize(img, rh, rw)
+    gx, gy = grid
+    sw, sh = rw // gx, rh // gy
+    rows = []
+    for r in range(gy):
+        rows.append([norm(refined[r * sh:(r + 1) * sh, c * sw:(c + 1) * sw])
+                     for c in range(gx)])
+    return source, rows, grid
+
+
 def anyres_slices(image: np.ndarray, cfg) -> list[np.ndarray]:
     """llava-1.6: resize to the best grid resolution, cut into
     image_size x image_size tiles, prepend the base (flat-resized) image.

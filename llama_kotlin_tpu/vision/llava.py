@@ -19,8 +19,17 @@ IMAGE_PLACEHOLDER = "<image>"
 
 def image_embed_from_array(clip: ClipModel, image: np.ndarray) -> np.ndarray:
     """uint8 HWC image -> [n_image_pos, n_embd_llm] f32 (llava-1.5 flat;
-    anyres grids handled per-slice then concatenated)."""
+    anyres grids and minicpmv UHD slices handled per-slice then
+    concatenated, source image first — cf. minicpmv-cli.cpp process_image)."""
     cfg = clip.cfg
+    if cfg.minicpmv_version > 0:
+        from llama_kotlin_tpu.vision.image import uhd_slice_image
+
+        source, rows, _grid = uhd_slice_image(image, cfg)
+        embeds = [clip.embed_pixels(source)]
+        for row in rows:
+            embeds.extend(clip.embed_pixels(s) for s in row)
+        return np.concatenate(embeds, axis=0)
     if cfg.mm_patch_merge_type == "spatial_unpad" and cfg.image_grid_pinpoints:
         from llama_kotlin_tpu.vision.image import anyres_slices
 
