@@ -287,6 +287,8 @@ def forward(
                 top_w = top_w * cfg.moe_expert_scale
             gate_w, up_w, down_w = (lp["ffn_gate_exps"], lp["ffn_up_exps"],
                                     lp["ffn_down_exps"])
+            from llama_kotlin_tpu.quant.qtensor import QTensor
+
             if (getattr(gate_w, "ndim", 0) == 3
                     and getattr(up_w, "ndim", 0) == 3
                     and getattr(down_w, "ndim", 0) == 3):
@@ -298,6 +300,20 @@ def forward(
                 down = moe_grouped_ffn(
                     x.astype(compute_dtype), gate_w, up_w, down_w,
                     top_i, top_w, act,
+                )
+            elif (isinstance(gate_w, QTensor) and gate_w.is_stacked
+                    and nt * cfg.n_expert_used <= 64
+                    and cfg.n_expert >= 8 * cfg.n_expert_used):
+                # quantized expert stacks, decode-shaped, large expert
+                # count: gather only the routed experts' codes (mul_mat_id
+                # access pattern) — arctic/qwen2moe class.  Small expert
+                # counts (mixtral) keep the sweep: reading all E experts
+                # once beats the gather's extra copies when E/k is small.
+                from llama_kotlin_tpu.ops.moe import moe_gathered_quant
+
+                down = moe_gathered_quant(
+                    x.astype(compute_dtype), gate_w, up_w, down_w,
+                    top_i, top_w, act, compute_dtype=compute_dtype,
                 )
             else:
                 down = _moe_sweep(lp, x, top_i, top_w, act)

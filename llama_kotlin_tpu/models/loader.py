@@ -167,13 +167,17 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
             x = numpy_ref.dequantize(data, qt, shape=np_shape)
             return jnp.asarray(x, dtype=compute_dtype)
     if len(np_shape) == 3:
-        # MoE expert stacks [n_expert, n, k] -> list of per-expert QTensors
+        # MoE expert stacks [n_expert, n, k] -> one stacked QTensor (leading
+        # E axis) so decode can gather only the routed experts' codes
+        # (ops/moe.py moe_gathered_quant, the mul_mat_id access pattern)
         n_exp, n, k = np_shape
         from llama_kotlin_tpu.quant.formats import row_byte_size
+        from llama_kotlin_tpu.quant.qtensor import stack_qtensors
 
         per = n * row_byte_size(k, qt)
         flat = np.ascontiguousarray(data, np.uint8).reshape(n_exp, per)
-        return [jax.tree.map(jnp.asarray, repack(flat[e], qt, n, k)) for e in range(n_exp)]
+        stacked = stack_qtensors([repack(flat[e], qt, n, k) for e in range(n_exp)])
+        return jax.tree.map(jnp.asarray, stacked)
     raise NotImplementedError(f"{name}: {len(np_shape)}-D quantized tensor")
 
 

@@ -149,14 +149,25 @@ def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
         )
         lp = params["layers"][-1]
         if cfg.n_expert > 0:
+            import jax
+
+            from llama_kotlin_tpu.quant.qtensor import QTensor, stack_qtensors
+
             lp["ffn_gate_inp"] = jnp.asarray(
                 rng.standard_normal((cfg.n_expert, E)) * 0.02, jnp.float32)
             for key, (nn, kk) in (("ffn_gate_exps", (F, E)),
                                   ("ffn_up_exps", (F, E)),
                                   ("ffn_down_exps", (E, F))):
-                lp[key] = [_rand_weight(rng, nn, kk, qtype, compute_dtype,
-                                        fast_int8, fast_w4a8)
-                           for _ in range(cfg.n_expert)]
+                ws = [_rand_weight(rng, nn, kk, qtype, compute_dtype,
+                                   fast_int8, fast_w4a8)
+                      for _ in range(cfg.n_expert)]
+                if isinstance(ws[0], QTensor):
+                    if ws[0].aux is not None:  # W4: 2-D-kernel aux planes
+                        lp[key] = ws
+                    else:
+                        lp[key] = jax.tree.map(jnp.asarray, stack_qtensors(ws))
+                else:
+                    lp[key] = jnp.stack(ws)
         else:
             lp["ffn_gate"] = _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8)
             lp["ffn_up"] = _rand_weight(rng, F, E, qtype, compute_dtype, fast_int8, fast_w4a8)

@@ -16,8 +16,16 @@ XLA-friendly but wastes O(n_expert / k) FLOPs and weight traffic — arctic
 3. Unsort and combine with the routing weights.
 
 Exact — no capacity factor, no token dropping (parity with mul_mat_id
-semantics).  Used for stacked dense expert weights [E, n, k]; quantized
-per-expert QTensors fall back to the dense sweep in models/llama.py.
+semantics).  Used for stacked dense expert weights [E, n, k].
+
+Quantized experts (stacked QTensors) use `moe_gathered_quant` on decode:
+gather only the routed slots' packed codes/scales from the [E, ...]
+stacks (a DMA of k/E of the expert bytes — the reference mul_mat_id's
+access pattern, src/llama.cpp:8725), vmapped-dequantize, and batched
+per-slot dots.  Chosen over a scalar-prefetch Pallas kernel deliberately:
+prefetched block indices defeat Mosaic pipelining (round-1 qmm_stacked
+measurement, ~20x slower — see TODO.md).  The dense sweep remains for
+small expert counts where reading everything beats the gather copies.
 """
 
 from __future__ import annotations
@@ -76,3 +84,41 @@ def moe_grouped_ffn(
     y = jnp.zeros_like(y_sorted).at[order].set(y_sorted)  # unsort
     y = y.reshape(nt, k, -1)
     return jnp.sum(top_w[..., None] * y, axis=1)   # [nt, d] f32
+
+
+def _gather_dequant(qt, sel: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Stacked QTensor [E, ...] + slot expert ids [S] -> dequantized
+    weights [S, n, k] in `dtype` (reads only the selected experts' bytes)."""
+    from llama_kotlin_tpu.quant.qtensor import dequantize
+
+    sub = jax.tree.map(lambda a: a[sel], qt)  # leading axis E -> S
+    return jax.vmap(lambda q: dequantize(q, dtype))(sub)
+
+
+def moe_gathered_quant(
+    x: jnp.ndarray,            # [nt, d] (compute dtype)
+    qt_gate, qt_up, qt_down,   # stacked QTensors [E, ...]
+    top_i: jnp.ndarray,        # [nt, k]
+    top_w: jnp.ndarray,        # [nt, k] f32
+    act: Callable[[jnp.ndarray], jnp.ndarray],
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Routed gated FFN over quantized expert stacks; returns [nt, d] f32.
+
+    Decode-shaped: per (token, expert) slot, gather that expert's packed
+    weights and run a single batched einsum per projection — weight bytes
+    touched scale with k, not n_expert."""
+    nt, k = top_i.shape
+    S = nt * k
+    sel = top_i.reshape(S)
+    xs = jnp.repeat(x.astype(compute_dtype), k, axis=0)  # [S, d] slot inputs
+
+    wg = _gather_dequant(qt_gate, sel, compute_dtype)    # [S, f, d]
+    wu = _gather_dequant(qt_up, sel, compute_dtype)
+    gate = jnp.einsum("sd,sfd->sf", xs, wg, preferred_element_type=jnp.float32)
+    up = jnp.einsum("sd,sfd->sf", xs, wu, preferred_element_type=jnp.float32)
+    ffn = (act(gate) * up).astype(compute_dtype)         # [S, f]
+    wd = _gather_dequant(qt_down, sel, compute_dtype)    # [S, d, f]
+    y = jnp.einsum("sf,sdf->sd", ffn, wd, preferred_element_type=jnp.float32)
+    y = y.reshape(nt, k, -1)
+    return jnp.sum(top_w[..., None] * y, axis=1)         # [nt, d] f32

@@ -59,6 +59,15 @@ def shard_weight(key: str, w: Any, mesh: Mesh) -> Any:
         if tp > 1 and key in EXPERT_ROW and all(_divisible(e, 1, tp) for e in w):
             return [_put(e, mesh, P(None, "tp")) for e in w]
         return [_put(e, mesh, P()) for e in w]
+    if isinstance(w, QTensor) and w.is_stacked and key in (EXPERT_COLUMN | EXPERT_ROW):
+        # stacked quantized experts [E, n, *]: per-expert TP layout with the
+        # E axis replicated (every QTensor side-array shares the [n, k/x]
+        # trailing layout, so one 3-D spec covers them all)
+        if tp > 1 and key in EXPERT_COLUMN and _divisible(w, 1, tp):
+            return _put(w, mesh, P(None, "tp", None))
+        if tp > 1 and key in EXPERT_ROW and _divisible(w, 2, tp):
+            return _put(w, mesh, P(None, None, "tp"))
+        return _put(w, mesh, P())
     if not isinstance(w, QTensor) and getattr(w, "ndim", 0) == 3 \
             and key in (EXPERT_COLUMN | EXPERT_ROW):
         # stacked dense experts [E, n, k]: shard like the dense FFN

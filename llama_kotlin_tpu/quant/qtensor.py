@@ -76,6 +76,24 @@ class QTensor:
     def k(self) -> int:
         return self.shape[1]
 
+    # -- stacked expert axis (MoE): arrays carry a leading E dim, `shape`
+    # stays the per-expert logical (n, k) --------------------------------
+
+    @property
+    def is_stacked(self) -> bool:
+        return self.codes.ndim == 3
+
+    def __len__(self) -> int:
+        if not self.is_stacked:
+            raise TypeError("len() on a non-stacked QTensor")
+        return self.codes.shape[0]
+
+    def __getitem__(self, e):
+        """Per-expert view of a stacked QTensor (static or traced index)."""
+        if not self.is_stacked:
+            raise TypeError("indexing a non-stacked QTensor")
+        return jax.tree.map(lambda a: a[e], self)
+
     @property
     def k_pad(self) -> int:
         if self.bits == 8:
@@ -88,6 +106,35 @@ class QTensor:
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
+
+
+def stack_qtensors(qts: list) -> QTensor:
+    """Per-expert QTensors (identical static metadata) -> one stacked
+    QTensor with a leading E axis on every array.  Lets MoE decode gather
+    only the routed experts' codes (the mul_mat_id access pattern) instead
+    of sweeping every expert."""
+    import numpy as np
+
+    q0 = qts[0]
+    for q in qts[1:]:
+        if (q.qtype, q.bits, q.group_size, q.code_offset, q.shape,
+                q.hi_signed) != (q0.qtype, q0.bits, q0.group_size,
+                                 q0.code_offset, q0.shape, q0.hi_signed):
+            raise ValueError("stack_qtensors: mismatched expert metadata")
+    if any(q.aux is not None for q in qts):
+        # W4 kernel aux planes are 2-D-kernel-specific; stacked experts go
+        # through the gather/dequant path which doesn't use them
+        raise ValueError("stack_qtensors: aux-carrying (W4) tensors not stackable")
+    def st(get):
+        vals = [get(q) for q in qts]
+        return None if vals[0] is None else np.stack([np.asarray(v) for v in vals])
+    return QTensor(
+        codes=st(lambda q: q.codes), g_scale=st(lambda q: q.g_scale),
+        g_min=st(lambda q: q.g_min), sb_scale=st(lambda q: q.sb_scale),
+        sb_min=st(lambda q: q.sb_min), qtype=q0.qtype, bits=q0.bits,
+        group_size=q0.group_size, code_offset=q0.code_offset, shape=q0.shape,
+        hi_signed=q0.hi_signed,
+    )
 
 
 def unpack_codes(qt: QTensor) -> jnp.ndarray:
