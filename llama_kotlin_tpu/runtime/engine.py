@@ -160,32 +160,46 @@ class Engine:
         # when both are off (full-vocab categorical)
         return p.top_k > 0 or (p.top_p >= 1.0 and p.min_p <= 0.0)
 
-    def _chunk_plan(self) -> Optional[tuple[list[Slot], int]]:
-        """(active_slots, K) when the on-device multi-step loop applies:
-        all generating slots share one device-eligible sampling config."""
+    def _chunk_plan(self) -> Optional[tuple[list[Slot], int, bool]]:
+        """(active_slots, K, mixed) when the on-device multi-step loop
+        applies: every generating slot is device-eligible and all share one
+        penalty config.  Sampling configs (temp/top_k/top_p/min_p) may
+        differ — the loop then runs with per-slot arrays (mixed=True),
+        provided every sampled slot has top_k > 0 (the static candidate
+        window is the max top_k, so per-slot masking stays exact)."""
         if self.chunk_steps <= 1 or self.queue:
             return None
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active or any(s.state == SlotState.PROMPT for s in self.slots):
             return None
         K = self.chunk_steps
-        key0 = None
+        skey0 = pen0 = None
+        mixed = False
         for s in active:
             p = s.request.params
             if not self._device_eligible(p):
                 return None
-            pkey = (p.temp, p.top_k, p.top_p, p.min_p, p.penalty_last_n,
-                    p.penalty_repeat, p.penalty_freq, p.penalty_present)
-            if key0 is None:
-                key0 = pkey
-            elif pkey != key0:
-                return None  # mixed configs: per-token host sampling
+            pen = (p.penalty_last_n, p.penalty_repeat, p.penalty_freq,
+                   p.penalty_present)
+            skey = (p.temp, p.top_k, p.top_p, p.min_p)
+            if pen0 is None:
+                pen0, skey0 = pen, skey
+            elif pen != pen0:
+                return None  # mixed penalty configs: per-token host sampling
+            elif skey != skey0:
+                if p.temp > 0.0 and p.top_k <= 0:
+                    return None  # full-vocab categorical can't share a window
+                mixed = True
             K = min(K,
                     s.request.n_predict - len(s.request.output_tokens),
                     self.slot_ctx - s.n_past - 1)
-        return (active, K) if K > 1 else None
+        if mixed and any(s.request.params.temp > 0.0
+                         and s.request.params.top_k <= 0 for s in active):
+            return None
+        return (active, K, mixed) if K > 1 else None
 
-    def _chunked_decode(self, active: list[Slot], K: int) -> bool:
+    def _chunked_decode(self, active: list[Slot], K: int,
+                        mixed: bool = False) -> bool:
         """Run K greedy decode steps for all active slots in one jitted
         loop (generate_loop); bookkeeping mirrors K per-token steps, so
         stop-string/eos/n_predict semantics are unchanged (tokens past a
@@ -208,16 +222,39 @@ class Engine:
         # host SamplerChain in this engine runs with nl_id=-1 (no newline
         # special-casing); the device sampler matches
         nl_tok = -1
-        sp = SampleParams(
-            temp=max(p.temp, 0.0), top_k=p.top_k, top_p=p.top_p,
-            min_p=p.min_p, seed=p.seed & 0x7FFFFFFF,
-            penalty_last_n=p.penalty_last_n if (
-                p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
-                or p.penalty_present != 0.0) else 0,
-            penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
-            penalty_present=p.penalty_present, nl_token=nl_tok,
-        ) if p.temp > 0.0 or p.penalty_repeat != 1.0 or p.penalty_freq != 0.0 \
-            or p.penalty_present != 0.0 else SampleParams()
+        spv = None
+        if mixed:
+            import jax.numpy as jnp_
+
+            # static window = max top_k over sampled slots; per-slot arrays
+            # mask inside it (greedy slots take argmax regardless)
+            ps = [s.request.params for s in active]
+            w_cap = max([q.top_k for q in ps if q.temp > 0.0] or [1])
+            sp = SampleParams(
+                temp=1.0, top_k=w_cap, seed=p.seed & 0x7FFFFFFF,
+                penalty_last_n=p.penalty_last_n if (
+                    p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+                    or p.penalty_present != 0.0) else 0,
+                penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
+                penalty_present=p.penalty_present, nl_token=nl_tok,
+            )
+            spv = {
+                "temp": jnp_.asarray([max(q.temp, 0.0) for q in ps], jnp_.float32),
+                "top_k": jnp_.asarray([q.top_k for q in ps], jnp_.int32),
+                "top_p": jnp_.asarray([q.top_p for q in ps], jnp_.float32),
+                "min_p": jnp_.asarray([q.min_p for q in ps], jnp_.float32),
+            }
+        else:
+            sp = SampleParams(
+                temp=max(p.temp, 0.0), top_k=p.top_k, top_p=p.top_p,
+                min_p=p.min_p, seed=p.seed & 0x7FFFFFFF,
+                penalty_last_n=p.penalty_last_n if (
+                    p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+                    or p.penalty_present != 0.0) else 0,
+                penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
+                penalty_present=p.penalty_present, nl_token=nl_tok,
+            ) if p.temp > 0.0 or p.penalty_repeat != 1.0 or p.penalty_freq != 0.0 \
+                or p.penalty_present != 0.0 else SampleParams()
         pen_window = None
         if sp.use_penalties:
             Ln = sp.penalty_last_n
@@ -242,7 +279,7 @@ class Engine:
             jnp.asarray([s.seq_id for s in active], jnp.int32),
             jnp.asarray(slots_flat.reshape(K, B)),
             K, sp, self.ctx.compute_dtype,
-            pen_window=pen_window,
+            pen_window=pen_window, spv=spv,
         )
         self.ctx.cache = cache
         out = np.asarray(out_tokens)  # [K, B]

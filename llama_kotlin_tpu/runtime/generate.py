@@ -57,9 +57,16 @@ CAND_CAP = 512  # top-candidate window for device top_p/min_p with top_k=0
 
 
 def _sample(logits: jnp.ndarray, sp: SampleParams, key,
-            counts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            counts: Optional[jnp.ndarray] = None,
+            spv: Optional[dict] = None) -> jnp.ndarray:
     """logits [B, V] -> token ids [B].  counts [B, V] = occurrence counts
-    over the penalty window (parity: llama_sample_repetition_penalties)."""
+    over the penalty window (parity: llama_sample_repetition_penalties).
+
+    spv (per-slot sampling arrays: temp/top_k/top_p/min_p [B]) selects the
+    mixed-config path: one static candidate window sp.top_k (the max over
+    slots), per-slot masks inside it, greedy rows via argmax — so the
+    server's chunked decode can batch requests with different sampling
+    configs in one loop.  Penalty config stays shared (scalar)."""
     logits = logits.astype(jnp.float32)
     if sp.use_penalties and counts is not None:
         orig = logits
@@ -72,6 +79,21 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
             - seen.astype(jnp.float32) * sp.penalty_present
         if sp.nl_token >= 0:  # penalize_nl=False keeps newline unpenalized
             logits = logits.at[:, sp.nl_token].set(orig[:, sp.nl_token])
+    if spv is not None:
+        cap = max(int(sp.top_k), 1)
+        vals, idx = jax.lax.top_k(logits, cap)  # [B, cap] sorted desc
+        kcap = jnp.where(spv["top_k"] > 0, spv["top_k"], cap)[:, None]
+        keep = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) < kcap
+        probs = jax.nn.softmax(jnp.where(keep, vals, -jnp.inf), axis=-1)
+        cum_excl = jnp.cumsum(probs, axis=-1) - probs
+        keep &= cum_excl < spv["top_p"][:, None]
+        keep &= probs >= spv["min_p"][:, None] * probs[:, :1]
+        safe_t = jnp.maximum(spv["temp"], 1e-6)[:, None]
+        scaled = jnp.where(keep, vals / safe_t, -jnp.inf)
+        choice = jax.random.categorical(key, scaled, axis=-1)
+        sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+        greedy = jnp.argmax(logits, axis=-1)
+        return jnp.where(spv["temp"] <= 0.0, greedy, sampled).astype(jnp.int32)
     if sp.temp <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if sp.top_k <= 0 and sp.top_p >= 1.0 and sp.min_p <= 0.0:
@@ -108,6 +130,7 @@ def generate_loop(
     sp: SampleParams = SampleParams(),
     compute_dtype=jnp.bfloat16,
     pen_window: Optional[jnp.ndarray] = None,  # [B, last_n] i32, -1 = empty
+    spv: Optional[dict] = None,  # per-slot sampling arrays [B] (see _sample)
 ):
     """Decode n_steps tokens for B sequences entirely on device.
 
@@ -151,7 +174,8 @@ def generate_loop(
             cell_pos, cell_seq, out_ids, compute_dtype=compute_dtype,
         )
         key, sub = jax.random.split(key)
-        next_tokens = _sample(logits, sp, sub, counts if use_pen else None)
+        next_tokens = _sample(logits, sp, sub, counts if use_pen else None,
+                              spv=spv)
         out_tokens = out_tokens.at[i].set(next_tokens)
         if use_pen:
             evicted = window[:, ptr % Ln]

@@ -209,10 +209,13 @@ def random_mixtral_weights(dims: dict, rng, scale=0.05) -> dict[str, np.ndarray]
     return ws
 
 
-def write_mixtral_gguf(path, weights, dims, qtype=GGMLQuantType.F32):
+def write_mixtral_gguf(path, weights, dims, qtype=GGMLQuantType.F32,
+                       extra_kv: dict | None = None):
     from llama_kotlin_tpu.gguf import GGUFWriter
 
     w = GGUFWriter()
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
     w.add_kv("general.architecture", "llama")
     w.add_kv("general.name", "tiny-moe")
     w.add_kv("llama.embedding_length", np.uint32(dims["n_embd"]))

@@ -121,3 +121,100 @@ def test_chunked_sampled_decode_engages(tmp_path):
     assert len(toks_chunked) == 17 and len(toks_plain) == 17
     assert steps_chunked < steps_plain  # the device loop engaged
     assert all(0 <= t < dims["vocab"] for t in toks_chunked)
+
+
+def test_mixed_spv_sampling_semantics(rng):
+    """Per-slot sampling arrays: greedy rows return argmax exactly; sampled
+    rows stay inside their own slot's host-chain allowed set."""
+    from llama_kotlin_tpu.sampling import samplers as S
+
+    V = 211
+    logits = rng.standard_normal((3, V)).astype(np.float32) * 3
+    # slot 0 greedy, slot 1 (top_k=20, top_p=0.8, min_p=0.1, temp=0.7),
+    # slot 2 (top_k=5, temp=1.3)
+    spv = {
+        "temp": jnp.asarray([0.0, 0.7, 1.3], jnp.float32),
+        "top_k": jnp.asarray([0, 20, 5], jnp.int32),
+        "top_p": jnp.asarray([1.0, 0.8, 1.0], jnp.float32),
+        "min_p": jnp.asarray([0.0, 0.1, 0.0], jnp.float32),
+    }
+    sp = SampleParams(temp=1.0, top_k=20)  # static window = max top_k
+
+    def allowed(row, k, p, mp):
+        c = S.Candidates.from_logits(logits[row])
+        if k > 0:
+            S.top_k(c, k)
+        if p < 1.0:
+            S.top_p(c, p, min_keep=1)
+        if mp > 0.0:
+            S.min_p(c, mp, min_keep=1)
+        return set(int(i) for i in c.ids)
+
+    a1 = allowed(1, 20, 0.8, 0.1)
+    a2 = allowed(2, 5, 1.0, 0.0)
+    for seed in range(30):
+        toks = np.asarray(_sample(jnp.asarray(logits), sp,
+                                  jax.random.PRNGKey(seed), spv=spv))
+        assert toks[0] == int(np.argmax(logits[0]))
+        assert int(toks[1]) in a1
+        assert int(toks[2]) in a2
+
+
+def test_chunked_decode_mixed_configs(tmp_path):
+    """Two requests with different sampling configs batch into ONE chunked
+    device loop (mixed spv path) instead of per-token host sampling."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.runtime.engine import Engine, Request
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+    from tests.test_server import ToyTokenizer
+
+    rng = np.random.default_rng(6)
+    dims = tiny_llama_dims(vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, weights, dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    tok = ToyTokenizer(dims["vocab"])
+
+    ctx = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+    engine = Engine(ctx, tok, n_slots=2, n_batch=64, chunk_steps=8)
+    reqs = [
+        Request(prompt_tokens=np.array([1, 5, 9], np.int32),
+                params=SamplingParams(temp=0.0), n_predict=16),  # greedy
+        Request(prompt_tokens=np.array([2, 7], np.int32),
+                params=SamplingParams(temp=0.9, top_k=30, top_p=0.9, seed=3),
+                n_predict=16),
+    ]
+    for r in reqs:
+        engine.submit(r)
+    stop = threading.Event()
+    t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+    t.start()
+    ok = all(r.done.wait(timeout=240) for r in reqs)
+    stop.set()
+    t.join(timeout=30)
+    assert ok
+    assert all(len(r.output_tokens) == 16 for r in reqs)
+    # both slots generated 16 tokens; the chunked loop (8 steps/call) means
+    # far fewer engine decode steps than 32 per-token rounds
+    assert engine.metrics["n_decode_steps"] < 16
+
+    # greedy request must match a standalone greedy run exactly
+    ctx2 = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+    engine2 = Engine(ctx2, tok, n_slots=1, n_batch=64, chunk_steps=0)
+    ref = Request(prompt_tokens=np.array([1, 5, 9], np.int32),
+                  params=SamplingParams(temp=0.0), n_predict=16)
+    engine2.submit(ref)
+    stop2 = threading.Event()
+    t2 = threading.Thread(target=engine2.run_loop, args=(stop2,), daemon=True)
+    t2.start()
+    assert ref.done.wait(timeout=240)
+    stop2.set()
+    t2.join(timeout=30)
+    assert ref.output_tokens == reqs[0].output_tokens
