@@ -124,15 +124,19 @@ _ALWAYS_FLOAT = {"attn_norm", "ffn_norm", "output_norm", "attn_q_norm", "attn_k_
 
 def _repack_w4(data, qt, n: int, k: int, mode: str):
     """W4/W4X serving repack: fold 4-bit group-32 formats into the
-    4-bit-resident block-diagonal kernel layout (ops/pallas/qmm_w4.py).
-    Ineligible formats fall back to Q8F in "w4" (speed) mode and to the
-    exact standard repack in "w4x" (fidelity) mode."""
-    from llama_kotlin_tpu.quant.fold import GROUP, fold_to_w4
+    4-bit-resident block-diagonal kernel layout (ops/pallas/qmm_w4.py);
+    everything else with group-16/32 scales folds into the exact
+    int8-resident W8 layout (ops/pallas/qmm_w8.py — q6_K lm_head, q3/q5_K,
+    q8_0, IQ repacks).  Remaining formats fall back to Q8F in "w4" (speed)
+    mode and to the exact standard repack in "w4x" (fidelity) mode."""
+    from llama_kotlin_tpu.quant.fold import GROUP, fold_to_w4, fold_to_w8
     from llama_kotlin_tpu.quant.repack import repack, repack_q8flat
 
     rp = repack(data, qt, n, k)
     if rp.bits == 4 and rp.group_size == GROUP:
         return fold_to_w4(rp, precise=(mode == "w4x"))
+    if rp.group_size in (16, 32):
+        return fold_to_w8(rp, precise=(mode == "w4x"))
     return rp if mode == "w4x" else repack_q8flat(data, qt, n, k)
 
 

@@ -81,6 +81,12 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
                 y = qmm_w4_or_none(x, w)
                 if y is not None:
                     return y
+            if w.aux is not None and "scw" in w.aux:
+                from llama_kotlin_tpu.ops.pallas.qmm_w8 import qmm_w8_or_none
+
+                y = qmm_w8_or_none(x, w)
+                if y is not None:
+                    return y
             if w.bits == 8 and w.group_size == 256 and w.g_min is None \
                     and w.sb_scale is None:
                 from llama_kotlin_tpu.ops.pallas.qmm_int8 import qmm_int8_or_none

@@ -131,3 +131,48 @@ def float_to_w4(x: np.ndarray) -> QTensor:
 
     return fold_to_w4(repack_float(np.ascontiguousarray(x, np.float32),
                                    GGMLQuantType.Q4_K))
+
+
+def fold_to_w8(qt: QTensor, precise: bool = False) -> QTensor:
+    """Any QTensor -> the W8 fast-mode layout: signed int8 element-order
+    codes + per-group effective f32 scales transposed for the
+    block-diagonal int8-dot kernel (ops/pallas/qmm_w8.py).
+
+    This is the exact int8-resident serving path for formats whose codes
+    don't fit the 4-bit W4 fold — q6_K (the Q4_K_M lm_head), q3_K, q5_K,
+    q8_0, q5_0/1 and the IQ repacks (all already int8-coded after
+    quant/repack.py / quant/iq.py) — replacing the lossy Q8F flattening:
+    the dequantization is value = codes * s_eff - m_eff with s_eff kept
+    f32 (the folded f16*int products carry <= 19 significand bits, so f32
+    holds them exactly; the weight numerics are bit-identical to the wire
+    format).  2/4-bit formats are accepted too via code unpacking (q2_K in
+    w4x mode), trading HBM bytes for exactness.
+
+    HBM bytes/weight: 8 bits codes + 32/gs scw (+ 32/gs m_eff when the
+    format has mins) — 10 bits at gs=16, 9 at gs=32.
+
+    precise=True only marks the tensor for dual-plane activation
+    quantization (~15.8-bit activations, see qmm_w4.quantize_activations_2p);
+    the weight-side layout is identical (already exact).
+    """
+    if qt.aux is not None:
+        return qt  # already folded (W4/W8)
+    n, k = qt.shape
+    gs = qt.group_size
+    if gs not in (16, 32):
+        raise ValueError(f"fold_to_w8: group_size {gs} unsupported (need 16/32)")
+    codes = np.asarray(unpack_codes(qt), np.int32) - qt.code_offset
+    if codes.min() < -128 or codes.max() > 127:
+        raise ValueError("fold_to_w8: offset-folded codes exceed int8")
+    s_eff, m_eff = (np.asarray(a, np.float32) if a is not None else None
+                    for a in effective_scales(qt))
+    scw = np.ascontiguousarray(s_eff.T)  # [G, n] f32, sequential group order
+    return QTensor(
+        codes=codes.astype(np.int8), g_scale=s_eff.astype(np.float32),
+        g_min=None if m_eff is None else m_eff.astype(np.float32),
+        sb_scale=None, sb_min=None,
+        qtype=qt.qtype, bits=8, group_size=gs, code_offset=0,
+        shape=(n, k), hi_signed=False,
+        aux={"scw": scw,
+             **({"precise": np.ones((), np.bool_)} if precise else {})},
+    )
