@@ -102,7 +102,8 @@ def forward(
     if inp_embd is not None:
         h = inp_embd.astype(compute_dtype)
     else:
-        h = take_rows(params["tok_embd"], tokens, dtype=compute_dtype)
+        with jax.named_scope("embed"):
+            h = take_rows(params["tok_embd"], tokens, dtype=compute_dtype)
     if cfg.embd_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.embd_scale).astype(compute_dtype)
     if cfg.learned_pos_embd and params.get("pos_embd") is not None:
@@ -404,7 +405,8 @@ def forward(
                    ks_layer=None, vs_layer=None):
         """Unrolled-path layer: scatter K/V into the carried cache layer,
         then attend over it (per-layer masks, e.g. gemma2 SWA)."""
-        q, k, v = qkv(lp, attn_in(lp, h), li)
+        with jax.named_scope("qkv"):
+            q, k, v = qkv(lp, attn_in(lp, h), li)
         kvl = k.shape[1]  # per-layer kv head count (cache dim covers max)
         # cache layout is head-major [n_kv, cells, head_dim]; padded batch
         # rows carry slot == n_cells, dropped by the OOB scatter mode
@@ -418,15 +420,17 @@ def forward(
             vs_layer = vs_layer.at[:kvl, slots].set(vs, mode="drop")
         k_layer = k_layer.at[:kvl, slots].set(kh.astype(k_layer.dtype), mode="drop")
         v_layer = v_layer.at[:kvl, slots].set(vh.astype(v_layer.dtype), mode="drop")
-        attn = attention(
-            q.astype(compute_dtype), k_layer[:kvl], v_layer[:kvl], mask,
-            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
-            alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
-            k_scale=None if ks_layer is None else ks_layer[:kvl],
-            v_scale=None if vs_layer is None else vs_layer[:kvl],
-        )
+        with jax.named_scope("attn"):
+            attn = attention(
+                q.astype(compute_dtype), k_layer[:kvl], v_layer[:kvl], mask,
+                scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
+                alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
+                k_scale=None if ks_layer is None else ks_layer[:kvl],
+                v_scale=None if vs_layer is None else vs_layer[:kvl],
+            )
         attn = attn.astype(compute_dtype).reshape(nt, -1)
-        h = post_attn_ffn(lp, h, attn, cvec, li)
+        with jax.named_scope("ffn"):
+            h = post_attn_ffn(lp, h, attn, cvec, li)
         return h, k_layer, v_layer, ks_layer, vs_layer
 
     if "layers_stacked" in params:
@@ -575,7 +579,8 @@ def forward(
     out_w = params.get("output")
     if out_w is None:
         out_w = params["tok_embd"]  # tied embeddings
-    logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
+    with jax.named_scope("lm_head"):
+        logits = qmatmul(h_out, out_w, compute_dtype=compute_dtype).astype(jnp.float32)
     if params.get("output_b") is not None:
         logits = logits + params["output_b"]
     if cfg.logit_scale != 1.0:

@@ -81,6 +81,9 @@ def main():
     ap.add_argument("-n", "--n-gen", type=int, nargs="*", default=[128])
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("-o", "--output", choices=["md", "json", "csv"], default="md")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a device trace of the bench runs into "
+                         "this directory (also honours LKTPU_TRACE_DIR)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -105,19 +108,22 @@ def main():
     n_cells = (n_cells + 255) // 256 * 256
     ctx = LlamaContext(cfg, params, n_cells=n_cells)
 
+    from llama_kotlin_tpu.utils.profiling import env_trace_dir, maybe_trace
+
     rows = []
-    for np_ in args.n_prompt:
-        if np_ <= 0:
-            continue
-        vals = bench_pp(ctx, np_, args.reps)
-        rows.append({"model": name, "test": f"pp{np_}", "avg": statistics.mean(vals),
-                     "stddev": statistics.stdev(vals) if len(vals) > 1 else 0.0})
-    for ng in args.n_gen:
-        if ng <= 0:
-            continue
-        vals = bench_tg(ctx, ng, args.reps)
-        rows.append({"model": name, "test": f"tg{ng}", "avg": statistics.mean(vals),
-                     "stddev": statistics.stdev(vals) if len(vals) > 1 else 0.0})
+    with maybe_trace(args.profile_dir or env_trace_dir()):
+        for np_ in args.n_prompt:
+            if np_ <= 0:
+                continue
+            vals = bench_pp(ctx, np_, args.reps)
+            rows.append({"model": name, "test": f"pp{np_}", "avg": statistics.mean(vals),
+                         "stddev": statistics.stdev(vals) if len(vals) > 1 else 0.0})
+        for ng in args.n_gen:
+            if ng <= 0:
+                continue
+            vals = bench_tg(ctx, ng, args.reps)
+            rows.append({"model": name, "test": f"tg{ng}", "avg": statistics.mean(vals),
+                         "stddev": statistics.stdev(vals) if len(vals) > 1 else 0.0})
 
     if args.output == "json":
         print(json.dumps(rows, indent=2))

@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
                          "4-bit-resident W4A8, w4x = W4 with exact f32 "
                          "scales + dual-plane activations (high fidelity); "
                          "default = exact dequant repack")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a device trace (jax.profiler xplane pbs) "
+                         "of the run into this directory; also honours "
+                         "LKTPU_TRACE_DIR")
     return ap
 
 
@@ -190,7 +194,10 @@ def main(argv=None):
         if args.prompt_cache:
             state_io.save_session_file(ctx, args.prompt_cache, ids)
         sys.stdout.write(prompt)
-        generate(args.n_predict)
+        from llama_kotlin_tpu.utils.profiling import env_trace_dir, maybe_trace
+
+        with maybe_trace(args.profile_dir or env_trace_dir()):
+            generate(args.n_predict)
         print()
         print(json.dumps(ctx.timings.summary()) if args.verbose else "", file=sys.stderr)
 

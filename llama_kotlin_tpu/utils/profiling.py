@@ -1,0 +1,67 @@
+"""Tracing/profiling integration (SURVEY §5 aux subsystem).
+
+The reference ships wall-clock timings (llama_print_timings,
+common/common.cpp) plus perf counters; on TPU the equivalent evidence is a
+DEVICE trace — host-side wall-clock of small async dispatches through the
+axon tunnel is unreliable (see TODO.md measurement warning), so the
+supported workflow is:
+
+    with device_trace("/tmp/trace"):        # or CLI --profile-dir
+        ctx.decode(...)                      # any jitted work
+    # -> /tmp/trace/plugins/profile/<ts>/*.xplane.pb, viewable in
+    #    TensorBoard / xprof; per-op durations, HBM traffic, MXU util
+
+`annotate(name)` adds named scopes around model stages so kernels show up
+as "attn/flash", "ffn/moe" etc. in the trace (and in jaxpr/XLA dumps) —
+zero cost outside tracing.
+
+Env toggle: LKTPU_TRACE_DIR=<dir> makes the CLI tools (main, llama_bench)
+trace their generation run without a flag (the analogue of the
+reference's LLAMA_TRACE env toggle); --profile-dir does the same per-run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Iterator, Optional
+
+
+def annotate(name: str):
+    """Named scope for model stages: shows up in device traces, jaxprs and
+    XLA HLO names.  Usable as decorator or context manager."""
+    import jax
+
+    return jax.named_scope(name)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str, *, host_tracer_level: int = 2) -> Iterator[None]:
+    """Capture a device trace (xplane protobufs under `log_dir`).
+
+    Works on TPU (full device timeline) and CPU backends (host events
+    only); view with TensorBoard's profile plugin or xprof."""
+    import jax
+
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir, create_perfetto_link=False)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def env_trace_dir() -> Optional[str]:
+    """LKTPU_TRACE_DIR env toggle (empty/unset -> None)."""
+    d = os.environ.get("LKTPU_TRACE_DIR", "").strip()
+    return d or None
+
+
+@contextlib.contextmanager
+def maybe_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """device_trace(log_dir) when a directory is given, else no-op."""
+    if log_dir:
+        with device_trace(log_dir):
+            yield
+    else:
+        yield
