@@ -303,13 +303,14 @@ def forward(
                     top_i, top_w, act,
                 )
             elif (isinstance(gate_w, QTensor) and gate_w.is_stacked
-                    and nt * cfg.n_expert_used <= 64
-                    and cfg.n_expert >= 8 * cfg.n_expert_used):
-                # quantized expert stacks, decode-shaped, large expert
-                # count: gather only the routed experts' codes (mul_mat_id
-                # access pattern) — arctic/qwen2moe class.  Small expert
-                # counts (mixtral) keep the sweep: reading all E experts
-                # once beats the gather's extra copies when E/k is small.
+                    and nt * cfg.n_expert_used <= 64):
+                # quantized expert stacks, decode-shaped: gather only the
+                # routed experts' codes (mul_mat_id access pattern).  For
+                # quantized weights this wins at ANY E/k: the sweep reads
+                # AND VPU-dequantizes all E experts per step, the gather
+                # touches k/E of the bytes and dequant work (mixtral k/E =
+                # 1/4, arctic 2/128).  Prefill (nt large) keeps the sweep —
+                # every expert is routed by some token anyway.
                 from llama_kotlin_tpu.ops.moe import moe_gathered_quant
 
                 down = moe_gathered_quant(
