@@ -150,10 +150,12 @@ def uhd_slice_image(image: np.ndarray, cfg, max_slice_nums: int = 9,
     return source, rows, grid
 
 
-def anyres_slices(image: np.ndarray, cfg) -> list[np.ndarray]:
+def anyres_slices(image: np.ndarray, cfg) -> tuple[list[np.ndarray], tuple[int, int]]:
     """llava-1.6: resize to the best grid resolution, cut into
     image_size x image_size tiles, prepend the base (flat-resized) image.
-    Returns a list of [3, S, S] preprocessed tensors."""
+    Returns ([3, S, S] preprocessed tensors, (tiles_x, tiles_y) grid shape
+    — needed for the spatial_unpad patch re-rastering, reference
+    examples/llava/llava.cpp clip_llava_handle_patches:89)."""
     s = cfg.image_size
     h, w = image.shape[:2]
     gw, gh = select_best_resolution(w, h, cfg.image_grid_pinpoints)
@@ -172,4 +174,4 @@ def anyres_slices(image: np.ndarray, cfg) -> list[np.ndarray]:
                 pad[: tile.shape[0], : tile.shape[1]] = tile
                 tile = pad
             out.append(((tile - mean) / std).transpose(2, 0, 1).astype(np.float32))
-    return out
+    return out, (gw // s, gh // s)

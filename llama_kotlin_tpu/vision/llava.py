@@ -33,9 +33,30 @@ def image_embed_from_array(clip: ClipModel, image: np.ndarray) -> np.ndarray:
     if cfg.mm_patch_merge_type == "spatial_unpad" and cfg.image_grid_pinpoints:
         from llama_kotlin_tpu.vision.image import anyres_slices
 
-        slices = anyres_slices(image, cfg)
-        return np.concatenate([clip.embed_pixels(s) for s in slices], axis=0)
+        slices, (gx, gy) = anyres_slices(image, cfg)
+        embeds = [clip.embed_pixels(s) for s in slices]
+        base, tiles = embeds[0], embeds[1:]
+        return np.concatenate([base, spatial_merge(tiles, gx, gy)], axis=0)
     return clip.embed_image(image)
+
+
+def spatial_merge(tiles: list[np.ndarray], gx: int, gy: int) -> np.ndarray:
+    """llava-1.6 spatial_unpad patch re-rastering: per-tile patch features
+    [gy*gx][P, D] (P = nps^2, raster-ordered tiles) -> one [gy*gx*P, D]
+    array where patch ROWS from horizontally-adjacent tiles interleave —
+    the permute(0, 2, 1, 3) of the reference's clip_llava_handle_patches
+    (examples/llava/llava.cpp:89, its 'no unpad / no image_newline'
+    variant, confirmed there to match the python llava_arch output)."""
+    if gx * gy != len(tiles):
+        raise ValueError(f"grid {gx}x{gy} != {len(tiles)} tiles")
+    if len(tiles) <= 1:
+        return tiles[0] if tiles else np.zeros((0, 0), np.float32)
+    P, D = tiles[0].shape
+    nps = int(round(P ** 0.5))
+    if nps * nps != P:
+        return np.concatenate(tiles, axis=0)  # non-square grids: flat order
+    f = np.stack(tiles).reshape(gy, gx, nps, nps, D)
+    return np.ascontiguousarray(f.transpose(0, 2, 1, 3, 4)).reshape(-1, D)
 
 
 def eval_image_embed(ctx, embed: np.ndarray, n_past: int, seq_id: int = 0) -> int:

@@ -214,3 +214,55 @@ def test_llava_cli(clip_pair, tmp_path, capsys):
                 "-c", "128"])
     out = capsys.readouterr().out
     assert len(out.strip()) > 0
+
+
+def test_spatial_merge_ordering():
+    """spatial_merge re-rasters tiles so output row r of the merged grid is
+    [tile(ty, 0) patch-row py | tile(ty, 1) patch-row py | ...] with
+    r = ty*nps + py — the reference clip_llava_handle_patches permute."""
+    from llama_kotlin_tpu.vision.llava import spatial_merge
+
+    gx, gy, nps, D = 3, 2, 4, 5
+    P = nps * nps
+    tiles = []
+    for t in range(gx * gy):
+        a = np.zeros((P, D), np.float32)
+        a[:, 0] = t
+        a[:, 1] = np.arange(P)  # patch index within tile
+        tiles.append(a)
+    out = spatial_merge(tiles, gx, gy)
+    assert out.shape == (gx * gy * P, D)
+    for ty in range(gy):
+        for py in range(nps):
+            for tx in range(gx):
+                for px in range(nps):
+                    row = ((ty * nps + py) * gx + tx) * nps + px
+                    assert out[row, 0] == ty * gx + tx
+                    assert out[row, 1] == py * nps + px
+
+
+def test_llava16_anyres_end_to_end(clip_pair, rng):
+    """llava-1.6 anyres: a 2x1-grid image produces base + re-rastered tile
+    embeddings, matching a manual per-tile embed + permute."""
+    from llama_kotlin_tpu.gguf.reader import GGUFFile
+    from llama_kotlin_tpu.vision.image import anyres_slices
+    from llama_kotlin_tpu.vision.llava import image_embed_from_array, spatial_merge
+
+    path, _hf, _mats = clip_pair
+    clip = ClipModel(path)
+    # force anyres config: pinpoints (w, h) pairs incl. a 2x1 tile grid
+    clip.cfg.mm_patch_merge_type = "spatial_unpad"
+    clip.cfg.image_grid_pinpoints = (IMG, IMG, 2 * IMG, IMG, IMG, 2 * IMG)
+
+    img = (rng.random((IMG, 2 * IMG, 3)) * 255).astype(np.uint8)  # wide
+    got = image_embed_from_array(clip, img)
+
+    slices, (gx, gy) = anyres_slices(img, clip.cfg)
+    assert (gx, gy) == (2, 1) and len(slices) == 3  # base + 2 tiles
+    embeds = [clip.embed_pixels(s) for s in slices]
+    ref = np.concatenate([embeds[0], spatial_merge(embeds[1:], gx, gy)], axis=0)
+    np.testing.assert_array_equal(got, ref)
+    npatch = clip.n_patches()
+    assert got.shape[0] == (1 + gx * gy) * npatch
+    # base embeddings are the flat-resize path, unchanged by the merge
+    np.testing.assert_array_equal(got[:npatch], embeds[0])
