@@ -1,0 +1,135 @@
+"""TPU kernel tuning sweep — run the moment the axon tunnel is back.
+
+Measures, on the real chip, with jax.profiler device traces as ground
+truth (host wall-clock through the tunnel is unreliable for sub-ms calls,
+see TODO.md):
+
+1. W4 / W8 / Q8F kernel GB/s on the 8B hot shapes ([4096,4096] qkv-ish,
+   [14336,4096] ffn, [4096,14336] down, [128256,4096] lm_head) across the
+   plan space, via multi-second repeat loops (lax.fori_meaning: we jit a
+   scan of R kernel calls and time the whole thing).
+2. bench.py presets per mode (w4a8 / exact / int8) end-to-end decode t/s.
+
+Writes JSON lines to scripts/tune_results.json (append).
+
+Usage:  timeout 1800 python scripts/tpu_tune.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+RESULTS = Path(__file__).parent / "tune_results.json"
+
+
+def record(row: dict) -> None:
+    row["t"] = time.strftime("%H:%M:%S")
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
+    """One kernel microbench: R chained calls under one jit, wall-clocked
+    as a block (amortizes dispatch; total runtime is multi-second)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.models.synthetic import synthetic_w4, synthetic_q8flat
+    from llama_kotlin_tpu.ops.qmatmul import qmatmul
+
+    n, k = shape
+    rng = np.random.default_rng(0)
+    if mode in ("w4", "w4x"):
+        w = synthetic_w4(rng, n, k, precise=(mode == "w4x"))
+    elif mode == "w8":
+        from llama_kotlin_tpu.quant.fold import fold_to_w8
+        from llama_kotlin_tpu.quant.repack import repack_float
+
+        x0 = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+        from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+        w = fold_to_w8(repack_float(x0, GGMLQuantType.Q6_K))
+    else:  # int8 Q8F
+        w = synthetic_q8flat(rng, n, k)
+    import jax
+
+    w = jax.tree.map(jnp.asarray, w)
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            y = qmatmul(x + acc[:, :1] * 0, w, compute_dtype=jnp.bfloat16)
+            return acc + y[:, :1] * 1e-30
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((b, 1), jnp.float32))
+
+    r = run(x)
+    jax.block_until_ready(r)  # compile+warm
+    t0 = time.time()
+    r = run(x)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / reps
+
+    from llama_kotlin_tpu.quant.qtensor import QTensor
+
+    if isinstance(w, QTensor):
+        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                     for a in jax.tree.leaves(w))
+    else:
+        nbytes = n * k
+    return {"kind": "kernel", "mode": mode, "shape": list(shape),
+            "ms": round(dt * 1e3, 4), "GBps": round(nbytes / dt / 1e9, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--modes", default="w4,w4x,w8,int8")
+    ap.add_argument("--e2e", action="store_true",
+                    help="also run bench.py presets per mode (spawns "
+                         "children that probe the backend — only useful "
+                         "when the TPU tunnel is up)")
+    args = ap.parse_args()
+
+    import jax
+
+    record({"kind": "env", "backend": jax.default_backend(),
+            "devices": str(jax.devices())})
+
+    shapes = [(4096, 4096), (14336, 4096), (4096, 14336)]
+    if not args.quick:
+        shapes.append((16384, 4096))  # lm_head-class (vocab row-sharded tile)
+    reps = 50 if args.quick else 200
+    for mode in args.modes.split(","):
+        for shape in shapes:
+            try:
+                record(bench_kernel(shape, mode, reps))
+            except Exception as e:
+                record({"kind": "kernel", "mode": mode, "shape": list(shape),
+                        "error": repr(e)[:200]})
+
+    # end-to-end decode presets via bench.py child runs
+    for mode in ("w4a8", "exact", "int8") if args.e2e else ():
+        env = dict(os.environ, BENCH_MODE=mode)
+        import subprocess
+
+        p = subprocess.run([sys.executable, str(Path(__file__).parent.parent / "bench.py"),
+                            "--run"], capture_output=True, text=True, timeout=1200,
+                           env=env)
+        line = next((l for l in reversed(p.stdout.strip().splitlines())
+                     if l.startswith("{")), None)
+        record({"kind": "e2e", "mode": mode,
+                "result": json.loads(line) if line else None,
+                "rc": p.returncode})
+
+
+if __name__ == "__main__":
+    main()
