@@ -171,15 +171,29 @@ def _load_tensor(f: GGUFFile, name: str, key: str, compute_dtype,
             x = numpy_ref.dequantize(data, qt, shape=np_shape)
             return jnp.asarray(x, dtype=compute_dtype)
     if len(np_shape) == 3:
-        # MoE expert stacks [n_expert, n, k] -> one stacked QTensor (leading
-        # E axis) so decode can gather only the routed experts' codes
-        # (ops/moe.py moe_gathered_quant, the mul_mat_id access pattern)
+        # MoE expert stacks [n_expert, n, k].  Two quantized layouts:
+        # * small expert counts (mixtral class, E <= 16) in fast modes:
+        #   per-expert W4/W8/Q8F folds as a LIST — the dense sweep then
+        #   runs each expert through the block-diagonal int8 kernels
+        #   (reads E*codes once, no dequant materialisation; for E/k ~ 4
+        #   that beats gathering, which writes+reads bf16 copies)
+        # * otherwise: one stacked standard QTensor (leading E axis) so
+        #   decode gathers only the routed experts' codes (ops/moe.py
+        #   moe_gathered_quant, the mul_mat_id access pattern)
         n_exp, n, k = np_shape
         from llama_kotlin_tpu.quant.formats import row_byte_size
         from llama_kotlin_tpu.quant.qtensor import stack_qtensors
 
         per = n * row_byte_size(k, qt)
         flat = np.ascontiguousarray(data, np.uint8).reshape(n_exp, per)
+        if fast_mode and n_exp <= 16:
+            if fast_mode == "int8":
+                from llama_kotlin_tpu.quant.repack import repack_q8flat
+
+                return [jax.tree.map(jnp.asarray, repack_q8flat(flat[e], qt, n, k))
+                        for e in range(n_exp)]
+            return [jax.tree.map(jnp.asarray, _repack_w4(flat[e], qt, n, k, fast_mode))
+                    for e in range(n_exp)]
         stacked = stack_qtensors([repack(flat[e], qt, n, k) for e in range(n_exp)])
         return jax.tree.map(jnp.asarray, stacked)
     raise NotImplementedError(f"{name}: {len(np_shape)}-D quantized tensor")

@@ -162,7 +162,15 @@ def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
                                    fast_int8, fast_w4a8)
                       for _ in range(cfg.n_expert)]
                 if isinstance(ws[0], QTensor):
-                    if ws[0].aux is not None:  # W4: 2-D-kernel aux planes
+                    fast_eligible = (ws[0].aux is not None  # W4/W8 folds
+                                     or (ws[0].bits == 8
+                                         and ws[0].group_size == 256
+                                         and ws[0].g_min is None))  # Q8F
+                    if (fast_eligible and cfg.n_expert <= 16) \
+                            or ws[0].aux is not None:
+                        # per-expert list: sweep runs each expert through
+                        # the block-diagonal/int8 kernels (loader policy);
+                        # aux-carrying folds are never stackable
                         lp[key] = ws
                     else:
                         lp[key] = jax.tree.map(jnp.asarray, stack_qtensors(ws))

@@ -202,3 +202,34 @@ def _sweep_logits(cfg, params, toks):
         ctx = LlamaContext(cfg, params, n_cells=32, compute_dtype=jnp.float32)
         assert ctx.decode(Batch.single(toks, logits_last_only=False)) == 0
         return ctx.get_logits()
+
+
+def test_loader_fast_mode_expert_policy(tmp_path):
+    """Fast-mode expert layout policy: E <= 16 -> per-expert W4/Q8F fold
+    LIST (sweep hits the block-diagonal/int8 kernels); E > 16 or exact
+    mode -> stacked standard QTensor (routed-expert gather)."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType
+    from llama_kotlin_tpu.quant.qtensor import QTensor
+    from tests.fixtures import (
+        random_mixtral_weights,
+        tiny_mixtral_dims,
+        write_mixtral_gguf,
+    )
+
+    rng = np.random.default_rng(5)
+    for ne, fm, want in [(8, "w4", "w4list"), (8, "int8", "q8list"),
+                         (8, None, "stacked"), (32, "w4", "stacked")]:
+        dims = tiny_mixtral_dims(n_embd=256, n_ff=256, n_expert=ne,
+                                 n_expert_used=2, vocab=160)
+        p = tmp_path / f"m{ne}_{fm}.gguf"
+        write_mixtral_gguf(p, random_mixtral_weights(dims, rng), dims,
+                           qtype=GGMLQuantType.Q4_K)
+        cfg, params, f = load_gguf_model(p, fast_mode=fm)
+        f.close()
+        g = params["layers"][0]["ffn_gate_exps"]
+        if want == "stacked":
+            assert isinstance(g, QTensor) and g.is_stacked, (ne, fm)
+        else:
+            assert isinstance(g, list) and len(g) == ne, (ne, fm)
+            assert (g[0].aux is not None) == (want == "w4list"), (ne, fm)
