@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import subprocess
+from pathlib import Path
 import sys
 
 import numpy as np
@@ -163,3 +164,18 @@ def test_server_embeddings_endpoint(f32_model):
     ctx.decode(Batch.single(np.array([5, 6, 7], np.int32), logits_last_only=False))
     emb = ctx.get_embeddings("mean")
     assert emb.shape == (dims["n_embd"],)
+
+
+def test_quant_quality_ladder(tmp_path):
+    """train -> quantize -> ΔPPL pipeline runs end-to-end; Q2_K (2-bit)
+    must degrade at least as much as Q8_0 (8-bit) on held-out text."""
+    from llama_kotlin_tpu.tools.quant_quality import run
+
+    text = (Path(__file__).resolve().parents[1] / "README.md").read_bytes()
+    text = (text * (30_000 // len(text) + 1))[:30_000]
+    rows = run(steps=80, text=text, out_dir=tmp_path / "q",
+               n_ctx=64, ladder=["Q8_0", "Q2_K"], seed=1)
+    assert rows["f32"]["ppl"] > 0
+    assert rows["Q2_K"]["delta"] >= rows["Q8_0"]["delta"] - 1e-3
+    # 8-bit is near-lossless on any model
+    assert abs(rows["Q8_0"]["delta"]) < 0.05 * rows["f32"]["ppl"]
