@@ -413,10 +413,14 @@ def forward(
         # rows carry slot == n_cells, dropped by the OOB scatter mode
         kh, vh = k.swapaxes(0, 1), v.swapaxes(0, 1)  # [KV_l, nt, D]
         if kv_quant:
-            from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+            from llama_kotlin_tpu.runtime.kv_cache import (
+                quantize_rows,
+                quantize_rows_q4,
+            )
 
-            kh, ks = quantize_rows(kh)
-            vh, vs = quantize_rows(vh)
+            qr = quantize_rows_q4 if cache.kv_bits == 4 else quantize_rows
+            kh, ks = qr(kh)
+            vh, vs = qr(vh)
             ks_layer = ks_layer.at[:kvl, slots].set(ks, mode="drop")
             vs_layer = vs_layer.at[:kvl, slots].set(vs, mode="drop")
         k_layer = k_layer.at[:kvl, slots].set(kh.astype(k_layer.dtype), mode="drop")
@@ -428,6 +432,7 @@ def forward(
                 alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
                 k_scale=None if ks_layer is None else ks_layer[:kvl],
                 v_scale=None if vs_layer is None else vs_layer[:kvl],
+                kv_bits=cache.kv_bits,
             )
         attn = attn.astype(compute_dtype).reshape(nt, -1)
         with jax.named_scope("ffn"):
@@ -476,7 +481,9 @@ def forward(
             mask_new = mask_new & (token_pos[None, :] <= token_pos[:, None])
 
         use_flash = (jax.default_backend() not in ("cpu",)
-                     and cache.k.shape[-1] == cache.v.shape[-1])
+                     and cache.k.shape[-1] == cache.v.shape[-1]
+                     and cache.kv_bits == 8)  # stacked kernel: int8 only;
+                     # q4 caches take the unrolled path (prefer_unrolled)
 
         def attend(q, k, v, i):
             qc = q.astype(compute_dtype)
@@ -492,8 +499,14 @@ def forward(
                     return out
             k_old, v_old = cache.k[i][:, :n_vis], cache.v[i][:, :n_vis]
             if cache.quantized:
-                k_old = k_old.astype(jnp.float32) * cache.k_scale[i][:, :n_vis, None]
-                v_old = v_old.astype(jnp.float32) * cache.v_scale[i][:, :n_vis, None]
+                from llama_kotlin_tpu.runtime.kv_cache import (
+                    dequantize_cache_layer,
+                )
+
+                k_old = dequantize_cache_layer(
+                    k_old, cache.k_scale[i][:, :n_vis], bits=cache.kv_bits)
+                v_old = dequantize_cache_layer(
+                    v_old, cache.v_scale[i][:, :n_vis], bits=cache.kv_bits)
             k_cat = jnp.concatenate([k_old.astype(compute_dtype),
                                      kc_.swapaxes(0, 1)], axis=1)
             v_cat = jnp.concatenate([v_old.astype(compute_dtype),
@@ -516,12 +529,19 @@ def forward(
             if kv_quant:
                 # quantize first and attend over the dequantized values so
                 # this step's tokens see exactly what later steps will read
-                from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+                from llama_kotlin_tpu.runtime.kv_cache import (
+                    quantize_rows,
+                    quantize_rows_q4,
+                    unpack_q4_rows,
+                )
 
-                kh, ks = quantize_rows(k.swapaxes(0, 1))
-                vh, vs = quantize_rows(v.swapaxes(0, 1))
-                k = (kh.astype(jnp.float32) * ks[..., None]).swapaxes(0, 1)
-                v = (vh.astype(jnp.float32) * vs[..., None]).swapaxes(0, 1)
+                qr = quantize_rows_q4 if cache.kv_bits == 4 else quantize_rows
+                kh, ks = qr(k.swapaxes(0, 1))
+                vh, vs = qr(v.swapaxes(0, 1))
+                kf = unpack_q4_rows(kh) if cache.kv_bits == 4 else kh.astype(jnp.float32)
+                vf = unpack_q4_rows(vh) if cache.kv_bits == 4 else vh.astype(jnp.float32)
+                k = (kf * ks[..., None]).swapaxes(0, 1)
+                v = (vf * vs[..., None]).swapaxes(0, 1)
             attn = attend(q, k, v, i).astype(compute_dtype).reshape(nt, cfg.attn_out_dim)
             h = post_attn_ffn(lp, h, attn, cvec, i)
             if kv_quant:

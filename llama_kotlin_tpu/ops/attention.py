@@ -73,6 +73,7 @@ def attention(
     cell_pos: Optional[jnp.ndarray] = None,
     k_scale: Optional[jnp.ndarray] = None,  # [n_kv_head, cells] (int8 cache)
     v_scale: Optional[jnp.ndarray] = None,
+    kv_bits: int = 8,  # 4 = packed-nibble cache arrays [KV, cells, D/2]
     allow_pallas: bool = True,
 ) -> jnp.ndarray:
     """Masked multi-head attention with GQA; returns [nt, n_head, head_dim].
@@ -91,14 +92,16 @@ def attention(
         out = flash_attention_or_none(q, k_cache, v_cache, mask,
                                       scale=scale, logit_softcap=logit_softcap,
                                       k_scale=k_scale, v_scale=v_scale,
-                                      n_vis=n_vis)
+                                      n_vis=n_vis, kv_bits=kv_bits)
         if out is not None:
             return out
     kf = k_cache[:, :n_vis]
     vf = v_cache[:, :n_vis]
     if k_scale is not None:
-        kf = kf.astype(jnp.float32) * k_scale[:, :n_vis, None]
-        vf = vf.astype(jnp.float32) * v_scale[:, :n_vis, None]
+        from llama_kotlin_tpu.runtime.kv_cache import dequantize_cache_layer
+
+        kf = dequantize_cache_layer(kf, k_scale[:, :n_vis], bits=kv_bits)
+        vf = dequantize_cache_layer(vf, v_scale[:, :n_vis], bits=kv_bits)
     return attention_reference(
         q, kf, vf, mask, scale=scale, logit_softcap=logit_softcap,
         alibi_slopes=alibi_slopes, token_pos=token_pos, cell_pos=cell_pos,

@@ -36,7 +36,7 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
-            scale, logit_softcap, n_ctiles, quantized):
+            scale, logit_softcap, n_ctiles, quantized, bits):
     if quantized:
         ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -50,12 +50,30 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     q = q_ref[0].astype(jnp.float32)  # [nt, D]
-    k = k_ref[0].astype(jnp.float32)  # [Ct, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [nt, Ct]
-    if quantized:  # fold per-cell K scales into the score columns
-        s = s * ks_ref[0][None, :]
+    if quantized and bits == 4:
+        # packed int4 K tile [Ct, D/2]: byte j = (code_j + 8) | the
+        # two's-complement code_{j+D/2} << 4, so two byte-wide ANDs unpack
+        # both planes (no shifts — the W4 weight-kernel scheme).  The lo
+        # plane's +8 bias folds into a per-query-row constant and the hi
+        # plane's 16x into the matching q columns.
+        kb = k_ref[0]
+        kl = pltpu.bitcast(kb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
+        kh = pltpu.bitcast(kb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
+        d2 = kb.shape[-1]
+        ku = jnp.concatenate([kl, kh], axis=-1)  # [Ct, D] plane order
+        qadj = jnp.concatenate([q[:, :d2], q[:, d2:] * (1.0 / 16.0)], axis=-1)
+        s = jax.lax.dot_general(
+            qadj, ku, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s - 8.0 * jnp.sum(q[:, :d2], axis=-1, keepdims=True)
+        s = s * scale * ks_ref[0][None, :]
+    else:
+        k = k_ref[0].astype(jnp.float32)  # [Ct, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [nt, Ct]
+        if quantized:  # fold per-cell K scales into the score columns
+            s = s * ks_ref[0][None, :]
     if logit_softcap > 0.0:
         s = jnp.tanh(s / logit_softcap) * logit_softcap
     visible = mask_ref[...] != 0
@@ -72,12 +90,26 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
     )
     m_ref[...] = m_new
-    v = v_ref[0].astype(jnp.float32)  # [Ct, D]
-    if quantized:  # fold per-cell V scales into the probability columns
-        p = p * vs_ref[0][None, :]
-    pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [nt, D]
+    if quantized and bits == 4:
+        vb = v_ref[0]  # [Ct, Dv/2] packed
+        vl = pltpu.bitcast(vb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
+        vh = pltpu.bitcast(vb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
+        vu = jnp.concatenate([vl, vh], axis=-1)  # [Ct, Dv] plane order
+        pt = p * vs_ref[0][None, :]
+        pv = jax.lax.dot_general(
+            pt, vu, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [nt, Dv]
+        dv2 = vb.shape[-1]
+        psum = jnp.sum(pt, axis=-1, keepdims=True)
+        pv = jnp.concatenate(
+            [pv[:, :dv2] - 8.0 * psum, pv[:, dv2:] * (1.0 / 16.0)], axis=-1)
+    else:
+        v = v_ref[0].astype(jnp.float32)  # [Ct, D]
+        if quantized:  # fold per-cell V scales into the probability columns
+            p = p * vs_ref[0][None, :]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [nt, D]
     acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[-1]] + pv
 
     @pl.when(c_i == n_ctiles - 1)
@@ -89,19 +121,24 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
 
 def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
                     k_scale=None, v_scale=None, n_vis: Optional[int] = None,
-                    out_dtype=None,
+                    out_dtype=None, kv_bits: int = 8,
                     interpret: bool = False) -> Optional[jnp.ndarray]:
     """q [nt, H, D], k/v [KV, cells, D], mask [nt, n_vis] -> [nt, H, D].
 
     n_vis (static) bounds the cell sweep to a prefix of the cache;
     defaults to the mask's cell extent.  k_scale/v_scale [KV, cells] f32
-    enable the int8-quantized cache path."""
+    enable the quantized cache path: int8 codes (kv_bits=8) or packed
+    int4 nibbles in [KV, cells, D/2] uint8 arrays (kv_bits=4, the
+    type_k/type_v=q4_0 analogue — half the cache HBM traffic)."""
     nt, h, d = q.shape
     kv, cells, _ = k.shape
     n_vis = n_vis if n_vis is not None else mask.shape[1]
     if h % kv != 0 or d not in (64, 128) or nt % 8 != 0 or n_vis > cells:
         return None
     quantized = k_scale is not None
+    packed = 2 if (quantized and kv_bits == 4) else 1
+    if k.shape[-1] != d // packed:
+        return None
     rep = h // kv
     ct = next((c for c in (512, 256, 128) if n_vis % c == 0), 0)
     if ct == 0:
@@ -117,8 +154,8 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
     grid = (h, n_ctiles)
     in_specs = [
         pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ct, d), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ct, d), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ct, k.shape[-1]), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ct, v.shape[-1]), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((nt, ct), (lambda hi, ci: (0, ci)), memory_space=pltpu.VMEM),
     ]
     operands = [qh, k, v, mask_i8]
@@ -130,7 +167,8 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
         operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
     out = pl.pallas_call(
         lambda *refs: _kernel(*refs, scale=scale, logit_softcap=logit_softcap,
-                              n_ctiles=n_ctiles, quantized=quantized),
+                              n_ctiles=n_ctiles, quantized=quantized,
+                              bits=kv_bits),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
@@ -150,10 +188,11 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
 
 def flash_attention_or_none(q, k, v, mask, *, scale, logit_softcap=0.0,
                             k_scale=None, v_scale=None, n_vis=None,
-                            out_dtype=None):
+                            out_dtype=None, kv_bits=8):
     try:
         return flash_attention(q, k, v, mask, scale=scale,
                                logit_softcap=logit_softcap, k_scale=k_scale,
-                               v_scale=v_scale, n_vis=n_vis, out_dtype=out_dtype)
+                               v_scale=v_scale, n_vis=n_vis,
+                               out_dtype=out_dtype, kv_bits=kv_bits)
     except Exception:
         return None

@@ -79,7 +79,7 @@ class LlamaContext:
         n_seq_max: int = 32,
         compute_dtype=jnp.bfloat16,
         kv_dtype=None,
-        kv_quant: bool = False,
+        kv_quant=False,  # False | True/"q8_0" (int8) | "q4_0" (packed int4)
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         forward_fn=None,
         prefer_unrolled: bool = False,

@@ -50,10 +50,15 @@ class KVCache:
     instead of dequantizing K/V in HBM).
     """
 
-    k: jax.Array  # [n_layer, n_kv_head, cells, head_dim]
+    k: jax.Array  # [n_layer, n_kv_head, cells, head_dim] (or D/2 packed u8)
     v: jax.Array  # [n_layer, n_kv_head, cells, head_dim]
     k_scale: Optional[jax.Array] = None  # [n_layer, n_kv_head, cells] f32
     v_scale: Optional[jax.Array] = None
+    # 8 = int8 codes (q8_0-class), 4 = packed nibbles (q4_0-class: byte j
+    # holds dim j biased-unsigned in the low nibble and dim j + D/2
+    # pre-signed in the high nibble, the same AND-only unpack scheme as
+    # the W4 weight kernel); only meaningful when quantized
+    kv_bits: int = field(default=8, metadata=dict(static=True))
 
     @property
     def n_cells(self) -> int:
@@ -66,21 +71,27 @@ class KVCache:
     @staticmethod
     def create(n_layer: int, cells: int, n_kv_head: int, head_dim: int,
                dtype=jnp.bfloat16, sharding=None,
-               v_head_dim: int = 0, quantized: bool = False) -> "KVCache":
+               v_head_dim: int = 0, quantized=False) -> "KVCache":
         """v_head_dim != head_dim for MLA archs (deepseek2: k 192, v 128).
-        quantized=True stores int8 codes + per-row scales (type_k/type_v
-        analogue)."""
+        quantized: False = dense; True/"q8_0" = int8 codes + per-row
+        scales; "q4_0" = packed int4 codes (half the bytes — the type_k/
+        type_v=q4_0 analogue, reference include/llama.h:304-311)."""
         v_head_dim = v_head_dim or head_dim
+        bits = 4 if quantized == "q4_0" else 8
+        kd, vd = head_dim, v_head_dim
         if quantized:
-            dtype = jnp.int8
-        kshape = (n_layer, n_kv_head, cells, head_dim)
-        vshape = (n_layer, n_kv_head, cells, v_head_dim)
+            dtype = jnp.uint8 if bits == 4 else jnp.int8
+            if bits == 4:
+                kd, vd = head_dim // 2, v_head_dim // 2
+        kshape = (n_layer, n_kv_head, cells, kd)
+        vshape = (n_layer, n_kv_head, cells, vd)
         sshape = (n_layer, n_kv_head, cells)
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else (lambda a: a)
         return KVCache(
             k=put(jnp.zeros(kshape, dtype)), v=put(jnp.zeros(vshape, dtype)),
             k_scale=put(jnp.zeros(sshape, jnp.float32)) if quantized else None,
             v_scale=put(jnp.zeros(sshape, jnp.float32)) if quantized else None,
+            kv_bits=bits,
         )
 
 
@@ -95,10 +106,40 @@ def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return codes, scale
 
 
+def quantize_rows_q4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int4 quantization packed 2 codes/byte over the
+    last axis (type_k/type_v=q4_0 analogue — half the cache bytes of int8):
+    returns (packed uint8 [..., d/2], scale f32 [...]).
+
+    Byte j of a row holds dim j as code+8 (biased unsigned, AND 0x0F) in
+    the low nibble and dim j + d/2 as a two's-complement code in the high
+    nibble (AND 0xF0 bitcast int8 = 16*code) — the same shift-free unpack
+    scheme as the W4 weight kernel (quant/fold.py)."""
+    d = x.shape[-1]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]),
+                     -7, 7).astype(jnp.int32)
+    lo = (codes[..., : d // 2] + 8).astype(jnp.uint8)          # 1..15
+    hi = (codes[..., d // 2 :] & 0xF).astype(jnp.uint8) << 4   # two's compl
+    return lo | hi, scale
+
+
+def unpack_q4_rows(packed: jnp.ndarray) -> jnp.ndarray:
+    """packed uint8 [..., d/2] -> codes f32 [..., d] (inverse nibble map)."""
+    lo = (packed & 0x0F).astype(jnp.int32) - 8
+    hi = (packed >> 4).astype(jnp.int32)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
 def dequantize_cache_layer(codes: jnp.ndarray, scale: jnp.ndarray,
-                           dtype=jnp.float32) -> jnp.ndarray:
-    """codes [KV, cells, D] int8 + scale [KV, cells] -> float [KV, cells, D]."""
-    return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
+                           dtype=jnp.float32, bits: int = 8) -> jnp.ndarray:
+    """codes [KV, cells, D] int8 (or [.., D/2] packed u8 when bits=4) +
+    scale [KV, cells] -> float [KV, cells, D]."""
+    cf = unpack_q4_rows(codes) if bits == 4 else codes.astype(jnp.float32)
+    return (cf * scale[..., None]).astype(dtype)
 
 
 class CellMetadata:
@@ -241,10 +282,12 @@ def apply_k_shift(cache: KVCache, meta: CellMetadata, deltas: np.ndarray,
         deltas = np.pad(deltas, (0, cache.n_cells - deltas.shape[0]))
     if cache.quantized:
         # dequant -> rotate -> requantize (rotation changes per-row amax)
-        kf = cache.k.astype(jnp.float32) * cache.k_scale[..., None]
+        kf = dequantize_cache_layer(cache.k, cache.k_scale, jnp.float32,
+                                    bits=cache.kv_bits)
         kf = _rotate_k(kf, jnp.asarray(deltas),
                        rope, rope.rope_type == ROPE_TYPE_NEOX, freq_factors)
-        codes, scale = quantize_rows(kf)
+        qr = quantize_rows_q4 if cache.kv_bits == 4 else quantize_rows
+        codes, scale = qr(kf)
         return replace(cache, k=codes, k_scale=scale)
     k = _rotate_k(cache.k, jnp.asarray(deltas),
                   rope, rope.rope_type == ROPE_TYPE_NEOX, freq_factors)

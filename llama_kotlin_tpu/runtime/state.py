@@ -48,20 +48,24 @@ def _cache_kv_f32(ctx: LlamaContext) -> tuple[np.ndarray, np.ndarray]:
     """Cache tensors as float32 — quantized caches are dequantized so the
     blob stays portable across kv cache types (the reference stores raw
     type_k bytes; float blobs trade size for cross-type restore)."""
-    k = np.asarray(ctx.cache.k, np.float32)
-    v = np.asarray(ctx.cache.v, np.float32)
     if ctx.cache.quantized:
-        k = k * np.asarray(ctx.cache.k_scale, np.float32)[..., None]
-        v = v * np.asarray(ctx.cache.v_scale, np.float32)[..., None]
-    return k, v
+        from llama_kotlin_tpu.runtime.kv_cache import dequantize_cache_layer
+
+        k = np.asarray(dequantize_cache_layer(
+            ctx.cache.k, ctx.cache.k_scale, bits=ctx.cache.kv_bits))
+        v = np.asarray(dequantize_cache_layer(
+            ctx.cache.v, ctx.cache.v_scale, bits=ctx.cache.kv_bits))
+        return k, v
+    return np.asarray(ctx.cache.k, np.float32), np.asarray(ctx.cache.v, np.float32)
 
 
 def _restore_cache(ctx: LlamaContext, k: np.ndarray, v: np.ndarray) -> None:
-    from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+    from llama_kotlin_tpu.runtime.kv_cache import quantize_rows, quantize_rows_q4
 
     if ctx.cache.quantized:
-        kc, ks = quantize_rows(jnp.asarray(k))
-        vc, vs = quantize_rows(jnp.asarray(v))
+        qr = quantize_rows_q4 if ctx.cache.kv_bits == 4 else quantize_rows
+        kc, ks = qr(jnp.asarray(k))
+        vc, vs = qr(jnp.asarray(v))
         ctx.cache = replace(ctx.cache, k=kc, v=vc, k_scale=ks, v_scale=vs)
     else:
         ctx.cache = replace(
@@ -93,9 +97,13 @@ def get_state_data(ctx: LlamaContext) -> bytes:
 def set_state_data(ctx: LlamaContext, data: bytes) -> None:
     """Restore a full context state (cf. llama_state_set_data)."""
     p = _unpack(data, STATE_MAGIC)
-    if p["cache_k"].shape != tuple(ctx.cache.k.shape):
+    # blob holds dequantized f32: packed-int4 caches have half-width arrays
+    kshape = list(ctx.cache.k.shape)
+    if ctx.cache.quantized and ctx.cache.kv_bits == 4:
+        kshape[-1] *= 2
+    if p["cache_k"].shape != tuple(kshape):
         raise ValueError(
-            f"cache shape mismatch: state {p['cache_k'].shape} vs ctx {tuple(ctx.cache.k.shape)}"
+            f"cache shape mismatch: state {p['cache_k'].shape} vs ctx {tuple(kshape)}"
         )
     ctx.meta.pos[:] = p["cell_pos"]
     ctx.meta.seq[:] = p["cell_seq"]
@@ -131,11 +139,18 @@ def get_seq_data(ctx: LlamaContext, seq_id: int) -> bytes:
     cells = np.nonzero(has)[0]
     order = np.argsort(ctx.meta.pos[cells], kind="stable")
     cells = cells[order].astype(np.int32)
-    k = np.asarray(ctx.cache.k[:, :, cells], np.float32)  # [L, KV, n, D]
-    v = np.asarray(ctx.cache.v[:, :, cells], np.float32)
     if ctx.cache.quantized:
-        k = k * np.asarray(ctx.cache.k_scale[:, :, cells], np.float32)[..., None]
-        v = v * np.asarray(ctx.cache.v_scale[:, :, cells], np.float32)[..., None]
+        from llama_kotlin_tpu.runtime.kv_cache import dequantize_cache_layer
+
+        k = np.asarray(dequantize_cache_layer(
+            ctx.cache.k[:, :, cells], ctx.cache.k_scale[:, :, cells],
+            bits=ctx.cache.kv_bits))
+        v = np.asarray(dequantize_cache_layer(
+            ctx.cache.v[:, :, cells], ctx.cache.v_scale[:, :, cells],
+            bits=ctx.cache.kv_bits))
+    else:
+        k = np.asarray(ctx.cache.k[:, :, cells], np.float32)  # [L, KV, n, D]
+        v = np.asarray(ctx.cache.v[:, :, cells], np.float32)
     payload = {
         "pos": ctx.meta.pos[cells],
         "k": k,
@@ -154,10 +169,11 @@ def set_seq_data(ctx: LlamaContext, data: bytes, dest_seq: int) -> int:
         return 1
     ctx.meta.commit(slots, p["pos"], np.full(n, dest_seq, np.int32))
     if ctx.cache.quantized:
-        from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+        from llama_kotlin_tpu.runtime.kv_cache import quantize_rows, quantize_rows_q4
 
-        kc, ks = quantize_rows(jnp.asarray(p["k"]))
-        vc, vs = quantize_rows(jnp.asarray(p["v"]))
+        qr = quantize_rows_q4 if ctx.cache.kv_bits == 4 else quantize_rows
+        kc, ks = qr(jnp.asarray(p["k"]))
+        vc, vs = qr(jnp.asarray(p["v"]))
         ctx.cache = replace(
             ctx.cache,
             k=ctx.cache.k.at[:, :, slots].set(kc),

@@ -40,8 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--grp-attn-w", type=int, default=512, help="self-extend width")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cache-type-k", "-ctk", default="f16",
-                    choices=["f16", "bf16", "q8_0"],
-                    help="KV cache type (q8_0 = int8-quantized K/V)")
+                    choices=["f16", "bf16", "q8_0", "q4_0"],
+                    help="KV cache type (q8_0 = int8 K/V, q4_0 = packed "
+                         "int4 K/V — half the cache bytes)")
     ap.add_argument("--fast-mode", default=None, choices=["int8", "w4", "w4x"],
                     help="serving weight layout: int8 = W8A8 flat, w4 = "
                          "4-bit-resident W4A8, w4x = W4 with exact f32 "
@@ -74,8 +75,8 @@ def main(argv=None):
     template = args.chat_template or detect_template(
         f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()
-    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx,
-                       kv_quant=(args.cache_type_k == "q8_0"))
+    kv_quant = args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0") else False
+    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx, kv_quant=kv_quant)
     print(f"model: {cfg.name or cfg.arch} | layers={cfg.n_layer} "
           f"embd={cfg.n_embd} vocab={cfg.vocab_size}", file=sys.stderr)
 

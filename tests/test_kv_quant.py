@@ -192,3 +192,110 @@ def test_kv_quant_stacked_scan_path(tiny_model):
     stacked.decode(Batch.single(toks))
     np.testing.assert_allclose(stacked.get_logits(), unrolled.get_logits(),
                                rtol=2e-4, atol=2e-4)
+
+
+# -- int4 (q4_0-class) KV cache ---------------------------------------------
+
+
+def test_quantize_rows_q4_roundtrip(rng):
+    from llama_kotlin_tpu.runtime.kv_cache import quantize_rows_q4, unpack_q4_rows
+
+    x = jnp.asarray(rng.standard_normal((3, 5, 64)).astype(np.float32))
+    packed, scale = quantize_rows_q4(x)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 5, 32)
+    back = np.asarray(unpack_q4_rows(packed)) * np.asarray(scale)[..., None]
+    err = np.abs(back - np.asarray(x)).max()
+    assert err <= np.abs(np.asarray(x)).max() / 7.0 * 0.51 + 1e-7
+    z, s = quantize_rows_q4(jnp.zeros((2, 8)))
+    # zero rows: codes lo=8, hi=0 but scale 0 -> dequantizes to exactly 0
+    assert not (np.asarray(unpack_q4_rows(z)) * np.asarray(s)[..., None]).any()
+
+
+def test_kv_q4_flash_kernel_interpret(rng):
+    """Flash kernel (interpret) with packed int4 K/V == reference attention
+    on the dequantized cache (the AND-only nibble unpack + bias folds)."""
+    from llama_kotlin_tpu.runtime.kv_cache import (
+        dequantize_cache_layer,
+        quantize_rows_q4,
+    )
+
+    kv, cells, d, h, nt = 2, 256, 128, 4, 8
+    kf = rng.standard_normal((kv, cells, d)).astype(np.float32)
+    vf = rng.standard_normal((kv, cells, d)).astype(np.float32)
+    kc, ks = quantize_rows_q4(jnp.asarray(kf))
+    vc, vs = quantize_rows_q4(jnp.asarray(vf))
+    assert kc.shape == (kv, cells, d // 2)
+    q = jnp.asarray(rng.standard_normal((nt, h, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((nt, cells)) < 0.7)
+
+    out = flash_attention(q, kc, vc, mask, scale=0.125,
+                          k_scale=ks, v_scale=vs, kv_bits=4, interpret=True)
+    k_hat = dequantize_cache_layer(kc, ks, bits=4)
+    v_hat = dequantize_cache_layer(vc, vs, bits=4)
+    ref = attention_reference(q, k_hat, v_hat, mask, scale=0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_kv_q4_logits_parity(tiny_model):
+    """int4 KV decode tracks the bf16-cache decode within int4 noise and
+    the cache arrays really are half-width."""
+    toks = np.array([3, 14, 15, 9, 2, 6], np.int32)
+    ref = _ctx(tiny_model)
+    ref.decode(Batch.single(toks))
+    base = ref.get_logits()
+
+    q = _ctx(tiny_model, kv_quant="q4_0")
+    assert q.cache.quantized and q.cache.kv_bits == 4
+    assert q.cache.k.dtype == jnp.uint8
+    assert q.cache.k.shape[-1] * 2 == ref.cache.k.shape[-1]
+    q.decode(Batch.single(toks))
+    got = q.get_logits()
+    denom = np.abs(base).max()
+    assert np.abs(got - base).max() / denom < 0.15  # int4 noise class
+
+    # multi-step decode keeps tracking: feed the SAME token to both and
+    # check the logits error stays in the int4 noise class (a random tiny
+    # model's argmax can legitimately flip under 1/7-step quantization)
+    for _ in range(4):
+        nb = int(np.argmax(base[-1]))
+        ref.decode(Batch.single(np.array([nb], np.int32),
+                                pos0=ref.meta.seq_pos_max(0) + 1))
+        q.decode(Batch.single(np.array([nb], np.int32),
+                              pos0=q.meta.seq_pos_max(0) + 1))
+        base, got = ref.get_logits(), q.get_logits()
+        assert np.abs(got - base).max() / np.abs(base).max() < 0.2
+
+
+def test_kv_q4_k_shift(tiny_model):
+    """K-shift on an int4 cache: dequant->rotate->requant keeps greedy
+    decode consistent after a context shift."""
+    q = _ctx(tiny_model, kv_quant="q4_0")
+    toks = np.arange(12, dtype=np.int32) % 9 + 1
+    q.decode(Batch.single(toks))
+    q.seq_rm(0, 0, 4)
+    q.seq_add(0, 4, -1, -4)
+    nxt = np.array([5], np.int32)
+    rc = q.decode(Batch.single(nxt, pos0=q.meta.seq_pos_max(0) + 1))
+    assert rc == 0
+    assert np.isfinite(q.get_logits()).all()
+
+
+def test_kv_q4_state_roundtrip(tiny_model):
+    from llama_kotlin_tpu.runtime import state as state_io
+
+    q = _ctx(tiny_model, kv_quant="q4_0")
+    toks = np.array([4, 9, 2, 11], np.int32)
+    q.decode(Batch.single(toks))
+    logits_before = q.get_logits().copy()
+    blob = state_io.get_state_data(q)
+
+    q2 = _ctx(tiny_model, kv_quant="q4_0")
+    state_io.set_state_data(q2, blob)
+    nxt = int(np.argmax(logits_before[-1]))
+    for ctx_ in (q, q2):
+        rc = ctx_.decode(Batch.single(np.array([nxt], np.int32),
+                                      pos0=ctx_.meta.seq_pos_max(0) + 1))
+        assert rc == 0
+    np.testing.assert_allclose(q.get_logits(), q2.get_logits(),
+                               rtol=1e-5, atol=1e-5)
