@@ -88,7 +88,15 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     rc = ctx.decode(Batch.single(prompt))
     assert rc == 0
     tok = int(np.argmax(ctx.get_logits()[0]))
-    prefill_s = time.time() - t0
+    prefill_s = time.time() - t0  # includes compile (cold TTFT)
+
+    # warm TTFT: same prefill on a fresh sequence, compile cache hot
+    t0 = time.time()
+    rc = ctx.decode(Batch.single(prompt, seq_id=batch))
+    assert rc == 0
+    np.argmax(ctx.get_logits()[0])
+    ttft_warm_s = time.time() - t0
+    ctx.seq_rm(batch)
 
     # replicate the prefilled sequence for batched decode (seq_cp)
     for s_id in range(1, batch):
@@ -133,6 +141,9 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
             "backend": jax.default_backend(),
             "build_s": round(build_s, 1),
             "prefill_s": round(prefill_s, 1),
+            # TTFT north-star (BASELINE.json): warm prefill-to-first-logit
+            # latency (compile-cached); prefill_s above is the cold path
+            "ttft_ms": round(ttft_warm_s * 1e3, 1),
             "loop_compile_s": round(compile_s, 1),
             "prefill_tokens": prefill,
             "decode_steps": steps,

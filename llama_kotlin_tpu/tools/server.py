@@ -387,8 +387,9 @@ def main():
     ap.add_argument("--n-ctx", type=int, default=4096)
     ap.add_argument("--n-batch", type=int, default=256)
     ap.add_argument("--cache-type-k", "-ctk", default="f16",
-                    choices=["f16", "bf16", "q8_0"],
-                    help="KV cache type (q8_0 = int8-quantized K/V)")
+                    choices=["f16", "bf16", "q8_0", "q4_0"],
+                    help="KV cache type (q8_0 = int8 K/V, q4_0 = packed "
+                         "int4 K/V)")
     ap.add_argument("--fast-mode", default=None, choices=["int8", "w4", "w4x"],
                     help="serving weight layout (see tools/main.py --fast-mode)")
     args = ap.parse_args()
@@ -403,8 +404,8 @@ def main():
     tokenizer = build_tokenizer(f.metadata)
     template = detect_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()
-    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx,
-                   kv_quant=(args.cache_type_k == "q8_0"))
+    kv_quant = args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0") else False
+    ctx = LlamaContext(cfg, params, n_cells=args.n_ctx, kv_quant=kv_quant)
     state = serve(ctx, tokenizer, model_name=cfg.name or "model", template=template,
                   host=args.host, port=args.port, n_slots=args.n_slots,
                   n_batch=args.n_batch)
