@@ -167,8 +167,11 @@ class Engine:
         differ — the loop then runs with per-slot arrays (mixed=True),
         provided every sampled slot has top_k > 0 (the static candidate
         window is the max top_k, so per-slot masking stays exact)."""
-        if self.chunk_steps <= 1 or self.queue:
+        if self.chunk_steps <= 1:
             return None
+        # a non-empty queue does NOT block chunking: _assign_requests just
+        # ran, so queued requests mean every slot is busy — they'd wait
+        # either way, and K is already bounded (queue latency <= K steps)
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active or any(s.state == SlotState.PROMPT for s in self.slots):
             return None

@@ -218,3 +218,46 @@ def test_chunked_decode_mixed_configs(tmp_path):
     stop2.set()
     t2.join(timeout=30)
     assert ref.output_tokens == reqs[0].output_tokens
+
+
+def test_chunked_decode_with_waiting_queue(tmp_path):
+    """A queued request (all slots busy) must NOT force per-token host
+    stepping: the chunked device loop keeps running, and the queued
+    request is picked up after a slot frees."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.runtime.engine import Engine, Request
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+    from tests.test_server import ToyTokenizer
+
+    rng = np.random.default_rng(8)
+    dims = tiny_llama_dims(vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, weights, dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    tok = ToyTokenizer(dims["vocab"])
+
+    ctx = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+    engine = Engine(ctx, tok, n_slots=1, n_batch=64, chunk_steps=8)
+    reqs = [Request(prompt_tokens=np.array([1 + i, 5], np.int32),
+                    params=SamplingParams(temp=0.0), n_predict=16)
+            for i in range(2)]
+    for r in reqs:
+        engine.submit(r)  # 1 slot: second request queues behind the first
+    stop = threading.Event()
+    t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+    t.start()
+    ok = all(r.done.wait(timeout=240) for r in reqs)
+    stop.set()
+    t.join(timeout=30)
+    assert ok
+    assert all(len(r.output_tokens) == 16 for r in reqs)
+    # 32 generated tokens total; chunking (8/call) must have engaged for
+    # both requests: decode steps well under 32 (2 prompts + ~4 chunks)
+    assert engine.metrics["n_decode_steps"] <= 12
