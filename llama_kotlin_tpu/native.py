@@ -14,6 +14,7 @@ from typing import Optional
 _REPO = Path(__file__).resolve().parent.parent
 _SRC = _REPO / "native" / "repack.cpp"
 _SRC_TOK = _REPO / "native" / "tokenizer.cpp"
+_SRC_KQ = _REPO / "native" / "kquant_encode.cpp"
 _LIB_DIR = Path(os.environ.get("LKTPU_NATIVE_DIR", _REPO / "native" / "build"))
 _LIB = _LIB_DIR / "liblktpu_native.so"
 
@@ -23,7 +24,7 @@ _tried = False
 
 
 def _build() -> bool:
-    srcs = [s for s in (_SRC, _SRC_TOK) if s.exists()]
+    srcs = [s for s in (_SRC, _SRC_TOK, _SRC_KQ) if s.exists()]
     newest = max(s.stat().st_mtime for s in srcs)
     if _LIB.exists() and _LIB.stat().st_mtime >= newest:
         return True
@@ -68,6 +69,9 @@ def get_native() -> Optional[ctypes.CDLL]:
             lib.spm_destroy.argtypes = [p]
             lib.spm_encode.argtypes = [p, p, i32, p, i32]
             lib.spm_encode.restype = i32
+        if hasattr(lib, "lk_encode_kquant"):
+            lib.lk_encode_kquant.argtypes = [i32, p, p, i64, i32]
+            lib.lk_encode_kquant.restype = i32
         if hasattr(lib, "bpe_create"):
             lib.bpe_create.argtypes = [p, p, i32, p, p, i32]
             lib.bpe_create.restype = p

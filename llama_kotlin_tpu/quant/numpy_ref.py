@@ -770,8 +770,41 @@ def dequantize(data: np.ndarray, qtype: GGMLQuantType, shape: tuple[int, ...] | 
     return y.reshape(shape) if shape is not None else y
 
 
+_NATIVE_KQ_TAG = {
+    GGMLQuantType.Q2_K: 2, GGMLQuantType.Q3_K: 3, GGMLQuantType.Q4_K: 4,
+    GGMLQuantType.Q5_K: 5, GGMLQuantType.Q6_K: 6,
+}
+
+
+def _native_kquant(x: np.ndarray, qtype: GGMLQuantType):
+    """Threaded C++ K-quant encoder (native/kquant_encode.cpp): same search
+    semantics as the numpy encoders below, ~100x faster (the numpy ALS is
+    temporary-bound).  Returns None when the toolchain is unavailable."""
+    import os
+
+    from llama_kotlin_tpu.native import get_native
+
+    lib = get_native()
+    if lib is None or not hasattr(lib, "lk_encode_kquant"):
+        return None
+    xf = np.ascontiguousarray(x, np.float32).reshape(-1)
+    if xf.size % QK_K != 0:
+        return None
+    n_sb = xf.size // QK_K
+    bytes_per = TYPE_TRAITS[qtype].type_size
+    out = np.empty(n_sb * bytes_per, np.uint8)
+    nt = min(os.cpu_count() or 1, 16)
+    got = lib.lk_encode_kquant(_NATIVE_KQ_TAG[qtype], xf.ctypes.data,
+                               out.ctypes.data, n_sb, nt)
+    return out if got == bytes_per else None
+
+
 def quantize(x: np.ndarray, qtype: GGMLQuantType) -> np.ndarray:
     """Encode float32 data to the wire format, returning a flat uint8 array."""
+    if qtype in _NATIVE_KQ_TAG:
+        out = _native_kquant(x, qtype)
+        if out is not None:
+            return out
     if qtype == GGMLQuantType.F32:
         return np.ascontiguousarray(x, "<f4").view(np.uint8).reshape(-1)
     if qtype == GGMLQuantType.F16:

@@ -105,3 +105,39 @@ def test_native_bpe_matches_python():
         assert nat.encode(s, add_special=False) == py.encode(s, add_special=False), s
     for s in ["hello world", "héllo wörld", "日本語", "  hh  "]:
         assert nat.encode(s, add_special=False) == py.encode(s, add_special=False), s
+
+
+@pytest.mark.parametrize("tname", ["q2_K", "q3_K", "q4_K", "q5_K", "q6_K"])
+def test_native_kquant_encoder_matches_numpy_quality(rng, tname):
+    """The C++ K-quant encoder (native/kquant_encode.cpp) implements the
+    same weighted scale search as the numpy encoders: decoded output must
+    match numpy's round-trip error to within float-ordering noise, and
+    the wire bytes must decode through the standard decoder."""
+    import os
+
+    lib = get_native()
+    if lib is None or not hasattr(lib, "lk_encode_kquant"):
+        pytest.skip("native toolchain unavailable")
+    qt = NAME_TO_TYPE[tname]
+    x = (rng.standard_normal((64, 512)) * 0.07).astype(np.float32)
+
+    wire_native = Q._native_kquant(x, qt)
+    assert wire_native is not None
+
+    os.environ["LKTPU_NO_NATIVE"] = "1"
+    try:
+        import llama_kotlin_tpu.native as N
+
+        N._lib, N._tried = None, False
+        wire_numpy = Q.quantize(x, qt)
+    finally:
+        del os.environ["LKTPU_NO_NATIVE"]
+        N._lib, N._tried = None, False
+
+    dn = Q.dequantize(wire_native, qt, shape=x.shape)
+    dp = Q.dequantize(wire_numpy, qt, shape=x.shape)
+    mse_n = float(np.mean((x - dn) ** 2))
+    mse_p = float(np.mean((x - dp) ** 2))
+    assert mse_n <= mse_p * 1.05, (mse_n, mse_p)
+    # sanity: same scale structure class (f16 supers decode finite)
+    assert np.isfinite(dn).all()
