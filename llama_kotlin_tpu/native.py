@@ -72,6 +72,9 @@ def get_native() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "lk_encode_kquant"):
             lib.lk_encode_kquant.argtypes = [i32, p, p, i64, i32]
             lib.lk_encode_kquant.restype = i32
+        if hasattr(lib, "lk_encode_iq4"):
+            lib.lk_encode_iq4.argtypes = [i32, p, p, i64, i32]
+            lib.lk_encode_iq4.restype = i32
         if hasattr(lib, "bpe_create"):
             lib.bpe_create.argtypes = [p, p, i32, p, p, i32]
             lib.bpe_create.restype = p

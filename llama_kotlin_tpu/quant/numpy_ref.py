@@ -799,10 +799,36 @@ def _native_kquant(x: np.ndarray, qtype: GGMLQuantType):
     return out if got == bytes_per else None
 
 
+def _native_iq4(x: np.ndarray, qtype: GGMLQuantType):
+    """Threaded C++ IQ4 encoders (nearest non-linear level)."""
+    import os
+
+    from llama_kotlin_tpu.native import get_native
+
+    lib = get_native()
+    if lib is None or not hasattr(lib, "lk_encode_iq4"):
+        return None
+    tag = 0 if qtype == GGMLQuantType.IQ4_NL else 1
+    elems = 32 if tag == 0 else QK_K
+    xf = np.ascontiguousarray(x, np.float32).reshape(-1)
+    if xf.size % elems != 0:
+        return None
+    n_blk = xf.size // elems
+    bytes_per = TYPE_TRAITS[qtype].type_size
+    out = np.empty(n_blk * bytes_per, np.uint8)
+    nt = min(os.cpu_count() or 1, 16)
+    got = lib.lk_encode_iq4(tag, xf.ctypes.data, out.ctypes.data, n_blk, nt)
+    return out if got == bytes_per else None
+
+
 def quantize(x: np.ndarray, qtype: GGMLQuantType) -> np.ndarray:
     """Encode float32 data to the wire format, returning a flat uint8 array."""
     if qtype in _NATIVE_KQ_TAG:
         out = _native_kquant(x, qtype)
+        if out is not None:
+            return out
+    if qtype in (GGMLQuantType.IQ4_NL, GGMLQuantType.IQ4_XS):
+        out = _native_iq4(x, qtype)
         if out is not None:
             return out
     if qtype == GGMLQuantType.F32:

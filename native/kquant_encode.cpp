@@ -395,3 +395,112 @@ int lk_encode_kquant(int tag, const float *x, uint8_t *out, int64_t n_sb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// IQ4 encoders (nearest non-linear level; same semantics as quant/iq.py)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// kvalues_iq4nl non-linear grid (wire-format constant shared by every
+// compatible codec, cf. quant/iq.py KVALUES_IQ4NL)
+static const int8_t IQ4NL_K[16] = {-127, -104, -83, -65, -49, -35, -22, -10,
+                                   1, 13, 25, 38, 53, 69, 89, 113};
+
+static inline uint8_t iq4_nearest(float v) {
+    float best = 1e30f;
+    uint8_t bi = 0;
+    for (int i = 0; i < 16; i++) {
+        float d = std::fabs(v - (float)IQ4NL_K[i]);
+        if (d < best) { best = d; bi = (uint8_t)i; }
+    }
+    return bi;
+}
+
+// block_iq4_nl: 32 elements -> 18 bytes (f16 d + 16 packed nibbles)
+static void encode_iq4_nl_block(const float *xb, uint8_t *out) {
+    float amax = 0;
+    for (int i = 0; i < 32; i++) amax = std::max(amax, std::fabs(xb[i]));
+    float d = amax / 127.0f;
+    float dd = d == 0 ? 1.0f : d;
+    uint16_t d16 = f32_to_f16(d);
+    std::memcpy(out, &d16, 2);
+    for (int i = 0; i < 16; i++) {
+        uint8_t lo = iq4_nearest(xb[i] / dd);
+        uint8_t hi = iq4_nearest(xb[16 + i] / dd);
+        out[2 + i] = (uint8_t)(lo | (hi << 4));
+    }
+}
+
+// block_iq4_xs: 256 elements -> 136 bytes (f16 d, u16 scales_h, 4B
+// scales_l, 128B packed nibbles); per-32 6-bit sub-scales over the grid
+static void encode_iq4_xs_block(const float *xb, uint8_t *out) {
+    float dg[8];
+    float dmax = 0;
+    for (int g = 0; g < 8; g++) {
+        float amax = 0;
+        for (int i = 0; i < 32; i++) amax = std::max(amax, std::fabs(xb[32 * g + i]));
+        dg[g] = amax / 127.0f;
+        dmax = std::max(dmax, dg[g]);
+    }
+    float d = dmax / 31.0f;
+    float dd = d == 0 ? 1.0f : d;
+    uint16_t d16 = f32_to_f16(d);
+    std::memcpy(out, &d16, 2);
+    uint16_t sh = 0;
+    uint8_t sl[4] = {0, 0, 0, 0};
+    int ls[8];
+    for (int g = 0; g < 8; g++) {
+        int l = std::clamp((int)nearbyintf(dg[g] / dd), 1, 31) + 32;  // 0..63
+        ls[g] = l;
+        sh |= (uint16_t)(((l >> 4) & 3) << (2 * g));
+        if (g % 2 == 0) sl[g / 2] |= (uint8_t)(l & 0xF);
+        else            sl[g / 2] |= (uint8_t)((l & 0xF) << 4);
+    }
+    std::memcpy(out + 2, &sh, 2);
+    std::memcpy(out + 4, sl, 4);
+    for (int g = 0; g < 8; g++) {
+        float dl = d * (ls[g] - 32);
+        float sd = dl == 0 ? 1.0f : dl;
+        for (int i = 0; i < 16; i++) {
+            uint8_t lo = iq4_nearest(xb[32 * g + i] / sd);
+            uint8_t hi = iq4_nearest(xb[32 * g + 16 + i] / sd);
+            out[8 + 16 * g + i] = (uint8_t)(lo | (hi << 4));
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// tag 0 = IQ4_NL (32-elem blocks, 18B), 1 = IQ4_XS (256-elem, 136B).
+// n_blk counts blocks of the tag's block size.  Returns block bytes.
+int lk_encode_iq4(int tag, const float *x, uint8_t *out, int64_t n_blk,
+                  int n_threads) {
+    const int elems = tag == 0 ? 32 : QK_K;
+    const int bytes = tag == 0 ? 18 : 136;
+    auto fn = tag == 0 ? encode_iq4_nl_block : encode_iq4_xs_block;
+    if (tag != 0 && tag != 1) return 0;
+    if (n_threads < 1) n_threads = 1;
+    int nt = (int)std::min<int64_t>(n_threads, std::max<int64_t>(n_blk, 1));
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; b++)
+            fn(x + b * elems, out + b * bytes);
+    };
+    if (nt <= 1) {
+        work(0, n_blk);
+    } else {
+        std::vector<std::thread> th;
+        int64_t per = (n_blk + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t lo = t * per, hi = std::min<int64_t>(n_blk, lo + per);
+            if (lo >= hi) break;
+            th.emplace_back(work, lo, hi);
+        }
+        for (auto &t : th) t.join();
+    }
+    return bytes;
+}
+
+}  // extern "C"

@@ -141,3 +141,28 @@ def test_native_kquant_encoder_matches_numpy_quality(rng, tname):
     assert mse_n <= mse_p * 1.05, (mse_n, mse_p)
     # sanity: same scale structure class (f16 supers decode finite)
     assert np.isfinite(dn).all()
+
+
+@pytest.mark.parametrize("tname", ["iq4_nl", "iq4_xs"])
+def test_native_iq4_encoder_byte_identical(rng, tname):
+    """The C++ IQ4 encoders are byte-identical to the numpy ones (the
+    nearest-level search has a deterministic first-min tiebreak)."""
+    import os
+
+    lib = get_native()
+    if lib is None or not hasattr(lib, "lk_encode_iq4"):
+        pytest.skip("native toolchain unavailable")
+    qt = NAME_TO_TYPE[tname]
+    x = (rng.standard_normal((32, 512)) * 0.07).astype(np.float32)
+    wire_native = Q.quantize(x, qt)
+
+    os.environ["LKTPU_NO_NATIVE"] = "1"
+    try:
+        import llama_kotlin_tpu.native as N
+
+        N._lib, N._tried = None, False
+        wire_numpy = Q.quantize(x, qt)
+    finally:
+        del os.environ["LKTPU_NO_NATIVE"]
+        N._lib, N._tried = None, False
+    np.testing.assert_array_equal(wire_native, wire_numpy)
