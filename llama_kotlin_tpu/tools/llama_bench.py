@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--profile-dir", default=None,
                     help="capture a device trace of the bench runs into "
                          "this directory (also honours LKTPU_TRACE_DIR)")
+    ap.add_argument("--fast-mode", default=None,
+                    choices=["int8", "w4", "w4x"],
+                    help="serving weight layout for --model runs")
+    ap.add_argument("--cache-type-k", "-ctk", default="f16",
+                    choices=["f16", "bf16", "q8_0", "q4_0"])
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -100,13 +105,14 @@ def main():
     else:
         from llama_kotlin_tpu.models.loader import load_gguf_model
 
-        cfg, params, f = load_gguf_model(args.model)
+        cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
         f.close()
         name = cfg.name or args.model
 
     n_cells = max(max(args.n_prompt, default=512), max(args.n_gen, default=128) + 8, 512)
     n_cells = (n_cells + 255) // 256 * 256
-    ctx = LlamaContext(cfg, params, n_cells=n_cells)
+    kv_quant = args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0") else False
+    ctx = LlamaContext(cfg, params, n_cells=n_cells, kv_quant=kv_quant)
 
     from llama_kotlin_tpu.utils.profiling import env_trace_dir, maybe_trace
 
