@@ -90,13 +90,15 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     tok = int(np.argmax(ctx.get_logits()[0]))
     prefill_s = time.time() - t0  # includes compile (cold TTFT)
 
-    # warm TTFT: same prefill on a fresh sequence, compile cache hot
+    # warm TTFT: clear and redo the SAME prefill (same cells, same
+    # visibility bucket -> no retrace; a fresh seq would grow used_span
+    # past the bucket edge and recompile)
+    ctx.seq_rm(0)
     t0 = time.time()
-    rc = ctx.decode(Batch.single(prompt, seq_id=batch))
+    rc = ctx.decode(Batch.single(prompt))
     assert rc == 0
-    np.argmax(ctx.get_logits()[0])
+    tok = int(np.argmax(ctx.get_logits()[0]))
     ttft_warm_s = time.time() - t0
-    ctx.seq_rm(batch)
 
     # replicate the prefilled sequence for batched decode (seq_cp)
     for s_id in range(1, batch):

@@ -303,14 +303,15 @@ def forward(
                     top_i, top_w, act,
                 )
             elif (isinstance(gate_w, QTensor) and gate_w.is_stacked
-                    and nt * cfg.n_expert_used <= 64):
-                # quantized expert stacks, decode-shaped: gather only the
-                # routed experts' codes (mul_mat_id access pattern).  For
-                # quantized weights this wins at ANY E/k: the sweep reads
-                # AND VPU-dequantizes all E experts per step, the gather
-                # touches k/E of the bytes and dequant work (mixtral k/E =
-                # 1/4, arctic 2/128).  Prefill (nt large) keeps the sweep —
-                # every expert is routed by some token anyway.
+                    and nt * cfg.n_expert_used <= 64
+                    and nt * cfg.n_expert_used < cfg.n_expert):
+                # quantized expert stacks, decode-shaped AND fewer routed
+                # slots than experts: gather only the routed experts' codes
+                # (mul_mat_id access pattern) — it touches S/E of the bytes
+                # and dequant work (mixtral decode S/E = 1/4, arctic
+                # 2/128).  When S >= E (batched decode on few experts) or
+                # on prefill the sweep wins: it reads/dequantizes each
+                # expert exactly once, the gather would copy duplicates.
                 from llama_kotlin_tpu.ops.moe import moe_gathered_quant
 
                 down = moe_gathered_quant(

@@ -316,11 +316,12 @@ def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
     x = np.ascontiguousarray(x, np.float32).reshape(-1, 32)
     nb = x.shape[0]
     d = np.abs(x).max(axis=1, keepdims=True) / 127.0
-    d[d == 0] = 1.0
+    dd = np.where(d == 0, 1.0, d)  # divisor only: zero blocks keep d=0 on
+    # the wire so they decode to zeros (and match the native encoder)
     k = KVALUES_IQ4NL.astype(np.float32)
-    idx = np.abs(x[:, :, None] / d[:, :, None] - k).argmin(axis=2).astype(np.uint8)
+    idx = np.abs(x[:, :, None] / dd[:, :, None] - k).argmin(axis=2).astype(np.uint8)
     out = np.zeros((nb, 18), np.uint8)
-    out[:, 0:2] = d.astype("<f2").view(np.uint8)
+    out[:, 0:2] = d.astype(np.float32).astype("<f2").view(np.uint8)
     out[:, 2:18] = idx[:, 0:16] | (idx[:, 16:32] << 4)
     return out.reshape(-1)
 
@@ -332,13 +333,13 @@ def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
     amax = np.abs(x).max(axis=2)  # [nb, 8]
     dg = amax / 127.0
     d = dg.max(axis=1, keepdims=True) / 31.0
-    d[d == 0] = 1.0
-    ls = np.clip(np.rint(dg / d), 1, 31).astype(np.int32) + 32  # stored 0..63
-    dl = d * (ls - 32)
+    dd = np.where(d == 0, 1.0, d)  # divisor only (see iq4_nl note)
+    ls = np.clip(np.rint(dg / dd), 1, 31).astype(np.int32) + 32  # stored 0..63
+    dl = dd * (ls - 32)
     k = KVALUES_IQ4NL.astype(np.float32)
     idx = np.abs(x[..., None] / dl[..., None, None] - k).argmin(axis=3).astype(np.uint8)
     out = np.zeros((nb, 136), np.uint8)
-    out[:, 0:2] = d.astype("<f2").view(np.uint8)
+    out[:, 0:2] = d.astype(np.float32).astype("<f2").view(np.uint8)
     ib = np.arange(8)
     sh = np.zeros(nb, np.uint32)
     for i in range(8):

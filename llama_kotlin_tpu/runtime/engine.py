@@ -190,8 +190,6 @@ class Engine:
             elif pen != pen0:
                 return None  # mixed penalty configs: per-token host sampling
             elif skey != skey0:
-                if p.temp > 0.0 and p.top_k <= 0:
-                    return None  # full-vocab categorical can't share a window
                 mixed = True
             K = min(K,
                     s.request.n_predict - len(s.request.output_tokens),
@@ -225,14 +223,16 @@ class Engine:
         # host SamplerChain in this engine runs with nl_id=-1 (no newline
         # special-casing); the device sampler matches
         nl_tok = -1
+        V = self.ctx.cfg.vocab_size
         spv = None
         if mixed:
-            import jax.numpy as jnp_
-
-            # static window = max top_k over sampled slots; per-slot arrays
-            # mask inside it (greedy slots take argmax regardless)
+            # static window = max top_k over sampled slots (clamped to the
+            # vocab — the host chain clamps too); per-slot arrays mask
+            # inside it (greedy slots take argmax regardless).  Per-slot
+            # seeds ride spv so each request stays reproducible from its
+            # own seed regardless of batch composition.
             ps = [s.request.params for s in active]
-            w_cap = max([q.top_k for q in ps if q.temp > 0.0] or [1])
+            w_cap = min(max([q.top_k for q in ps if q.temp > 0.0] or [1]), V)
             sp = SampleParams(
                 temp=1.0, top_k=w_cap, seed=p.seed & 0x7FFFFFFF,
                 penalty_last_n=p.penalty_last_n if (
@@ -242,14 +242,15 @@ class Engine:
                 penalty_present=p.penalty_present, nl_token=nl_tok,
             )
             spv = {
-                "temp": jnp_.asarray([max(q.temp, 0.0) for q in ps], jnp_.float32),
-                "top_k": jnp_.asarray([q.top_k for q in ps], jnp_.int32),
-                "top_p": jnp_.asarray([q.top_p for q in ps], jnp_.float32),
-                "min_p": jnp_.asarray([q.min_p for q in ps], jnp_.float32),
+                "temp": jnp.asarray([max(q.temp, 0.0) for q in ps], jnp.float32),
+                "top_k": jnp.asarray([min(q.top_k, V) for q in ps], jnp.int32),
+                "top_p": jnp.asarray([q.top_p for q in ps], jnp.float32),
+                "min_p": jnp.asarray([q.min_p for q in ps], jnp.float32),
+                "seed": jnp.asarray([q.seed & 0x7FFFFFFF for q in ps], jnp.int32),
             }
         else:
             sp = SampleParams(
-                temp=max(p.temp, 0.0), top_k=p.top_k, top_p=p.top_p,
+                temp=max(p.temp, 0.0), top_k=min(p.top_k, V), top_p=p.top_p,
                 min_p=p.min_p, seed=p.seed & 0x7FFFFFFF,
                 penalty_last_n=p.penalty_last_n if (
                     p.penalty_repeat != 1.0 or p.penalty_freq != 0.0

@@ -79,8 +79,9 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
             - seen.astype(jnp.float32) * sp.penalty_present
         if sp.nl_token >= 0:  # penalize_nl=False keeps newline unpenalized
             logits = logits.at[:, sp.nl_token].set(orig[:, sp.nl_token])
+    V = logits.shape[-1]
     if spv is not None:
-        cap = max(int(sp.top_k), 1)
+        cap = min(max(int(sp.top_k), 1), V)
         vals, idx = jax.lax.top_k(logits, cap)  # [B, cap] sorted desc
         kcap = jnp.where(spv["top_k"] > 0, spv["top_k"], cap)[:, None]
         keep = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) < kcap
@@ -90,7 +91,13 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
         keep &= probs >= spv["min_p"][:, None] * probs[:, :1]
         safe_t = jnp.maximum(spv["temp"], 1e-6)[:, None]
         scaled = jnp.where(keep, vals / safe_t, -jnp.inf)
-        choice = jax.random.categorical(key, scaled, axis=-1)
+        if "seed" in spv:
+            # per-slot seeds: each request's draws depend only on its own
+            # seed + step, not on batch composition
+            keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(spv["seed"])
+            choice = jax.vmap(jax.random.categorical)(keys, scaled)
+        else:
+            choice = jax.random.categorical(key, scaled, axis=-1)
         sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
         greedy = jnp.argmax(logits, axis=-1)
         return jnp.where(spv["temp"] <= 0.0, greedy, sampled).astype(jnp.int32)
@@ -99,7 +106,7 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
     if sp.top_k <= 0 and sp.top_p >= 1.0 and sp.min_p <= 0.0:
         # pure temperature: full-vocab categorical
         return jax.random.categorical(key, logits / sp.temp, axis=-1).astype(jnp.int32)
-    cap = sp.top_k if sp.top_k > 0 else min(CAND_CAP, logits.shape[-1])
+    cap = min(sp.top_k, V) if sp.top_k > 0 else min(CAND_CAP, V)
     vals, idx = jax.lax.top_k(logits, cap)  # [B, cap] sorted desc
     keep = jnp.ones_like(vals, bool)
     if sp.top_p < 1.0:

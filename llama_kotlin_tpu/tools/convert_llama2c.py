@@ -66,11 +66,11 @@ def read_llama2c_model(path: str | Path):
     def take(*shape):
         nonlocal pos
         n = int(np.prod(shape))
-        out = f32[pos:pos + n].reshape(shape)
-        if out.size != n:
+        flat = f32[pos:pos + n]
+        if flat.size != n:
             raise ValueError(f"{path}: truncated checkpoint at {pos + n} floats")
         pos += n
-        return out
+        return flat.reshape(shape)
 
     w = {
         "token_embd": take(n_vocab, dim),

@@ -61,8 +61,10 @@ def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
     split = int(len(data) * 0.9)
     train_toks, held = data[:split], data[split:]
 
-    cfg = ModelConfig(arch="llama", vocab_size=256, n_embd=128, n_layer=4,
-                      n_head=4, n_head_kv=4, n_ff=384, n_ctx_train=n_ctx)
+    # dims are 256-multiples so the K-quant superblocks actually engage
+    # (k % 256 != 0 rows fall back to f32 in the quantize tool)
+    cfg = ModelConfig(arch="llama", vocab_size=256, n_embd=256, n_layer=4,
+                      n_head=4, n_head_kv=4, n_ff=512, n_ctx_train=n_ctx)
     params, losses = train(
         cfg, train_toks, steps=steps, batch=8, seq_len=n_ctx, lr=1e-3,
         seed=seed,

@@ -174,4 +174,4 @@ def anyres_slices(image: np.ndarray, cfg) -> tuple[list[np.ndarray], tuple[int, 
                 pad[: tile.shape[0], : tile.shape[1]] = tile
                 tile = pad
             out.append(((tile - mean) / std).transpose(2, 0, 1).astype(np.float32))
-    return out, (gw // s, gh // s)
+    return out, (-(-gw // s), -(-gh // s))  # ceil: loop pads partial tiles

@@ -145,8 +145,10 @@ def test_gathered_path_selected_for_quantized_decode(tmp_path):
     from llama_kotlin_tpu.runtime.context import LlamaContext
 
     rng = np.random.default_rng(71)
+    # E must exceed the padded slot count (token bucket 8 x k = 16) for
+    # the gather to beat the sweep — arctic/qwen2moe class
     dims = tiny_mixtral_dims(n_embd=256, n_ff=256, vocab=128,
-                             n_expert=16, n_expert_used=2)
+                             n_expert=32, n_expert_used=2)
     weights = random_mixtral_weights(dims, rng)
     path = tmp_path / "moe_q.gguf"
     write_mixtral_gguf(path, weights, dims, qtype=GGMLQuantType.Q4_K)
@@ -154,9 +156,9 @@ def test_gathered_path_selected_for_quantized_decode(tmp_path):
     cfg, params, fobj = load_gguf_model(path, compute_dtype=jnp.float32)
     fobj.close()
     w = params["layers"][0]["ffn_gate_exps"]
-    assert isinstance(w, QTensor) and w.is_stacked and len(w) == 16
+    assert isinstance(w, QTensor) and w.is_stacked and len(w) == 32
 
-    toks = np.array([3, 7], np.int32)  # decode-shaped (nt*k <= 64)
+    toks = np.array([3, 7], np.int32)  # decode-shaped (nt*k < n_expert)
     calls = []
     orig = moe_ops.moe_gathered_quant
 

@@ -166,3 +166,29 @@ def test_native_iq4_encoder_byte_identical(rng, tname):
         del os.environ["LKTPU_NO_NATIVE"]
         N._lib, N._tried = None, False
     np.testing.assert_array_equal(wire_native, wire_numpy)
+
+
+def test_iq4_zero_blocks_roundtrip_to_zero(rng):
+    """Zero blocks must encode d=0 and decode to zeros on BOTH the native
+    and numpy paths (regression: numpy wrote d=1.0 for zero blocks,
+    corrupting zero-padded rows)."""
+    import os
+
+    x = np.zeros((4, 256), np.float32)
+    x[2, :32] = 0.1
+    for tname in ("iq4_nl", "iq4_xs"):
+        qt = NAME_TO_TYPE[tname]
+        wire_native = Q.quantize(x, qt)
+        os.environ["LKTPU_NO_NATIVE"] = "1"
+        try:
+            import llama_kotlin_tpu.native as N
+
+            N._lib, N._tried = None, False
+            wire_numpy = Q.quantize(x, qt)
+        finally:
+            del os.environ["LKTPU_NO_NATIVE"]
+            N._lib, N._tried = None, False
+        rt = Q.dequantize(wire_numpy, qt, shape=x.shape)
+        assert not rt[0].any() and not rt[3].any()
+        if get_native() is not None:
+            np.testing.assert_array_equal(wire_native, wire_numpy)
