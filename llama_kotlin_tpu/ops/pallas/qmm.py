@@ -51,14 +51,26 @@ def _codes_i8(x: jnp.ndarray) -> jnp.ndarray:
     return pltpu.bitcast(x, jnp.int8) if x.dtype == jnp.uint8 else x
 
 
-def _unpack_plane_f32(codes: jnp.ndarray, bits: int, p: int) -> jnp.ndarray:
+def _unpack_plane_f32(codes: jnp.ndarray, bits: int, p: int,
+                      hi_signed: bool = False) -> jnp.ndarray:
     """One bit-plane of packed codes -> f32, staying in 8-bit vectors for
     the shifts/masks (the i32 path quadruples VPU register pressure and was
     the decode bottleneck).  Mosaic has no i8 arithmetic shift (shrsi), so
     sub-byte planes shift logically in uint8 and bitcast to i8 (nibble
-    values <= 15 are sign-safe) before the i8->f32 convert."""
+    values <= 15 are sign-safe) before the i8->f32 convert.
+
+    hi_signed (the W4 fast-mode packing, quant/fold.py): the low nibble is
+    the raw code and the high nibble is stored pre-signed, so both planes
+    unpack with ONE byte-wide AND (no shifts): plane 1's bitcast-int8
+    value is exactly 16*(q-8) and the fold's m_adj absorbs the -8, so the
+    kernel just scales by 1/16 (exact)."""
     if bits == 8:
         return _codes_i8(codes).astype(jnp.float32)
+    if hi_signed:
+        if p == 0:
+            return pltpu.bitcast(codes & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
+        hi16 = pltpu.bitcast(codes & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
+        return hi16 * (1.0 / 16.0)
     # Mosaic legalizes neither shrsi nor shrui on 8-bit vectors, so the
     # nibble extraction widens to i32 (shift there is supported)
     c32 = _codes_i32(codes)
@@ -69,12 +81,12 @@ def _unpack_plane_f32(codes: jnp.ndarray, bits: int, p: int) -> jnp.ndarray:
 
 def _tile_dequant_dot(x_refs, c8, sc_step, mn_step, sb_cols, sbm_cols, e_refs,
                       out_like, *, bits, n_planes, off, sc_int, mn_int,
-                      compute_dtype):
+                      compute_dtype, hi_signed=False):
     """Shared per-tile math: unpack planes, build per-column scales on the
     MXU, single FMA dequant, accumulate x @ w^T."""
     acc = jnp.zeros_like(out_like)
     for p in range(n_planes):
-        plane = _unpack_plane_f32(c8, bits, p)
+        plane = _unpack_plane_f32(c8, bits, p, hi_signed)
         e = e_refs[p][...]
         sc_cols = _exact_dot(sc_step, e, _CONTRACT, sc_int)
         if sb_cols is not None:
@@ -176,8 +188,10 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     k_pad = w.k_pad
     lead_shape = x.shape[:-1]
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
-    if x.shape[-1] != k or w.hi_signed:
-        return None  # W4 layout: qmm_w4.py (signed high nibbles)
+    if x.shape[-1] != k:
+        return None
+    if w.hi_signed and (w.bits != 4 or w.code_offset != 0 or w.g_min is None):
+        return None  # only the W4 fold layout is supported among hi_signed
     plan = _plan_tiles(n, k_pad, w.group_size)
     if plan is None:
         return None
@@ -319,6 +333,7 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
             x_refs, codes_ref[...], sc_step, mn_step, sb_cols,
             sbm_cols, e_refs, out_ref, bits=bits, n_planes=n_planes, off=off,
             sc_int=sc_int, mn_int=mn_int, compute_dtype=compute_dtype,
+            hi_signed=w.hi_signed,
         )
         out_ref[...] += acc
 

@@ -143,3 +143,31 @@ def test_qmm_w4_quality_vs_float(rng):
     e_kernel = np.abs(got - exact).mean()
     e_weight = np.abs(q4_ref - exact).mean()
     assert e_kernel < e_weight * 1.15  # activation quant adds <15% on top
+
+
+@pytest.mark.parametrize("precise", [False, True])
+def test_qmm_fused_prefill_on_w4_layout(rng, precise):
+    """The generic fused dequant-matmul kernel (ops/pallas/qmm.py) accepts
+    the W4 fold layout for prefill shapes (b > the block-diagonal decode
+    kernel's row cap): signed-hi plane unpack + m_adj group mins must
+    reproduce the dequantized matmul."""
+    from llama_kotlin_tpu.ops.pallas.qmm import qmm
+
+    n, k = 256, 1024
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    w4 = fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K), precise=precise)
+    b = 48  # beyond qmm_w4_matmul's max_rows: the prefill route
+    x = (rng.standard_normal((b, k)) * 0.5).astype(np.float32)
+
+    got = qmm(jnp.asarray(x), jax.tree.map(jnp.asarray, w4), interpret=True)
+    assert got is not None and got.shape == (b, n)
+    ref = jnp.dot(jnp.asarray(x, jnp.bfloat16),
+                  jnp.asarray(dequantize(w4, jnp.float32), jnp.bfloat16).T,
+                  preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # tighter: compare against the f32 dequant matmul within bf16 budget
+    reff = x @ np.asarray(dequantize(w4, jnp.float32)).T
+    err = np.abs(np.asarray(got) - reff).max()
+    scale = np.abs(reff).max()
+    assert err / scale < 2e-2
