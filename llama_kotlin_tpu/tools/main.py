@@ -69,6 +69,9 @@ def main(argv=None):
     if not os.path.exists(args.model):
         print(f"error: model file not found: {args.model}", file=sys.stderr)
         sys.exit(1)
+    from llama_kotlin_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     print(f"loading {args.model} ...", file=sys.stderr)
     cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
     tok = build_tokenizer(f.metadata)

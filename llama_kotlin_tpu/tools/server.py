@@ -399,6 +399,9 @@ def main():
     from llama_kotlin_tpu.models.loader import load_gguf_model
     from llama_kotlin_tpu.runtime.context import LlamaContext
     from llama_kotlin_tpu.tokenizer import build_tokenizer
+    from llama_kotlin_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
     tokenizer = build_tokenizer(f.metadata)

@@ -65,3 +65,23 @@ def maybe_trace(log_dir: Optional[str]) -> Iterator[None]:
             yield
     else:
         yield
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: serving restarts skip the
+    multi-minute first-compile of the decode buckets (the TPU analogue of
+    the reference shipping prebuilt kernels).  Respects an existing
+    JAX_COMPILATION_CACHE_DIR; LKTPU_COMPILE_CACHE=0 disables."""
+    import jax
+
+    if os.environ.get("LKTPU_COMPILE_CACHE", "1") == "0":
+        return
+    d = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+         or os.path.expanduser("~/.cache/llama_kotlin_tpu/xla"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache everything that took noticeable compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
