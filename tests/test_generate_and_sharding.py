@@ -123,3 +123,41 @@ def test_tp_sharded_moe_logits_match(tmp_path):
         ctx_tp.decode(Batch.single(toks, logits_last_only=False))
         sharded = ctx_tp.get_logits()
     np.testing.assert_allclose(sharded, base, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("kvq", ["q8_0", "q4_0"])
+def test_tp_sharded_quantized_kv_matches_single_device(kvq):
+    """Quantized-KV caches (int8 + packed int4) shard their code AND scale
+    arrays over the tp mesh axis; logits must match the unsharded
+    quantized run exactly (same quantization, different layout)."""
+    from llama_kotlin_tpu.parallel.mesh import make_mesh
+    from llama_kotlin_tpu.parallel.sharding import shard_cache, shard_params
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    import pathlib
+    import tempfile
+
+    rng = np.random.default_rng(53)
+    dims = tiny_llama_dims(n_embd=128, n_head=8, n_head_kv=4, n_ff=256, vocab=256)
+    weights = random_llama_weights(dims, rng)
+    path = pathlib.Path(tempfile.mkdtemp()) / "tpq.gguf"
+    write_llama_gguf(path, weights, dims)
+    toks = np.array([3, 17, 42, 9], np.int32)
+
+    ctx = _ctx(path, n_cells=64, kv_quant=kvq)
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    base = ctx.get_logits()
+
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    mesh = make_mesh(dp=2, tp=4)
+    params = shard_params(params, cfg, mesh)
+    ctx_tp = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32,
+                          kv_quant=kvq)
+    assert ctx_tp.cache.kv_bits == (4 if kvq == "q4_0" else 8)
+    ctx_tp.cache = shard_cache(ctx_tp.cache, mesh)
+    with mesh:
+        ctx_tp.decode(Batch.single(toks, logits_last_only=False))
+        sharded = ctx_tp.get_logits()
+    np.testing.assert_allclose(sharded, base, atol=1e-4, rtol=1e-3)
