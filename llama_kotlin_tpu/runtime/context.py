@@ -118,26 +118,33 @@ class LlamaContext:
         self._logits_rows: Optional[np.ndarray] = None
         base_forward = forward_fn or llama_model.forward
 
-        def _step(params, tokens, pos, seq, slots, cache, cell_pos, cell_seq, out_ids):
+        # cfg rides as a STATIC jit argument (identity-hashed) so
+        # set_causal_attn can swap in a replaced config and retrace —
+        # the gritlm pattern (llama_set_causal_attn, reference
+        # examples/gritlm/gritlm.cpp:48,103)
+        def _step(cfg_, params, tokens, pos, seq, slots, cache, cell_pos,
+                  cell_seq, out_ids):
             logits, cache, embd = base_forward(
-                params, cfg, tokens, pos, seq, slots, cache, cell_pos, cell_seq,
+                params, cfg_, tokens, pos, seq, slots, cache, cell_pos, cell_seq,
                 out_ids, compute_dtype=compute_dtype,
             )
             return logits, cache, embd
 
-        self._step = jax.jit(_step, donate_argnums=(5,))
+        _step_jit = jax.jit(_step, static_argnums=(0,), donate_argnums=(6,))
+        self._step = lambda *a: _step_jit(self.cfg, *a)
 
-        def _step_embd(params, embd, pos, seq, slots, cache, cell_pos,
+        def _step_embd(cfg_, params, embd, pos, seq, slots, cache, cell_pos,
                        cell_seq, out_ids):
             nt = embd.shape[0]
             logits, cache, e = base_forward(
-                params, cfg, jnp.zeros(nt, jnp.int32), pos, seq, slots, cache,
+                params, cfg_, jnp.zeros(nt, jnp.int32), pos, seq, slots, cache,
                 cell_pos, cell_seq, out_ids, compute_dtype=compute_dtype,
                 inp_embd=embd,
             )
             return logits, cache, e
 
-        self._step_embd = jax.jit(_step_embd, donate_argnums=(5,))
+        _step_embd_jit = jax.jit(_step_embd, static_argnums=(0,), donate_argnums=(6,))
+        self._step_embd = lambda *a: _step_embd_jit(self.cfg, *a)
         self._embd: Optional[jax.Array] = None
 
     def _prepare_params(self, params: dict) -> dict:
@@ -321,6 +328,17 @@ class LlamaContext:
         return e[-1]
 
     # -- sequence management (parity: llama_kv_cache_seq_*) ------------------
+
+    def set_causal_attn(self, causal: bool) -> None:
+        """Toggle causal masking (parity: llama_set_causal_attn,
+        llama.h; the gritlm embed/generate switch).  Swaps in a replaced
+        config object — the step jits key on config identity, so each
+        setting compiles once and both stay cached."""
+        if self.cfg.causal_attn == bool(causal):
+            return
+        from dataclasses import replace as _dc_replace
+
+        self.cfg = _dc_replace(self.cfg, causal_attn=bool(causal))
 
     def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1) -> None:
         self.meta.seq_rm(seq_id, p0, p1)

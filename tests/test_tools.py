@@ -179,3 +179,77 @@ def test_quant_quality_ladder(tmp_path):
     assert rows["Q2_K"]["delta"] >= rows["Q8_0"]["delta"] - 1e-3
     # 8-bit is near-lossless on any model
     assert abs(rows["Q8_0"]["delta"]) < 0.05 * rows["f32"]["ppl"]
+
+
+def test_gritlm_causal_toggle(tmp_path):
+    """set_causal_attn switches masking per call (the gritlm pattern):
+    bidirectional embedding differs from causal, and switching back
+    restores the exact causal logits (both step variants stay cached)."""
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.batch import Batch
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+
+    rng = np.random.default_rng(12)
+    dims = tiny_llama_dims(vocab=160)
+    path = tmp_path / "g.gguf"
+    write_llama_gguf(path, random_llama_weights(dims, rng), dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+
+    toks = np.array([3, 17, 42, 9], np.int32)
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    causal1 = ctx.get_logits().copy()
+
+    ctx.set_causal_attn(False)
+    ctx.clear()
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    bidi = ctx.get_logits().copy()
+    # early tokens now see later ones -> first-row logits must change
+    assert not np.allclose(bidi[0], causal1[0], atol=1e-4)
+
+    ctx.set_causal_attn(True)
+    ctx.clear()
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    np.testing.assert_array_equal(ctx.get_logits(), causal1)
+
+
+def test_gritlm_encode_semantics(tmp_path):
+    """gritlm encode(): instruction tokens are excluded from the mean pool
+    and outputs are unit-norm."""
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.tools.gritlm import encode, gritlm_instruction
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+        spm_vocab_kvs,
+    )
+    from llama_kotlin_tpu.tokenizer import build_tokenizer
+    from llama_kotlin_tpu.gguf.reader import GGUFFile
+
+    rng = np.random.default_rng(13)
+    dims = tiny_llama_dims(vocab=160)
+    path = tmp_path / "g2.gguf"
+    write_llama_gguf(path, random_llama_weights(dims, rng), dims,
+                     extra_kv=spm_vocab_kvs(160))
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    gf = GGUFFile(path)
+    tok = build_tokenizer(gf.metadata)
+    gf.close()
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=128, compute_dtype=jnp.float32)
+    reps = encode(ctx, tok, ["abc", "xyz xyz"], gritlm_instruction("find it"))
+    assert reps.shape[0] == 2
+    np.testing.assert_allclose(np.linalg.norm(reps, axis=1), 1.0, atol=1e-5)
+    assert not np.allclose(reps[0], reps[1])
