@@ -44,7 +44,23 @@ def _divisible(w: Any, axis: int, tp: int) -> bool:
 def _put(w: Any, mesh: Mesh, spec: P) -> Any:
     sh = NamedSharding(mesh, spec)
     if isinstance(w, QTensor):
-        return jax.tree.map(lambda a: jax.device_put(a, sh), w)
+        if w.aux is None:
+            return jax.tree.map(lambda a: jax.device_put(a, sh), w)
+        # fast-mode (W4/W8) tensors carry TRANSPOSED aux scale planes
+        # ([G, n] vs the main arrays' [n, k/x]) plus rank-0 markers: the
+        # main spec's axes swap for rank-2 aux, scalars replicate
+        from dataclasses import replace as _dc_replace
+
+        axes = tuple(spec) + (None,) * (2 - len(tuple(spec)))
+        aux_sh2 = NamedSharding(mesh, P(axes[1], axes[0]))
+        rep = NamedSharding(mesh, P())
+
+        def put_aux(a):
+            return jax.device_put(a, aux_sh2 if getattr(a, "ndim", 0) == 2 else rep)
+
+        main = _dc_replace(w, aux=None)
+        main = jax.tree.map(lambda a: jax.device_put(a, sh), main)
+        return _dc_replace(main, aux={k: put_aux(v) for k, v in w.aux.items()})
     return jax.device_put(w, sh)
 
 

@@ -161,3 +161,51 @@ def test_tp_sharded_quantized_kv_matches_single_device(kvq):
         ctx_tp.decode(Batch.single(toks, logits_last_only=False))
         sharded = ctx_tp.get_logits()
     np.testing.assert_allclose(sharded, base, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("fast_mode", ["w4", "w4x", "int8"])
+def test_tp_sharded_fast_mode_logits_match(fast_mode):
+    """Fast-mode (W4/W4X/Q8F) weights shard over the tp axis — including
+    the TRANSPOSED aux scale planes and rank-0 markers — and produce the
+    same logits as the unsharded fast-mode run (CPU exercises the XLA
+    fallback paths; kernel specs are identical by construction)."""
+    from llama_kotlin_tpu.parallel.mesh import make_mesh
+    from llama_kotlin_tpu.parallel.sharding import shard_cache, shard_params
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    import pathlib
+    import tempfile
+
+    rng = np.random.default_rng(54)
+    dims = tiny_llama_dims(n_embd=512, n_head=8, n_head_kv=4, n_ff=1024,
+                           vocab=256)
+    weights = random_llama_weights(dims, rng)
+    path = pathlib.Path(tempfile.mkdtemp()) / "tpf.gguf"
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+    write_llama_gguf(path, weights, dims, qtype=GGMLQuantType.Q4_K)
+    toks = np.array([3, 17, 42, 9], np.int32)
+
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32,
+                                     fast_mode=fast_mode)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    ctx.decode(Batch.single(toks, logits_last_only=False))
+    base = ctx.get_logits()
+
+    mesh = make_mesh(dp=2, tp=4)
+    params_sh = shard_params(params, cfg, mesh)
+    # aux planes must carry the swapped spec, markers replicate
+    wq = params_sh["layers"][0]["wq"]
+    if wq.aux is not None:
+        for k, v in wq.aux.items():
+            if getattr(v, "ndim", 0) == 2:
+                sp = tuple(v.sharding.spec)
+                assert "tp" in sp and sp[0] != "tp", (k, sp)
+    ctx_tp = LlamaContext(cfg, params_sh, n_cells=64, compute_dtype=jnp.float32)
+    ctx_tp.cache = shard_cache(ctx_tp.cache, mesh)
+    with mesh:
+        ctx_tp.decode(Batch.single(toks, logits_last_only=False))
+        sharded = ctx_tp.get_logits()
+    np.testing.assert_allclose(sharded, base, atol=1e-4, rtol=1e-3)
