@@ -28,7 +28,8 @@ init does):
   * the parent ALWAYS prints exactly one parsed JSON line.
 
 Env overrides: BENCH_PRESET (default llama3-8b), BENCH_STEPS, BENCH_PREFILL,
-BENCH_MODE (int8|w4a8|exact|dequant), BENCH_BATCH, BENCH_FORCE_CPU=1.
+BENCH_MODE (int8|w4a8|exact|dequant), BENCH_BATCH, BENCH_LMHEAD=q6k (real
+Q4_K_M profile: q6_K lm_head via the W8 kernel), BENCH_FORCE_CPU=1.
 """
 
 from __future__ import annotations
@@ -75,6 +76,21 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
         cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
         fast_int8=(mode == "int8"),
         fast_w4a8={"w4a8": True, "exact": "w4x"}.get(mode, False))
+    if os.environ.get("BENCH_LMHEAD", "") == "q6k" and "output" in params:
+        # real Q4_K_M profile: q6_K lm_head served by the exact W8
+        # block-diagonal kernel (ggml_vec_dot_q6_K_q8_K analogue)
+        import jax as _jax
+
+        from llama_kotlin_tpu.quant.fold import fold_to_w8
+        from llama_kotlin_tpu.quant.repack import repack_float
+
+        rng0 = np.random.default_rng(1)
+        lm = (rng0.standard_normal((cfg.vocab_size, cfg.n_embd)) * 0.02
+              ).astype(np.float32)
+        params["output"] = _jax.tree.map(
+            jnp.asarray,
+            fold_to_w8(repack_float(lm, GGMLQuantType.Q6_K),
+                       precise=(mode == "exact")))
     build_s = time.time() - t0
 
     unrolled = os.environ.get("BENCH_UNROLLED", "1") == "1"
