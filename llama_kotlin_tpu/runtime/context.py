@@ -331,14 +331,22 @@ class LlamaContext:
 
     def set_causal_attn(self, causal: bool) -> None:
         """Toggle causal masking (parity: llama_set_causal_attn,
-        llama.h; the gritlm embed/generate switch).  Swaps in a replaced
-        config object — the step jits key on config identity, so each
-        setting compiles once and both stay cached."""
-        if self.cfg.causal_attn == bool(causal):
+        llama.h; the gritlm embed/generate switch).  The two config
+        variants are MEMOIZED — ModelConfig hashes by identity, so
+        re-creating one per toggle would retrace every flip and leak a
+        jit-cache entry each time; reusing the same two objects compiles
+        each setting once."""
+        causal = bool(causal)
+        if self.cfg.causal_attn == causal:
             return
-        from dataclasses import replace as _dc_replace
+        if not hasattr(self, "_causal_variants"):
+            self._causal_variants = {self.cfg.causal_attn: self.cfg}
+        if causal not in self._causal_variants:
+            from dataclasses import replace as _dc_replace
 
-        self.cfg = _dc_replace(self.cfg, causal_attn=bool(causal))
+            self._causal_variants[causal] = _dc_replace(
+                self.cfg, causal_attn=causal)
+        self.cfg = self._causal_variants[causal]
 
     def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1) -> None:
         self.meta.seq_rm(seq_id, p0, p1)

@@ -184,7 +184,11 @@ class Engine:
                 return None
             pen = (p.penalty_last_n, p.penalty_repeat, p.penalty_freq,
                    p.penalty_present)
-            skey = (p.temp, p.top_k, p.top_p, p.min_p)
+            # seed is part of the per-slot config: differing seeds route
+            # through the spv path so each request samples from its OWN
+            # stream (reproducible regardless of batch composition)
+            skey = (p.temp, p.top_k, p.top_p, p.min_p,
+                    p.seed if p.temp > 0.0 else 0)
             if pen0 is None:
                 pen0, skey0 = pen, skey
             elif pen != pen0:
@@ -233,8 +237,10 @@ class Engine:
             # own seed regardless of batch composition.
             ps = [s.request.params for s in active]
             w_cap = min(max([q.top_k for q in ps if q.temp > 0.0] or [1]), V)
+            # sp.seed stays 0: per-slot seeds ride the TRACED spv arrays,
+            # so new seed values never retrace the K-step loop
             sp = SampleParams(
-                temp=1.0, top_k=w_cap, seed=p.seed & 0x7FFFFFFF,
+                temp=1.0, top_k=w_cap, seed=0,
                 penalty_last_n=p.penalty_last_n if (
                     p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
                     or p.penalty_present != 0.0) else 0,
@@ -249,9 +255,12 @@ class Engine:
                 "seed": jnp.asarray([q.seed & 0x7FFFFFFF for q in ps], jnp.int32),
             }
         else:
+            # identical configs incl. seed: scalar params; the seed rides
+            # as a TRACED argument (sp.seed stays 0 -> one compiled loop
+            # serves every seed value)
             sp = SampleParams(
                 temp=max(p.temp, 0.0), top_k=min(p.top_k, V), top_p=p.top_p,
-                min_p=p.min_p, seed=p.seed & 0x7FFFFFFF,
+                min_p=p.min_p, seed=0,
                 penalty_last_n=p.penalty_last_n if (
                     p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
                     or p.penalty_present != 0.0) else 0,
@@ -284,6 +293,7 @@ class Engine:
             jnp.asarray(slots_flat.reshape(K, B)),
             K, sp, self.ctx.compute_dtype,
             pen_window=pen_window, spv=spv,
+            seed=jnp.asarray(p.seed & 0x7FFFFFFF, jnp.uint32),
         )
         self.ctx.cache = cache
         out = np.asarray(out_tokens)  # [K, B]

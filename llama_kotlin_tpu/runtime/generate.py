@@ -138,6 +138,7 @@ def generate_loop(
     compute_dtype=jnp.bfloat16,
     pen_window: Optional[jnp.ndarray] = None,  # [B, last_n] i32, -1 = empty
     spv: Optional[dict] = None,  # per-slot sampling arrays [B] (see _sample)
+    seed: Optional[jnp.ndarray] = None,  # traced scalar seed (no retrace per value)
 ):
     """Decode n_steps tokens for B sequences entirely on device.
 
@@ -148,10 +149,20 @@ def generate_loop(
     penalties: empty (-1) columns first, then history oldest-first, so the
     ring pointer starting at column 0 evicts empties before real tokens.
     Occurrence counts are derived on device and maintained across steps.
+
+    Seeding: `seed` (traced) or sp.seed (static) starts the per-loop key
+    chain; when spv carries per-slot "seed"s the chain's base is a
+    CONSTANT and every row's draws depend only on (own seed, step) — a
+    request's tokens are reproducible regardless of batch composition.
     """
     B = tokens0.shape[0]
     out_ids = jnp.arange(B, dtype=jnp.int32)
-    key0 = jax.random.PRNGKey(sp.seed)
+    if spv is not None and "seed" in spv:
+        key0 = jax.random.PRNGKey(0)  # per-row seeds folded in _sample
+    elif seed is not None:
+        key0 = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    else:
+        key0 = jax.random.PRNGKey(sp.seed)
     rows = jnp.arange(B)
 
     use_pen = sp.use_penalties and pen_window is not None

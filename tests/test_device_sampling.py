@@ -261,3 +261,104 @@ def test_chunked_decode_with_waiting_queue(tmp_path):
     # 32 generated tokens total; chunking (8/call) must have engaged for
     # both requests: decode steps well under 32 (2 prompts + ~4 chunks)
     assert engine.metrics["n_decode_steps"] <= 12
+
+
+def test_spv_sampling_reproducible_across_batch_composition(rng):
+    """With per-slot seeds, a row's draws depend only on (own seed, step),
+    never on the batch-mates' seeds (the base key is constant)."""
+    V = 97
+    logits = rng.standard_normal((2, V)).astype(np.float32) * 2
+    sp = SampleParams(temp=1.0, top_k=20, seed=0)
+
+    def draw(seeds):
+        spv = {
+            "temp": jnp.asarray([0.8, 0.8], jnp.float32),
+            "top_k": jnp.asarray([20, 20], jnp.int32),
+            "top_p": jnp.asarray([1.0, 1.0], jnp.float32),
+            "min_p": jnp.asarray([0.0, 0.0], jnp.float32),
+            "seed": jnp.asarray(seeds, jnp.int32),
+        }
+        return np.asarray(_sample(jnp.asarray(logits), sp,
+                                  jax.random.PRNGKey(0), spv=spv))
+
+    # row 1 keeps seed 42 while row 0's seed varies: row 1's token is fixed
+    t_a = draw([7, 42])
+    t_b = draw([5, 42])
+    assert t_a[1] == t_b[1]
+    # and a row's stream really is seed-dependent
+    t_c = draw([7, 43])
+    outs = {int(draw([7, 42 + i])[1]) for i in range(8)}
+    assert len(outs) > 1  # different seeds give different draws eventually
+
+
+def test_chunked_decode_no_retrace_per_seed(tmp_path):
+    """Distinct request seeds must reuse ONE compiled chunk loop: the seed
+    rides as a traced argument (sp.seed stays 0)."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.runtime.engine import Engine, Request
+    from llama_kotlin_tpu.runtime import generate as gen_mod
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+    from tests.test_server import ToyTokenizer
+
+    rng = np.random.default_rng(9)
+    dims = tiny_llama_dims(vocab=160)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, random_llama_weights(dims, rng), dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    tok = ToyTokenizer(dims["vocab"])
+    ctx = LlamaContext(cfg, params, n_cells=256, compute_dtype=jnp.float32)
+    engine = Engine(ctx, tok, n_slots=1, n_batch=64, chunk_steps=8)
+
+    traces = gen_mod.generate_loop._cache_size() \
+        if hasattr(gen_mod.generate_loop, "_cache_size") else None
+    outs = []
+    for seed in (11, 222, 3333):
+        req = Request(prompt_tokens=np.array([2, 7], np.int32),
+                      params=SamplingParams(temp=0.9, top_k=20, seed=seed),
+                      n_predict=8)
+        engine.submit(req)
+        stop = threading.Event()
+        t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+        t.start()
+        assert req.done.wait(timeout=240)
+        stop.set()
+        t.join(timeout=30)
+        outs.append(tuple(req.output_tokens))
+        ctx.clear()
+    if traces is not None:
+        # one compiled loop serves all three seeds
+        assert gen_mod.generate_loop._cache_size() - traces <= 1
+    assert len(set(outs)) > 1  # seeds actually vary the output
+
+
+def test_set_causal_attn_memoizes_config(tmp_path):
+    """Toggling causal attention reuses the same two config objects (no
+    retrace-per-flip, no jit cache leak)."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+
+    rng = np.random.default_rng(10)
+    dims = tiny_llama_dims(vocab=160)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, random_llama_weights(dims, rng), dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+    ids = []
+    for _ in range(4):
+        ctx.set_causal_attn(False)
+        ids.append(id(ctx.cfg))
+        ctx.set_causal_attn(True)
+        ids.append(id(ctx.cfg))
+    assert len(set(ids)) == 2  # exactly one object per setting, reused
