@@ -197,9 +197,13 @@ def config_from_metadata(md: dict) -> ModelConfig:
         vs = len(toks) if toks is not None else 32000
     cfg.vocab_size = int(vs)
 
-    # rope scaling
+    # rope scaling (legacy pre-scaling.* GGUFs use {arch}.rope.scale_linear,
+    # still honoured by llm_load_hparams — LLM_KV_ROPE_SCALE_LINEAR)
     scaling = _get(md, arch, "rope.scaling.type", "") or ""
     factor = _get(md, arch, "rope.scaling.factor", None)
+    legacy_linear = _get(md, arch, "rope.scale_linear", None)
+    if not scaling and not factor and legacy_linear:
+        scaling, factor = "linear", legacy_linear
     if scaling == "linear" and factor:
         cfg.rope_freq_scale = 1.0 / float(factor)
     elif scaling == "yarn" and factor:

@@ -441,6 +441,11 @@ def forward(
         return h, k_layer, v_layer, ks_layer, vs_layer
 
     if "layers_stacked" in params:
+        if collect_stats or collect_layer_outputs:
+            raise ValueError(
+                "collect_stats/collect_layer_outputs need unstacked layers "
+                "(per-layer names can't escape a lax.scan body); load the "
+                "model with prefer_unrolled=True")
         # lax.scan over stacked layers: one-layer compile regardless of
         # depth, and NOTHING big moves per layer:
         # - matmul weights are closed over whole and layer-indexed inside
@@ -459,12 +464,10 @@ def forward(
         stacked = params["layers_stacked"]
         # NOTE: a zero-copy StackedSlice scalar-prefetch kernel measured
         # ~20x slower than plain qmm (prefetch-indexed blocks defeat
-        # Mosaic's pipelining; kernel removed, see git history), so big
+        # Mosaic's pipelining; kernel removed, see git history), so ALL
         # weights ride as scan xs (slice copies); the unrolled path avoids
-        # both costs and is preferred for serving (prefer_unrolled=True).
-        BIG: set = set()
-        small = {k: v for k, v in stacked.items() if k not in BIG}
-        big = {k: v for k, v in stacked.items() if k in BIG}
+        # that cost and is preferred for serving (prefer_unrolled=True).
+        small = stacked
 
         # visibility: old cells (new tokens' cells excluded) + intra-batch
         slot_taken = jnp.zeros(n_vis, bool).at[slots].set(True, mode="drop")
@@ -521,11 +524,6 @@ def forward(
         def scan_body(h, xs):
             small_sliced, i, cvec = xs
             lp = dict(small_sliced)
-            for key, v in big.items():
-                if isinstance(v, list):
-                    lp[key] = [StackedSlice(e, i) for e in v]
-                else:
-                    lp[key] = StackedSlice(v, i)
             q, k, v = qkv(lp, attn_in(lp, h), i)
             if kv_quant:
                 # quantize first and attend over the dequantized values so

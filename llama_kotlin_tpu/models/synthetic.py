@@ -158,8 +158,13 @@ def synthetic_params(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
             for key, (nn, kk) in (("ffn_gate_exps", (F, E)),
                                   ("ffn_up_exps", (F, E)),
                                   ("ffn_down_exps", (E, F))):
+                # mirror the loader policy: beyond E=16 fast modes fall
+                # back to standard stacked repack + routed-expert gather,
+                # so synthetic benches measure the real serving path
+                big_e = cfg.n_expert > 16
                 ws = [_rand_weight(rng, nn, kk, qtype, compute_dtype,
-                                   fast_int8, fast_w4a8)
+                                   fast_int8 and not big_e,
+                                   False if big_e else fast_w4a8)
                       for _ in range(cfg.n_expert)]
                 if isinstance(ws[0], QTensor):
                     fast_eligible = (ws[0].aux is not None  # W4/W8 folds

@@ -194,7 +194,6 @@ def load_t5(path, *, compute_dtype=jnp.float32):
             key = _T5_SUFFIX.get(suffix)
             if key is None:
                 continue
-            lkey = key if key in _T5_FLOAT else key
             params[side]["layers"][int(i_str)][key] = _load_tensor(
                 f, name, "attn_norm" if key in _T5_FLOAT else key, compute_dtype)
     return cfg, params, f

@@ -37,8 +37,16 @@ EXPERT_ROW = {"ffn_down_exps"}
 
 
 def _divisible(w: Any, axis: int, tp: int) -> bool:
-    arrays = [w.codes, w.g_scale, w.g_min, w.sb_scale, w.sb_min] if isinstance(w, QTensor) else [w]
-    return all(a is None or a.shape[axis] % tp == 0 for a in arrays)
+    if not isinstance(w, QTensor):
+        return w.shape[axis] % tp == 0
+    arrays = [w.codes, w.g_scale, w.g_min, w.sb_scale, w.sb_min]
+    ok = all(a is None or a.shape[axis] % tp == 0 for a in arrays)
+    if ok and w.aux:
+        # rank-2 aux planes are TRANSPOSED ([G-ish, n]); _put gives them
+        # the swapped spec, so their (1 - axis) dim must divide too
+        ok = all(a.shape[1 - axis] % tp == 0
+                 for a in w.aux.values() if getattr(a, "ndim", 0) == 2)
+    return ok
 
 
 def _put(w: Any, mesh: Mesh, spec: P) -> Any:

@@ -340,7 +340,6 @@ def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
     idx = np.abs(x[..., None] / dl[..., None, None] - k).argmin(axis=3).astype(np.uint8)
     out = np.zeros((nb, 136), np.uint8)
     out[:, 0:2] = d.astype(np.float32).astype("<f2").view(np.uint8)
-    ib = np.arange(8)
     sh = np.zeros(nb, np.uint32)
     for i in range(8):
         sh |= ((ls[:, i].astype(np.uint32) >> 4) & 3) << (2 * i)
