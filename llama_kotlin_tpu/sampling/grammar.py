@@ -401,33 +401,59 @@ class GrammarSampler:
         self.grammar.reset()
         self.partial = b""
 
-    def _piece(self, tid: int, tokenizer) -> str:
+    def _piece(self, tid: int, tokenizer) -> bytes:
         s = self._piece_cache.get(tid)
         if s is None:
             raw = tokenizer.id_to_piece(tid)
-            s = raw.decode("utf-8", errors="ignore") if isinstance(raw, bytes) else raw
+            s = raw if isinstance(raw, bytes) else raw.encode("utf-8")
             self._piece_cache[tid] = s
         return s
 
+    @staticmethod
+    def _split_partial(data: bytes) -> tuple[str, bytes]:
+        """Decode complete UTF-8 chars, returning (text, trailing
+        incomplete sequence) — the reference's decode_utf8 partial-
+        sequence handling (llama-grammar.cpp): byte-level BPE splits
+        multi-byte characters across tokens, so the tail carries over."""
+        for i in range(1, min(4, len(data)) + 1):
+            b = data[-i]
+            if b < 0x80:
+                break  # ascii tail: everything complete
+            if b >= 0xC0:  # lead byte at position -i
+                need = 2 if b < 0xE0 else 3 if b < 0xF0 else 4
+                if need > i:
+                    return (data[:-i].decode("utf-8", errors="replace"),
+                            data[-i:])
+                break
+        return data.decode("utf-8", errors="replace"), b""
+
     def token_allowed(self, tid: int, tokenizer, eos_id: int = -1) -> bool:
         if tid == eos_id:
-            return self.grammar.can_end
+            return not self.partial and self.grammar.can_end
         piece = self._piece(tid, tokenizer)
         if not piece:
             return False
-        return self.grammar.accepts_text(piece)
+        text, rest = self._split_partial(self.partial + piece)
+        if text and not self.grammar.accepts_text(text):
+            return False
+        # a trailing incomplete sequence is optimistically allowed (it can
+        # only extend to SOME code point; the completing token is checked)
+        return bool(text) or bool(rest)
 
-    def filter_candidates(self, c, tokenizer) -> None:
+    def filter_candidates(self, c, tokenizer, eos_id: int = -1) -> None:
         keep = np.ones(len(c.ids), bool)
         for i, tid in enumerate(c.ids):
-            if not self.token_allowed(int(tid), tokenizer):
+            if not self.token_allowed(int(tid), tokenizer, eos_id=eos_id):
                 keep[i] = False
         if keep.any():
             c.keep(keep)
         c.sorted = False
 
-    def accept_token(self, tid: int, tokenizer) -> None:
+    def accept_token(self, tid: int, tokenizer, eos_id: int = -1) -> None:
+        if tid == eos_id:
+            return  # EOS carries no text; allowed iff can_end (filter)
         piece = self._piece(tid, tokenizer)
-        for ch in piece:
+        text, self.partial = self._split_partial(self.partial + piece)
+        for ch in text:
             if not self.grammar.accept_cp(ord(ch)):
                 raise ValueError(f"token {tid} ({piece!r}) rejected by grammar")

@@ -154,9 +154,13 @@ class _Converter:
             body = f'"[" ws ( {sub} ("," ws {sub})* )? "]" ws'
         else:
             lo = max(min_items - 1, 0)
-            hi = "" if max_items is None else str(int(max_items) - 1)
-            rep = f'("," ws {sub}){{{lo},{hi}}}' if (lo or hi) else ""
-            head = sub if min_items > 0 else f"( {sub}"
+            if max_items is None:
+                # open upper bound: {lo,} (fix: lo=0 previously dropped the
+                # repetition entirely, forcing exactly one element)
+                rep = f'("," ws {sub}){{{lo},}}'
+            else:
+                hi = int(max_items) - 1
+                rep = f'("," ws {sub}){{{lo},{hi}}}' if hi > 0 else ""
             if min_items > 0:
                 body = f'"[" ws {sub} {rep} "]" ws'
             else:

@@ -242,7 +242,8 @@ class SamplerChain:
                   nl_id=self.nl_id, penalize_nl=p.penalize_nl)
 
         if self.grammar is not None and tokenizer is not None:
-            self.grammar.filter_candidates(c, tokenizer)
+            eos = getattr(getattr(tokenizer, "vocab", None), "eos_id", -1)
+            self.grammar.filter_candidates(c, tokenizer, eos_id=eos)
 
         if p.temp < 0.0:
             # "sample with probs but greedy" mode
@@ -276,7 +277,8 @@ class SamplerChain:
         if len(self.prev) > max(self.p.n_prev, self.p.penalty_last_n):
             self.prev.pop(0)
         if self.grammar is not None and apply_grammar and tokenizer is not None:
-            self.grammar.accept_token(int(token), tokenizer)
+            eos = getattr(getattr(tokenizer, "vocab", None), "eos_id", -1)
+            self.grammar.accept_token(int(token), tokenizer, eos_id=eos)
         self.n_sampled += 1
 
     # -- helpers -------------------------------------------------------------

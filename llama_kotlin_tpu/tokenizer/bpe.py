@@ -201,7 +201,7 @@ class BPETokenizer:
         v = self.vocab
         parts = []
         for tid in ids:
-            if skip_special and v.is_special(tid):
+            if skip_special and v.is_control(tid):
                 continue
             parts.append(self.id_to_piece(tid))
         return b"".join(parts).decode("utf-8", errors="replace")

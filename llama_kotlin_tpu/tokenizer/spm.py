@@ -140,7 +140,7 @@ class SPMTokenizer:
         parts: list[bytes] = []
         first = True
         for tid in ids:
-            if skip_special and v.is_special(tid):
+            if skip_special and v.is_control(tid):
                 continue
             piece = self.id_to_piece(tid)
             if first and piece.startswith(b" "):

@@ -222,7 +222,7 @@ class UGMTokenizer:
         v = self.vocab
         parts: list[str] = []
         for tid in ids:
-            if skip_special and v.is_special(tid):
+            if skip_special and v.is_control(tid):
                 continue
             parts.append(v.tokens[tid].replace(SPACE_ESCAPE, " "))
         text = "".join(parts)

@@ -68,6 +68,12 @@ class Vocab:
         return self.type_of(tid) in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED,
                                      TOKEN_TYPE_UNKNOWN)
 
+    def is_control(self, tid: int) -> bool:
+        """Tokens the detokenizer hides when skip_special=True: CONTROL/
+        UNKNOWN only — USER_DEFINED tokens are real text (multi-space
+        indents etc.) and always render (cf. llama_detokenize)."""
+        return self.type_of(tid) in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_UNKNOWN)
+
     def special_tokens(self) -> list[int]:
         """Token ids eligible for special-token partitioning during encode
         (cf. tokenizer_st_partition, llama-vocab.cpp)."""

@@ -89,11 +89,22 @@ class WPMTokenizer:
             out.append(sep)
         return out
 
+    def id_to_piece(self, tid: int) -> bytes:
+        """Raw token text (grammar/tokenize-tool surface; WPM pieces are
+        plain subwords, '##' continuation prefix stripped)."""
+        v = self.vocab
+        if v.is_control(tid):
+            return b""
+        t = v.tokens[tid]
+        if t.startswith(WORD_PREFIX):
+            return (" " + t[len(WORD_PREFIX):]).encode("utf-8")
+        return t.encode("utf-8")
+
     def decode(self, ids, skip_special: bool = True) -> str:
         v = self.vocab
         parts: list[str] = []
         for tid in ids:
-            if skip_special and v.is_special(tid):
+            if skip_special and v.is_control(tid):
                 continue
             t = v.tokens[tid]
             if t.startswith(WORD_PREFIX):

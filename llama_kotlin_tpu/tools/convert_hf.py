@@ -98,7 +98,7 @@ def map_tensor_name(hf_name: str) -> str | None:
     return f"blk.{i}.{m}"
 
 
-def export_tokenizer(w: GGUFWriter, model_dir: Path) -> None:
+def export_tokenizer(w: GGUFWriter, model_dir: Path, arch: str = "llama") -> None:
     tok_json = model_dir / "tokenizer.json"
     if not tok_json.exists():
         return
@@ -121,7 +121,12 @@ def export_tokenizer(w: GGUFWriter, model_dir: Path) -> None:
         merges = model.get("merges", [])
         merges = [m if isinstance(m, str) else " ".join(m) for m in merges]
         w.add_kv("tokenizer.ggml.model", "gpt2")
-        w.add_kv("tokenizer.ggml.pre", "llama-bpe")
+        # pretokenizer family per arch (the reference converter detects it
+        # from a tokenizer hash; arch is an adequate proxy for the models
+        # this converter covers)
+        pre = {"qwen2": "qwen2", "gpt2": "gpt-2", "gptneox": "gpt-2",
+               "gemma": "default", "gemma2": "default"}.get(arch, "llama-bpe")
+        w.add_kv("tokenizer.ggml.pre", pre)
         w.add_kv("tokenizer.ggml.tokens", tokens)
         w.add_kv("tokenizer.ggml.token_type", types)
         w.add_kv("tokenizer.ggml.merges", merges)
@@ -247,7 +252,7 @@ def _convert_gpt_family(w: GGUFWriter, arch: str, hf_cfg: dict, model_dir: Path,
         w.add_kv("gptneox.vocab_size", np.uint32(hf_cfg["vocab_size"]))
         prefix, layer_prefix, tmap = "gpt_neox.", "layers.", _NEOX_MAP
 
-    export_tokenizer(w, model_dir)
+    export_tokenizer(w, model_dir, arch)
     count = 0
     for hf_name, arr in load_hf_weights(model_dir):
         n = hf_name
@@ -323,7 +328,7 @@ def convert(model_dir: str | Path, out_path: str | Path, dtype: str = "f16",
         w.add_kv(f"{arch}.rope.scaling.type", "linear")
         w.add_kv(f"{arch}.rope.scaling.factor", np.float32(rope_scaling.get("factor", 1.0)))
 
-    export_tokenizer(w, model_dir)
+    export_tokenizer(w, model_dir, arch)
 
     out_t = GGMLQuantType.F16 if dtype == "f16" else \
         GGMLQuantType.BF16 if dtype == "bf16" else GGMLQuantType.F32
@@ -341,9 +346,16 @@ def convert(model_dir: str | Path, out_path: str | Path, dtype: str = "f16",
             kind = {"w1": "ffn_gate_exps", "w2": "ffn_down_exps", "w3": "ffn_up_exps"}[parts[3]]
             experts.setdefault((i, kind), {})[e_idx] = arr
             continue
-        if name.endswith("attn_q.weight") or name.endswith("attn_q.bias"):
+        # q/k row permutation applies ONLY to NORM-rope (adjacent-pair)
+        # arches — the llama family.  NEOX-rope arches (qwen2, gemma 1/2,
+        # gptneox) rotate half-split dims, exactly the HF layout, so their
+        # rows must stay unpermuted (cf. llama_rope_type, src/llama.cpp).
+        norm_rope = arch == "llama"
+        if norm_rope and (name.endswith("attn_q.weight")
+                          or name.endswith("attn_q.bias")):
             arr = permute_qk(arr, n_head)
-        elif name.endswith("attn_k.weight") or name.endswith("attn_k.bias"):
+        elif norm_rope and (name.endswith("attn_k.weight")
+                            or name.endswith("attn_k.bias")):
             arr = permute_qk(arr, n_kv)
         t = GGMLQuantType.F32 if arr.ndim == 1 or "norm" in name else out_t
         w.add_tensor(name, arr, t)

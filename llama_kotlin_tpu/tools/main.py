@@ -189,6 +189,11 @@ def main(argv=None):
             common = 0
             while common < min(len(cached), len(ids)) and cached[common] == ids[common]:
                 common += 1
+            if common == len(ids):
+                # full match: roll back one token so re-feeding it yields
+                # logits without duplicating it in the cache (main.cpp does
+                # the same n_past-- trick)
+                common -= 1
             ctx.seq_rm(0, common, -1)
             n_past = common
             print(f"(session reuse: {common}/{len(ids)} tokens)", file=sys.stderr)

@@ -184,7 +184,10 @@ def main():
     if args.save_logits:
         np.savez_compressed(args.save_logits, *logits)
     if args.kl_base:
-        base = [v for _, v in sorted(np.load(args.kl_base).items())]
+        # numeric key order: lexicographic sort pairs arr_10 before arr_2
+        base_npz = np.load(args.kl_base)
+        base = [base_npz[k] for k in sorted(
+            base_npz.files, key=lambda n: int(n.split("_")[-1]))]
         kl, top1 = kl_divergence(base, logits)
         result["kl_divergence"] = round(kl, 6)
         result["top1_agreement"] = round(top1, 4)

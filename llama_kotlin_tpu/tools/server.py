@@ -50,11 +50,13 @@ def sampling_params_from_json(d: dict) -> SamplingParams:
 
 
 class ServerState:
-    def __init__(self, engine: Engine, tokenizer, model_name: str, template: str):
+    def __init__(self, engine: Engine, tokenizer, model_name: str, template: str,
+                 slot_save_path: str | None = None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.template = template
+        self.slot_save_path = slot_save_path
         self.stop = threading.Event()
         self.thread = threading.Thread(
             target=engine.run_loop, args=(self.stop,), daemon=True
@@ -306,7 +308,18 @@ def make_handler(state: ServerState):
                 return
             action = (parse_qs(u.query).get("action") or ["?"])[0]
             d = self._read_json()
-            filename = d.get("filename", f"slot{slot_id}.bin")
+            # confine client-supplied filenames to the slot-save directory
+            # (reference: --slot-save-path; unset -> feature disabled)
+            if state.slot_save_path is None and action in ("save", "restore"):
+                self._json({"error": "slot save/restore disabled "
+                            "(no --slot-save-path)"}, 400)
+                return
+            import os as _os
+
+            fname = _os.path.basename(str(d.get("filename",
+                                               f"slot{slot_id}.bin")))
+            filename = (_os.path.join(state.slot_save_path, fname)
+                        if state.slot_save_path else fname)
             slot = engine.slots[slot_id]
             with engine.lock:
                 if action == "save":
@@ -368,10 +381,12 @@ def make_handler(state: ServerState):
 
 
 def serve(ctx, tokenizer, model_name="model", template: Optional[str] = None,
-          host="127.0.0.1", port=8080, n_slots=4, n_batch=256) -> ServerState:
+          host="127.0.0.1", port=8080, n_slots=4, n_batch=256,
+          slot_save_path: Optional[str] = None) -> ServerState:
     engine = Engine(ctx, tokenizer, n_slots=n_slots, n_batch=n_batch)
     template = template or "chatml"
-    state = ServerState(engine, tokenizer, model_name, template)
+    state = ServerState(engine, tokenizer, model_name, template,
+                        slot_save_path=slot_save_path)
     state.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     state.httpd = httpd  # type: ignore[attr-defined]
@@ -392,6 +407,9 @@ def main():
                          "int4 K/V)")
     ap.add_argument("--fast-mode", default=None, choices=["int8", "w4", "w4x"],
                     help="serving weight layout (see tools/main.py --fast-mode)")
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for /slots save/restore files "
+                         "(unset = endpoint disabled, like the reference)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -410,6 +428,7 @@ def main():
     kv_quant = args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0") else False
     ctx = LlamaContext(cfg, params, n_cells=args.n_ctx, kv_quant=kv_quant)
     state = serve(ctx, tokenizer, model_name=cfg.name or "model", template=template,
+                  slot_save_path=args.slot_save_path,
                   host=args.host, port=args.port, n_slots=args.n_slots,
                   n_batch=args.n_batch)
     print(f"listening on http://{args.host}:{args.port}")

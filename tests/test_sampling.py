@@ -172,3 +172,74 @@ def test_repetition_bounds():
     g = Grammar(rules, root)
     for text, ok in [("a", False), ("aa", True), ("aaa", True), ("aaaa", True), ("aaaaa", False)]:
         assert _accepts(g, text) == ok, text
+
+
+def test_grammar_allows_eos_on_completion():
+    """When the grammar can only end, EOS must be allowed (and accepting
+    it is a no-op) — previously every candidate was rejected and accept
+    raised, killing generation (reference: llama_sample_grammar allows
+    EOS iff a stack is empty)."""
+    from llama_kotlin_tpu.sampling.grammar import GrammarSampler
+
+    class Tok:
+        def id_to_piece(self, tid):
+            return {0: "a", 1: "b", 2: ""}.get(tid, f"x{tid}").encode()
+
+    g = GrammarSampler('root ::= "a"')
+    tok = Tok()
+    assert g.token_allowed(0, tok, eos_id=2)
+    assert not g.token_allowed(2, tok, eos_id=2)  # not complete yet
+    g.accept_token(0, tok, eos_id=2)
+    assert not g.token_allowed(0, tok, eos_id=2)  # grammar exhausted
+    assert g.token_allowed(2, tok, eos_id=2)      # EOS now the only option
+    g.accept_token(2, tok, eos_id=2)              # no-op, no raise
+
+
+def test_grammar_partial_utf8_byte_tokens():
+    """Multi-byte characters split across byte-level tokens match the
+    grammar via partial-sequence assembly (reference decode_utf8)."""
+    from llama_kotlin_tpu.sampling.grammar import GrammarSampler
+
+    e = "é".encode("utf-8")  # 2 bytes
+
+    class Tok:
+        def id_to_piece(self, tid):
+            return {0: e[:1], 1: e[1:], 2: b"z"}[tid]
+
+    g = GrammarSampler('root ::= [é] "z"')
+    tok = Tok()
+    assert g.token_allowed(0, tok)   # valid prefix byte: optimistic
+    g.accept_token(0, tok)
+    assert g.partial == e[:1]
+    assert g.token_allowed(1, tok)   # completes é, which the grammar wants
+    assert not g.token_allowed(2, tok)  # 'z' byte can't continue the é lead
+    g.accept_token(1, tok)
+    assert g.partial == b""
+    assert g.token_allowed(2, tok)
+    g.accept_token(2, tok)
+    assert g.grammar.can_end
+
+
+def test_json_schema_min_items_open_max():
+    """minItems=1 without maxItems must allow arbitrarily long arrays
+    (regression: the repetition term was dropped, forcing length 1)."""
+    from llama_kotlin_tpu.sampling.grammar import Grammar, parse_gbnf
+    from llama_kotlin_tpu.sampling.json_schema import json_schema_to_gbnf
+
+    gb = json_schema_to_gbnf(
+        {"type": "array", "items": {"type": "integer"}, "minItems": 1})
+    g = Grammar(*parse_gbnf(gb))
+    for text in ("[1]", "[1,2]", "[1,2,3,4,5]"):
+        g.reset()
+        assert g.accepts_text(text[0])
+        for ch in text:
+            assert g.accept_cp(ord(ch)), (text, ch)
+        assert g.can_end, text
+    g.reset()
+    for ch in "[]":
+        ok = g.accept_cp(ord(ch))
+        if not ok:
+            break
+    else:
+        ok = g.can_end
+    assert not ok  # minItems=1: empty array rejected

@@ -68,7 +68,10 @@ def served(tmp_path_factory):
     from http.server import ThreadingHTTPServer
 
     engine = Engine(ctx, tok, n_slots=2, n_batch=64)
-    state = ServerState(engine, tok, "tiny", "chatml")
+    import tempfile
+
+    slot_dir = tempfile.mkdtemp(prefix="slots")
+    state = ServerState(engine, tok, "tiny", "chatml", slot_save_path=slot_dir)
     state.start()
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
     port = httpd.server_address[1]
@@ -187,9 +190,15 @@ def test_slot_save_restore(served, tmp_path):
     # run one request on slot 0 so its sequence has cache state
     out = _post(url + "/completion", {"prompt": "abc", "n_predict": 3, "temperature": 0})
     assert out["stop"]
-    fn = str(tmp_path / "slot0.bin")
+    # filenames are confined to the configured slot dir: a path-traversal
+    # name must be reduced to its basename (no writes outside the dir)
+    fn = "../../etc/slot0.bin"
     saved = _post(url + "/slots/0?action=save", {"filename": fn})
     assert saved["id_slot"] == 0
+    import os
+
+    assert os.path.basename(saved["filename"]) == "slot0.bin"
+    assert os.path.dirname(os.path.abspath(saved["filename"])) != "/etc"
     restored = _post(url + "/slots/0?action=restore", {"filename": fn})
     assert restored["success"] is True
     erased = _post(url + "/slots/0?action=erase", {})
