@@ -85,7 +85,6 @@ def attention(
     """
     n_vis = mask.shape[1]
     if (allow_pallas and alibi_slopes is None
-            and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: k/v dims differ
             and jax.default_backend() not in ("cpu",)):
         from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
 

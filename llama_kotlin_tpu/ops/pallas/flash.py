@@ -133,11 +133,15 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
     nt, h, d = q.shape
     kv, cells, _ = k.shape
     n_vis = n_vis if n_vis is not None else mask.shape[1]
-    if h % kv != 0 or d not in (64, 128) or nt % 8 != 0 or n_vis > cells:
+    if h % kv != 0 or d not in (64, 128, 192, 256) or nt % 8 != 0 \
+            or n_vis > cells:
         return None
     quantized = k_scale is not None
     packed = 2 if (quantized and kv_bits == 4) else 1
     if k.shape[-1] != d // packed:
+        return None
+    vd = v.shape[-1] * packed  # MLA (deepseek2): v head dim < q/k dim
+    if vd not in (64, 128, 192, 256):
         return None
     rep = h // kv
     ct = next((c for c in (512, 256, 128) if n_vis % c == 0), 0)
@@ -171,10 +175,10 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
                               bits=kv_bits),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, nt, d), out_dtype),
+        out_specs=pl.BlockSpec((1, nt, vd), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, nt, vd), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((nt, d), jnp.float32),
+            pltpu.VMEM((nt, vd), jnp.float32),
             pltpu.VMEM((nt, 128), jnp.float32),
             pltpu.VMEM((nt, 128), jnp.float32),
         ],

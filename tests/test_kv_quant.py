@@ -299,3 +299,18 @@ def test_kv_q4_state_roundtrip(tiny_model):
         assert rc == 0
     np.testing.assert_allclose(q.get_logits(), q2.get_logits(),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_mla_head_dims(rng):
+    """Flash kernel supports MLA-style unequal k/v head dims (deepseek2:
+    k 192, v 128) — output takes the V dim (interpret mode vs reference)."""
+    kv, cells, kd, vd, h, nt = 2, 256, 192, 128, 4, 8
+    k = jnp.asarray(rng.standard_normal((kv, cells, kd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((kv, cells, vd)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((nt, h, kd)).astype(np.float32))
+    mask = jnp.asarray(rng.random((nt, cells)) < 0.7)
+    out = flash_attention(q, k, v, mask, scale=0.1, interpret=True)
+    assert out is not None and out.shape == (nt, h, vd)
+    ref = attention_reference(q, k, v, mask, scale=0.1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
