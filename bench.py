@@ -19,7 +19,7 @@ platform; only jax.config.update("jax_platforms", "cpu") before backend
 init does):
   * every attempt runs in a subprocess with a hard wall-clock timeout,
     killed by process group on expiry;
-  * a cheap backend probe (90 s) runs first; if the TPU backend cannot
+  * a cheap backend probe (180 s) runs first; if the TPU backend cannot
     init, we skip straight to the CPU fallback instead of wasting the
     budget;
   * the final fallback forces the CPU backend *in-process config*, runs a
@@ -106,10 +106,9 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     tok = int(np.argmax(ctx.get_logits()[0]))
     prefill_s = time.time() - t0  # includes compile (cold TTFT)
 
-    # warm TTFT: clear and redo the SAME prefill (same cells, same
-    # visibility bucket -> no retrace; a fresh seq would grow used_span
-    # past the bucket edge and recompile)
-    ctx.seq_rm(0)
+    # warm TTFT: clear (resets the cell allocator ring, so the SAME cells
+    # and visibility bucket are reused -> no retrace) and redo the prefill
+    ctx.clear()
     t0 = time.time()
     rc = ctx.decode(Batch.single(prompt))
     assert rc == 0

@@ -510,7 +510,10 @@ def _make_q_asymmetric(
         safe = np.where(scale <= 0, 1.0, scale)
     flat = (mx - mn).squeeze(-1) < 1e-30
     best_scale = np.where(flat[..., None], 0.0, best_scale)
-    best_min = np.where(flat[..., None], -np.minimum(mn, 0.0), best_min)
+    # flat groups encode their constant via the min term: minus_min =
+    # -min(c, 0) >= 0 (matches the native encoder; positive constants are
+    # unrepresentable with scale 0 and decode to 0 either way)
+    best_min = np.where(flat[..., None], np.minimum(mn, 0.0), best_min)
     return best_L, best_scale[..., 0], -best_min[..., 0]
 
 

@@ -74,7 +74,7 @@ static float make_q_symmetric(const float *x, int n, int nmax, int32_t *L) {
     float amax = std::fabs(smax);
     if (amax < 1e-30f) { std::fill(L, L + n, 0); return 0.0f; }
     float best_score = -1.0f;
-    std::vector<int32_t> cand(n);
+    int32_t cand[32];  // n <= 32 for every K-quant group
     for (int k = -9; k <= 9; k++) {
         float iscale = -(nmax + 0.1f * k) / smax;
         float sumlx = 0, suml2 = 0;
@@ -88,7 +88,7 @@ static float make_q_symmetric(const float *x, int n, int nmax, int32_t *L) {
         float score = suml2 > 0 ? sumlx * sumlx / suml2 : -1.0f;
         if (score > best_score) {
             best_score = score;
-            std::copy(cand.begin(), cand.end(), L);
+            std::copy(cand, cand + n, L);
         }
     }
     float sumlx = 0, suml2 = 0;
@@ -107,7 +107,7 @@ static void make_q_asymmetric(const float *x, int n, int nmax,
     float amean = 0;
     for (int i = 0; i < n; i++) amean += std::fabs(x[i]);
     amean /= n;
-    std::vector<float> w(n);
+    float w[32];  // n <= 32 for every K-quant group
     for (int i = 0; i < n; i++) w[i] = std::sqrt(std::fabs(x[i]) + amean);
     float mn = 0.0f, mx = x[0];
     for (int i = 0; i < n; i++) { mn = std::min(mn, x[i]); mx = std::max(mx, x[i]); }
@@ -115,7 +115,7 @@ static void make_q_asymmetric(const float *x, int n, int nmax,
     float scale = (mx - mn) / nmax;
     float safe = scale <= 0 ? 1.0f : scale;
     float best_err = INFINITY, best_scale = 0.0f, best_min = 0.0f;
-    std::vector<int32_t> cand(n);
+    int32_t cand[32];
     std::fill(L, L + n, 0);
     for (int it = 0; it < 8; it++) {
         float sw = 0, sl = 0, sx = 0, sll = 0, slx = 0;
@@ -136,7 +136,7 @@ static void make_q_asymmetric(const float *x, int n, int nmax,
         }
         if (err < best_err) {
             best_err = err; best_scale = ns; best_min = nm;
-            std::copy(cand.begin(), cand.end(), L);
+            std::copy(cand, cand + n, L);
             scale = ns; mn = nm; safe = scale <= 0 ? 1.0f : scale;
         }
     }

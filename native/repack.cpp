@@ -9,10 +9,11 @@
 // tests/test_native.py).
 //
 // Build: cc -O3 -shared -fPIC -o liblktpu_native.so repack.cpp (see
-// native/build.py; -march=native where available).
+// llama_kotlin_tpu/native.py:_build(); -march=native where available).
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -89,19 +90,12 @@ void repack_q8_0(const uint8_t* src, int64_t n, int64_t k, int64_t k_pad,
 void repack_q4_0(const uint8_t* src, int64_t n, int64_t k, int64_t k_pad,
                  uint8_t* packed, float* d_out) {
     const int64_t nb = k / 32;
-    uint8_t tmp[/*max k elems per row chunk*/ 256];
-    // codes buffer per row (k_pad elems)
+    // per-thread row buffer (RAII: no leak on thread exit)
+    static thread_local std::vector<uint8_t> rowvec;
     for (int64_t r = 0; r < n; ++r) {
         const uint8_t* row = src + r * nb * 18;
-        // build unpacked codes row (stack-free: process span by span needs
-        // whole row; allocate on heap once)
-        static thread_local uint8_t* rowbuf = nullptr;
-        static thread_local int64_t rowbuf_len = 0;
-        if (rowbuf_len < k_pad) {
-            delete[] rowbuf;
-            rowbuf = new uint8_t[k_pad];
-            rowbuf_len = k_pad;
-        }
+        if ((int64_t)rowvec.size() < k_pad) rowvec.resize(k_pad);
+        uint8_t* rowbuf = rowvec.data();
         std::memset(rowbuf, 0, (size_t)k_pad);
         for (int64_t b = 0; b < nb; ++b) {
             const uint8_t* blk = row + b * 18;
@@ -117,7 +111,6 @@ void repack_q4_0(const uint8_t* src, int64_t n, int64_t k, int64_t k_pad,
         }
         pack4_row(rowbuf, packed + r * (k_pad / 2), k_pad);
     }
-    (void)tmp;
 }
 
 // Q4_K: 144B superblock -> u4 plane-packed codes, sc/mn u8 [n,k_pad/32],
@@ -126,13 +119,9 @@ void repack_q4_k(const uint8_t* src, int64_t n, int64_t k, int64_t k_pad,
                  uint8_t* packed, uint8_t* sc_out, uint8_t* mn_out,
                  float* d_out, float* dmin_out) {
     const int64_t nsb = k / 256;
-    static thread_local uint8_t* rowbuf = nullptr;
-    static thread_local int64_t rowbuf_len = 0;
-    if (rowbuf_len < k_pad) {
-        delete[] rowbuf;
-        rowbuf = new uint8_t[k_pad];
-        rowbuf_len = k_pad;
-    }
+    static thread_local std::vector<uint8_t> rowvec2;
+    if ((int64_t)rowvec2.size() < k_pad) rowvec2.resize(k_pad);
+    uint8_t* rowbuf = rowvec2.data();
     for (int64_t r = 0; r < n; ++r) {
         const uint8_t* row = src + r * nsb * 144;
         std::memset(rowbuf, 0, (size_t)k_pad);

@@ -59,7 +59,16 @@ void resegment(const SpmVocab* v, const std::string& sym,
             if (v->byte_ids[b] >= 0) {
                 out.push_back(v->byte_ids[b]);
             } else {
-                auto c = v->token_to_id.find(std::string(1, (char)b));
+                // python parity (Vocab.byte_token): fall back to the
+                // UTF-8 encoding of chr(b), not the raw byte
+                std::string key;
+                if (b < 0x80) {
+                    key.push_back((char)b);
+                } else {
+                    key.push_back((char)(0xC0 | (b >> 6)));
+                    key.push_back((char)(0x80 | (b & 0x3F)));
+                }
+                auto c = v->token_to_id.find(key);
                 out.push_back(c != v->token_to_id.end() ? c->second : v->unk_id);
             }
         }
@@ -79,14 +88,23 @@ void* spm_create(const char* blob, const int32_t* offsets, int32_t n,
     v->unk_id = unk_id;
     v->scores.assign(scores, scores + n);
     for (int i = 0; i < 256; i++) v->byte_ids[i] = -1;
+    auto hexval = [](unsigned char c) -> int {  // -1 if not a hex digit
+        if (c >= '0' && c <= '9') return c - '0';
+        if (c >= 'A' && c <= 'F') return c - 'A' + 10;
+        if (c >= 'a' && c <= 'f') return c - 'a' + 10;
+        return -1;
+    };
     for (int32_t i = 0; i < n; i++) {
         std::string s(blob + offsets[i], blob + offsets[i + 1]);
         v->token_to_id[s] = i;  // last occurrence wins, like the python dict
-        if (types && types[i] == 6 && s.size() == 6 && s[0] == '<' && s[1] == '0'
+        // byte tokens match by STRING shape (type-independent, like the
+        // python Vocab.byte_token '<0xXX>' lookup); hex digits validated
+        // so malformed vocab entries can't index out of bounds
+        if (s.size() == 6 && s[0] == '<' && s[1] == '0'
             && (s[2] == 'x' || s[2] == 'X') && s[5] == '>') {
-            int hi = std::isdigit(s[3]) ? s[3] - '0' : (std::toupper(s[3]) - 'A' + 10);
-            int lo = std::isdigit(s[4]) ? s[4] - '0' : (std::toupper(s[4]) - 'A' + 10);
-            v->byte_ids[hi * 16 + lo] = i;
+            int hi = hexval((unsigned char)s[3]);
+            int lo = hexval((unsigned char)s[4]);
+            if (hi >= 0 && lo >= 0) v->byte_ids[hi * 16 + lo] = i;
         }
     }
     return v;

@@ -5,7 +5,7 @@ truth (host wall-clock through the tunnel is unreliable for sub-ms calls,
 see TODO.md):
 
 1. W4 / W8 / Q8F kernel GB/s on the 8B hot shapes ([4096,4096] qkv-ish,
-   [14336,4096] ffn, [4096,14336] down, [128256,4096] lm_head) across the
+   [14336,4096] ffn, [4096,14336] down, [16384,4096] lm_head-class tile) across the
    plan space, via multi-second repeat loops (lax.fori_meaning: we jit a
    scan of R kernel calls and time the whole thing).
 2. bench.py presets per mode (w4a8 / exact / int8) end-to-end decode t/s.
@@ -118,17 +118,20 @@ def main() -> None:
 
     # end-to-end decode presets via bench.py child runs
     for mode in ("w4a8", "exact", "int8") if args.e2e else ():
-        env = dict(os.environ, BENCH_MODE=mode)
         import subprocess
 
-        p = subprocess.run([sys.executable, str(Path(__file__).parent.parent / "bench.py"),
-                            "--run"], capture_output=True, text=True, timeout=1200,
-                           env=env)
-        line = next((l for l in reversed(p.stdout.strip().splitlines())
-                     if l.startswith("{")), None)
-        record({"kind": "e2e", "mode": mode,
-                "result": json.loads(line) if line else None,
-                "rc": p.returncode})
+        try:
+            env = dict(os.environ, BENCH_MODE=mode)
+            p = subprocess.run(
+                [sys.executable, str(Path(__file__).parent.parent / "bench.py"),
+                 "--run"], capture_output=True, text=True, timeout=1200, env=env)
+            line = next((l for l in reversed(p.stdout.strip().splitlines())
+                         if l.startswith("{")), None)
+            record({"kind": "e2e", "mode": mode,
+                    "result": json.loads(line) if line else None,
+                    "rc": p.returncode})
+        except Exception as e:
+            record({"kind": "e2e", "mode": mode, "error": repr(e)[:200]})
 
 
 if __name__ == "__main__":
