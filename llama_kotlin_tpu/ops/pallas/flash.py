@@ -179,8 +179,10 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
         out_shape=jax.ShapeDtypeStruct((h, nt, vd), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((nt, vd), jnp.float32),
-            pltpu.VMEM((nt, 128), jnp.float32),
-            pltpu.VMEM((nt, 128), jnp.float32),
+            # softmax stats replicate across >= vd lanes (alpha slices to
+            # the acc width, so 128 lanes alone break vd=192/256 heads)
+            pltpu.VMEM((nt, max(128, vd)), jnp.float32),
+            pltpu.VMEM((nt, max(128, vd)), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -60,7 +60,9 @@ def apply_chat_template(messages: Iterable[dict], template: str = "chatml",
                     system = ""
                 parts.append(f"[INST] {content} [/INST]")
             else:
-                parts.append(m["content"])
+                # assistant turns terminate with </s> (the reference
+                # llama2 branch, src/llama.cpp llama_chat_apply_template)
+                parts.append(m["content"] + "</s>")
         return "".join(parts)
     if template == "gemma":
         for m in msgs:

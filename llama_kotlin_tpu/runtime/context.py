@@ -96,7 +96,11 @@ class LlamaContext:
         self.n_ubatch = n_ubatch
         self.n_seq_max = n_seq_max
         self.compute_dtype = compute_dtype
-        self.buckets = tuple(b for b in buckets if b <= max(buckets))
+        # buckets above n_ubatch are unreachable (ubatches are capped);
+        # guarantee one bucket covers a full ubatch so long prefills never
+        # outgrow the grid
+        bs = sorted({b for b in buckets if b <= n_ubatch} | {n_ubatch})
+        self.buckets = tuple(bs)
         self.meta = CellMetadata(n_cells, max_seqs=n_seq_max)
         kv_dtype = kv_dtype or compute_dtype
         # padded tokens carry slot index == n_cells; the scatter drops them
@@ -195,8 +199,10 @@ class LlamaContext:
         all_logits = []
         all_rows = []
         all_embd = []
-        for ub in batch.split(self.n_ubatch):
-            rc = self._decode_ubatch(ub, all_logits, all_rows, all_embd)
+        for base, ub in zip(range(0, len(batch), self.n_ubatch),
+                            batch.split(self.n_ubatch)):
+            rc = self._decode_ubatch(ub, all_logits, all_rows, all_embd,
+                                     row_base=base)
             if rc != 0:
                 return rc
         if all_logits:
@@ -209,7 +215,7 @@ class LlamaContext:
         return 0
 
     def _decode_ubatch(self, ub: Batch, all_logits: list, all_rows: list,
-                       all_embd: list) -> int:
+                       all_embd: list, row_base: int = 0) -> int:
         nt = len(ub)
         t0 = time.perf_counter()
         slots = self.meta.find_slots(nt)
@@ -247,7 +253,9 @@ class LlamaContext:
         )
         if len(out_rows):
             all_logits.append(logits[: len(out_rows)])
-            all_rows.append(out_rows)
+            # row indices are GLOBAL batch rows (a batch split into several
+            # ubatches must not alias rows across ubatches)
+            all_rows.append(out_rows + row_base)
             all_embd.append(embd[: len(out_rows)])
         dt = (time.perf_counter() - t0) * 1e3
         if nt == 1:

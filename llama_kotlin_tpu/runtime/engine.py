@@ -76,7 +76,6 @@ class Slot:
     n_past: int = 0  # tokens already in cache
     n_prompt: int = 0
     sampler: Optional[SamplerChain] = None
-    pending_text: str = ""
 
     def reset(self):
         self.state = SlotState.IDLE
@@ -85,7 +84,6 @@ class Slot:
         self.n_past = 0
         self.n_prompt = 0
         self.sampler = None
-        self.pending_text = ""
 
 
 class Engine:
@@ -362,7 +360,6 @@ class Engine:
             slot.sampler = SamplerChain(req.params, self.ctx.cfg.vocab_size)
             for t in prompt[:common]:
                 slot.sampler.accept(t, apply_grammar=False)
-            slot.pending_text = ""
 
     def _build_batch(self) -> Optional[Batch]:
         tokens, pos, seqs, outs = [], [], [], []
@@ -433,7 +430,6 @@ class Engine:
         piece = self.tokenizer.decode([tok], skip_special=False)
         eos = self._is_eos(tok)
         if not eos:
-            slot.pending_text += piece
             req.output_text += piece
         stopped = None
         for s in req.stop_strings:
@@ -443,8 +439,13 @@ class Engine:
                 stopped = s
                 break
         n_gen = len(req.output_tokens)
-        done = eos or stopped is not None or n_gen >= req.n_predict \
-            or slot.n_past >= self.slot_ctx - 1
+        if (not eos and stopped is None and n_gen < req.n_predict
+                and slot.n_past >= self.slot_ctx - 1):
+            # slot context full mid-generation: shift (keep n_keep, drop
+            # half) and keep going, like the reference server
+            # (server.cpp:1947) — 'length' only means n_predict reached
+            self._shift_slot(slot)
+        done = eos or stopped is not None or n_gen >= req.n_predict
         if req.stream:
             # withhold text that could still be a prefix of a stop string so
             # clients never see content that is later trimmed (the reference
@@ -472,14 +473,19 @@ class Engine:
         v = getattr(self.tokenizer, "vocab", None)
         return v is not None and tok == v.eos_id
 
+    def _shift_slot(self, slot: Slot) -> None:
+        """Context-shift one slot: keep n_keep, discard half the rest
+        (server.cpp:1947)."""
+        n_keep = slot.request.n_keep
+        n_discard = max(1, (slot.n_past - n_keep) // 2)
+        self.ctx.seq_rm(slot.seq_id, n_keep, n_keep + n_discard)
+        self.ctx.seq_add(slot.seq_id, n_keep + n_discard, -1, -n_discard)
+        slot.n_past -= n_discard
+        del slot.tokens[n_keep : n_keep + n_discard]
+
     def _handle_cache_full(self) -> None:
         """Shift contexts of generating slots (server.cpp:1947)."""
         for slot in self.slots:
             if slot.state != SlotState.GENERATING or slot.request is None:
                 continue
-            n_keep = slot.request.n_keep
-            n_discard = max(1, (slot.n_past - n_keep) // 2)
-            self.ctx.seq_rm(slot.seq_id, n_keep, n_keep + n_discard)
-            self.ctx.seq_add(slot.seq_id, n_keep + n_discard, -1, -n_discard)
-            slot.n_past -= n_discard
-            del slot.tokens[n_keep : n_keep + n_discard]
+            self._shift_slot(slot)

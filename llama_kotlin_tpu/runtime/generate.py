@@ -228,7 +228,11 @@ def generate(ctx, prompt_tokens, n_steps: int, sp: SampleParams = SampleParams()
     rc = ctx.decode(Batch.single(prompt_tokens, seq_id=seq_id))
     if rc != 0:
         raise RuntimeError("KV cache full during prefill")
-    first = int(np.argmax(ctx.get_logits()[0]))
+    # the first generated token honours sp too (it used to be argmax
+    # regardless of temperature/seed)
+    first = int(np.asarray(_sample(
+        jnp.asarray(ctx.get_logits()[:1]), sp,
+        jax.random.fold_in(jax.random.PRNGKey(sp.seed), 0x5EED))[0]))
     n_prompt = len(prompt_tokens)
 
     slots_flat = ctx.meta.find_slots(n_steps)

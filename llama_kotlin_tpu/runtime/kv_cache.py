@@ -190,6 +190,12 @@ class CellMetadata:
 
     # -- sequence ops (parity: llama_kv_cache_seq_*, llama.h:602-673) -------
 
+    @staticmethod
+    def _bit(seq_id: int) -> np.int32:
+        """Seq-id bit as int32 (bit 31 = seq 31 wraps through uint32 —
+        np.int32(1 << 31) raises OverflowError on numpy 2)."""
+        return np.uint32(1 << seq_id).astype(np.int32)
+
     def _range_mask(self, seq_id: int, p0: int, p1: int) -> np.ndarray:
         if p1 < 0:
             p1 = np.iinfo(np.int32).max
@@ -205,16 +211,16 @@ class CellMetadata:
             self.pos[m] = -1
             return
         m = self._range_mask(seq_id, p0, p1)
-        self.seq[m] &= ~np.int32(1 << seq_id)
+        self.seq[m] &= ~self._bit(seq_id)
         dead = m & (self.seq == 0)
         self.pos[dead] = -1
 
     def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1) -> None:
         m = self._range_mask(src, p0, p1)
-        self.seq[m] |= np.int32(1 << dst)
+        self.seq[m] |= self._bit(dst)
 
     def seq_keep(self, seq_id: int) -> None:
-        keep_bit = np.int32(1 << seq_id)
+        keep_bit = self._bit(seq_id)
         self.seq &= keep_bit
         self.pos[self.seq == 0] = -1
 

@@ -223,10 +223,18 @@ def speculative_generate_tree(
         nodes: dict[tuple, dict] = {(): {"token": int(last), "branches": set(paths)}}
         for b, path in paths.items():
             for i in range(len(path) - 1):
-                # path[0] == last == root; node i+1 holds path[i+1]
+                # path[0] == last == root; node i+1 holds path[i + 1]
                 key = tuple(path[1 : i + 2])
                 nd = nodes.setdefault(key, {"token": path[i + 1], "branches": set()})
                 nd["branches"].add(b)
+        for b, path in paths.items():
+            # each branch's FINAL prediction becomes a leaf node too — the
+            # deepest draft decode produced it, so dropping it wasted one
+            # verifiable token per branch per round
+            key = tuple(path[1:]) + (next_tok[b],)
+            nd = nodes.setdefault(key, {"token": int(next_tok[b]),
+                                        "branches": set(), "leaf": True})
+            nd["branches"].add(b)
         stats.n_drafted += len(nodes) - 1
 
         # -- target verifies the whole tree in one batch --------------------
@@ -264,6 +272,12 @@ def speculative_generate_tree(
             c.seq_keep(best)
             c.seq_cp(best, 0)
             c.seq_rm(best)
+        if nodes[cur].get("leaf"):
+            # an accepted leaf never entered the DRAFT cache (only paths
+            # were draft-decoded): sync its row so next round's draft
+            # attends contiguously
+            draft.decode(Batch(tokens=[nodes[cur]["token"]],
+                               pos=[n_past - 1], seq_id=[0], output=[False]))
     return out[:n_predict], stats
 
 

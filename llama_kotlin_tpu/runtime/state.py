@@ -107,6 +107,11 @@ def set_state_data(ctx: LlamaContext, data: bytes) -> None:
         )
     ctx.meta.pos[:] = p["cell_pos"]
     ctx.meta.seq[:] = p["cell_seq"]
+    # keep the allocator ring past the restored occupancy so new slots
+    # extend the live span instead of fragmenting low indices (which would
+    # inflate the used_span attention bucket)
+    live = np.nonzero(ctx.meta.pos >= 0)[0]
+    ctx.meta._next = (int(live[-1]) + 1) % ctx.meta.n_cells if live.size else 0
     _restore_cache(ctx, p["cache_k"], p["cache_v"])
     if "logits" in p:
         ctx._logits = jnp.asarray(p["logits"])
@@ -127,6 +132,11 @@ def load_session_file(ctx: LlamaContext, path) -> np.ndarray:
     p = _unpack(data, SESSION_MAGIC)
     ctx.meta.pos[:] = p["cell_pos"]
     ctx.meta.seq[:] = p["cell_seq"]
+    # keep the allocator ring past the restored occupancy so new slots
+    # extend the live span instead of fragmenting low indices (which would
+    # inflate the used_span attention bucket)
+    live = np.nonzero(ctx.meta.pos >= 0)[0]
+    ctx.meta._next = (int(live[-1]) + 1) % ctx.meta.n_cells if live.size else 0
     _restore_cache(ctx, p["cache_k"], p["cache_v"])
     return p["tokens"]
 

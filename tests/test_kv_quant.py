@@ -314,3 +314,21 @@ def test_flash_mla_head_dims(rng):
     ref = attention_reference(q, k, v, mask, scale=0.1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("vd", [192, 256])
+def test_flash_wide_v_head_dims(rng, vd):
+    """v head dims wider than the 128-lane softmax stats (regression: the
+    fixed scratch made vd=192/256 fail at trace time and silently fall
+    back to the reference path forever)."""
+    kv, cells, h, nt = 2, 256, 4, 8
+    kd = vd
+    k = jnp.asarray(rng.standard_normal((kv, cells, kd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((kv, cells, vd)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((nt, h, kd)).astype(np.float32))
+    mask = jnp.asarray(rng.random((nt, cells)) < 0.7)
+    out = flash_attention(q, k, v, mask, scale=0.1, interpret=True)
+    assert out is not None and out.shape == (nt, h, vd)
+    ref = attention_reference(q, k, v, mask, scale=0.1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)

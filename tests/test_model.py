@@ -225,3 +225,61 @@ def test_embeddings_span_multiple_ubatches(tiny_model):
     got = ctx.get_embeddings("none")
     assert got.shape == (20, dims["n_embd"])
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_multi_ubatch_logits_rows_are_global(tiny_model):
+    """A batch larger than n_ubatch splits; logits_rows must be GLOBAL
+    batch rows (regression: second ubatch's rows restarted at 0, colliding
+    with the first and misrouting engine sampling)."""
+    path, _w, _d = tiny_model
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=128, n_ubatch=8,
+                       compute_dtype=jnp.float32)
+    toks = (np.arange(20, dtype=np.int32) % 7) + 2
+    out = np.zeros(20, bool)
+    out[[3, 7, 12, 19]] = True  # rows in BOTH ubatches
+    rc = ctx.decode(Batch(toks, np.arange(20, dtype=np.int32),
+                          np.zeros(20, np.int32), out))
+    assert rc == 0
+    np.testing.assert_array_equal(ctx._logits_rows, [3, 7, 12, 19])
+
+    # logits for row 12 must equal a single-ubatch run's row-12 logits
+    ctx2 = LlamaContext(cfg, params, n_cells=128, n_ubatch=64,
+                        compute_dtype=jnp.float32)
+    ctx2.decode(Batch(toks, np.arange(20, dtype=np.int32),
+                      np.zeros(20, np.int32), out))
+    np.testing.assert_allclose(ctx.get_logits(), ctx2.get_logits(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_seq_id_31_roundtrip():
+    """seq id 31 (the top bit of the int32 mask) must work through
+    commit/seq_rm/seq_cp/seq_keep (regression: np.int32(1 << 31) raises
+    OverflowError on numpy 2)."""
+    from llama_kotlin_tpu.runtime.kv_cache import CellMetadata
+
+    m = CellMetadata(64, max_seqs=32)
+    slots = m.find_slots(4)
+    m.commit(slots, np.arange(4, dtype=np.int32), np.full(4, 31, np.int32))
+    assert m.seq_pos_max(31) == 3
+    m.seq_cp(31, 0)
+    assert m.seq_pos_max(0) == 3
+    m.seq_keep(31)
+    assert m.seq_pos_max(0) == -1 and m.seq_pos_max(31) == 3
+    m.seq_rm(31)
+    assert m.seq_pos_max(31) == -1
+
+
+def test_large_n_ubatch_gets_a_bucket(tiny_model):
+    """n_ubatch beyond the default bucket table must still decode (a
+    covering bucket is added; regression: ValueError at first long
+    prefill)."""
+    path, _w, _d = tiny_model
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=4096, n_ubatch=3000,
+                       compute_dtype=jnp.float32, buckets=(8, 16, 32))
+    assert max(ctx.buckets) == 3000
+    toks = (np.arange(40, dtype=np.int32) % 7) + 2
+    assert ctx.decode(Batch.single(toks)) == 0

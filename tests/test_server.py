@@ -272,3 +272,33 @@ def test_stream_never_leaks_trimmed_stop_content(served):
     assert r1.done.wait(60)
     assert stop not in r1.output_text
     assert "".join(deltas) == r1.output_text
+
+
+def test_slot_context_shift_mid_generation(tmp_path):
+    """A generation longer than the slot context must context-shift (keep
+    n_keep, discard half) and CONTINUE to n_predict, not stop with
+    'length' at the context edge (server.cpp:1947 behavior)."""
+    rng = np.random.default_rng(21)
+    dims = tiny_llama_dims(vocab=160)
+    weights = random_llama_weights(dims, rng)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, weights, dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=32, compute_dtype=jnp.float32)
+    tok = ToyTokenizer(dims["vocab"])
+    engine = Engine(ctx, tok, n_slots=1, n_batch=16, chunk_steps=0)
+
+    req = Request(prompt_tokens=np.array([1, 5, 9], np.int32),
+                  params=SamplingParams(temp=0.0), n_predict=48)
+    engine.submit(req)
+    stop = threading.Event()
+    t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+    t.start()
+    ok = req.done.wait(timeout=300)
+    stop.set()
+    t.join(timeout=30)
+    assert ok
+    # generated PAST the 32-cell context thanks to the shift
+    assert len(req.output_tokens) == 48
+    assert req.stop_reason == "length"  # n_predict reached, not ctx edge
