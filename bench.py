@@ -242,6 +242,17 @@ def main() -> None:
             result, aerr = _run_child(["--run"], {}, timeout_s=600)
             if result is None:
                 errors.append(f"tpu retry: {aerr}")
+        if result is None and os.environ.get("BENCH_MODE", "w4a8") != "int8":
+            # 3b. kernel-mode fallback: the W4 block-diagonal kernels are
+            # newer than the device-proven W8A8 int8 path — if the default
+            # mode can't compile/run on the chip, still record a REAL TPU
+            # number on the proven mode (tagged) before degrading to CPU
+            result, aerr = _run_child(["--run"], {"BENCH_MODE": "int8"},
+                                      timeout_s=900)
+            if result is not None:
+                result["mode_fallback"] = "int8"
+            else:
+                errors.append(f"tpu int8 fallback: {aerr}")
 
     if result is None:
         # 4. last resort: explicitly-tagged CPU line on a tiny preset
