@@ -362,3 +362,39 @@ def test_set_causal_attn_memoizes_config(tmp_path):
         ctx.set_causal_attn(True)
         ids.append(id(ctx.cfg))
     assert len(set(ids)) == 2  # exactly one object per setting, reused
+
+
+def test_chunked_decode_with_context_shift(tmp_path):
+    """Chunked device decode + a slot hitting the context wall: chunking
+    pauses at the wall (K<=1), the per-token path shifts, and generation
+    completes to n_predict."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.runtime.engine import Engine, Request
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+    from tests.test_server import ToyTokenizer
+
+    rng = np.random.default_rng(23)
+    dims = tiny_llama_dims(vocab=160)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, random_llama_weights(dims, rng), dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    ctx = LlamaContext(cfg, params, n_cells=32, compute_dtype=jnp.float32)
+    engine = Engine(ctx, ToyTokenizer(dims["vocab"]), n_slots=1, n_batch=16,
+                    chunk_steps=8)
+    req = Request(prompt_tokens=np.array([1, 5], np.int32),
+                  params=SamplingParams(temp=0.0), n_predict=40)
+    engine.submit(req)
+    stop = threading.Event()
+    t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+    t.start()
+    ok = req.done.wait(timeout=300)
+    stop.set()
+    t.join(timeout=30)
+    assert ok and len(req.output_tokens) == 40
+    assert req.stop_reason == "length"
