@@ -97,6 +97,10 @@ def main() -> None:
                     help="also run bench.py presets per mode (spawns "
                          "children that probe the backend — only useful "
                          "when the TPU tunnel is up)")
+    ap.add_argument("--trace", default=None,
+                    help="capture a jax.profiler device trace of the "
+                         "kernel sweep into this directory (per-op ground "
+                         "truth; host wall-clock through the tunnel lies)")
     args = ap.parse_args()
 
     import jax
@@ -108,13 +112,21 @@ def main() -> None:
     if not args.quick:
         shapes.append((16384, 4096))  # lm_head-class (vocab row-sharded tile)
     reps = 50 if args.quick else 200
-    for mode in args.modes.split(","):
-        for shape in shapes:
-            try:
-                record(bench_kernel(shape, mode, reps))
-            except Exception as e:
-                record({"kind": "kernel", "mode": mode, "shape": list(shape),
-                        "error": repr(e)[:200]})
+
+    import contextlib
+
+    import sys as _sys
+    _sys.path.insert(0, str(Path(__file__).parent.parent))
+    from llama_kotlin_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.trace):
+        for mode in args.modes.split(","):
+            for shape in shapes:
+                try:
+                    record(bench_kernel(shape, mode, reps))
+                except Exception as e:
+                    record({"kind": "kernel", "mode": mode, "shape": list(shape),
+                            "error": repr(e)[:200]})
 
     # end-to-end decode presets via bench.py child runs
     for mode in ("w4a8", "exact", "int8") if args.e2e else ():
