@@ -23,10 +23,24 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _src_digest(srcs) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in srcs:
+        h.update(s.name.encode())
+        h.update(s.read_bytes())
+    return h.hexdigest()
+
+
 def _build() -> bool:
+    # rebuild gate: a content hash of the sources stored next to the .so
+    # (mtimes are unreliable — git checkouts don't preserve them, so a
+    # stale binary could otherwise win over newer sources)
     srcs = [s for s in (_SRC, _SRC_TOK, _SRC_KQ) if s.exists()]
-    newest = max(s.stat().st_mtime for s in srcs)
-    if _LIB.exists() and _LIB.stat().st_mtime >= newest:
+    digest = _src_digest(srcs)
+    stamp = _LIB.with_suffix(".sha256")
+    if _LIB.exists() and stamp.exists() and stamp.read_text().strip() == digest:
         return True
     _LIB_DIR.mkdir(parents=True, exist_ok=True)
     for flags in (["-O3", "-march=native"], ["-O3"]):
@@ -35,6 +49,7 @@ def _build() -> bool:
         try:
             r = subprocess.run(cmd, capture_output=True, timeout=180)
             if r.returncode == 0:
+                stamp.write_text(digest)
                 return True
         except (OSError, subprocess.TimeoutExpired):
             return False

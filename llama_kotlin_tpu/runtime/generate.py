@@ -58,7 +58,8 @@ CAND_CAP = 512  # top-candidate window for device top_p/min_p with top_k=0
 
 def _sample(logits: jnp.ndarray, sp: SampleParams, key,
             counts: Optional[jnp.ndarray] = None,
-            spv: Optional[dict] = None) -> jnp.ndarray:
+            spv: Optional[dict] = None,
+            pos: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """logits [B, V] -> token ids [B].  counts [B, V] = occurrence counts
     over the penalty window (parity: llama_sample_repetition_penalties).
 
@@ -66,7 +67,13 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
     mixed-config path: one static candidate window sp.top_k (the max over
     slots), per-slot masks inside it, greedy rows via argmax — so the
     server's chunked decode can batch requests with different sampling
-    configs in one loop.  Penalty config stays shared (scalar)."""
+    configs in one loop.  Penalty config stays shared (scalar).
+
+    pos [B] (optional, spv path): each row's absolute decode position is
+    folded into its per-seed key, so a request's draw at position p is a
+    pure function of (its seed, p) — consecutive chunked generate_loop
+    calls never reuse a position's draws (the reference's persistent
+    per-sampler RNG has the same across-the-generation property)."""
     logits = logits.astype(jnp.float32)
     if sp.use_penalties and counts is not None:
         orig = logits
@@ -93,8 +100,13 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
         scaled = jnp.where(keep, vals / safe_t, -jnp.inf)
         if "seed" in spv:
             # per-slot seeds: each request's draws depend only on its own
-            # seed + step, not on batch composition
-            keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(spv["seed"])
+            # (seed, absolute position), not on batch composition or on
+            # which chunk the position lands in
+            if pos is not None:
+                keys = jax.vmap(lambda s, p: jax.random.fold_in(
+                    jax.random.fold_in(key, s), p))(spv["seed"], pos)
+            else:
+                keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(spv["seed"])
             choice = jax.vmap(jax.random.categorical)(keys, scaled)
         else:
             choice = jax.random.categorical(key, scaled, axis=-1)
@@ -150,10 +162,12 @@ def generate_loop(
     ring pointer starting at column 0 evicts empties before real tokens.
     Occurrence counts are derived on device and maintained across steps.
 
-    Seeding: `seed` (traced) or sp.seed (static) starts the per-loop key
-    chain; when spv carries per-slot "seed"s the chain's base is a
-    CONSTANT and every row's draws depend only on (own seed, step) — a
-    request's tokens are reproducible regardless of batch composition.
+    Seeding: `seed` (traced) or sp.seed (static) gives the base key; each
+    step's subkey folds in the ABSOLUTE decode position (pos[0], or each
+    row's own pos on the per-slot-seed path), so a position's draws are
+    unique across consecutive chunked calls (no period-K reuse) and, with
+    spv["seed"], a request's tokens are a pure function of (own seed, own
+    positions) — reproducible regardless of batch composition.
     """
     B = tokens0.shape[0]
     out_ids = jnp.arange(B, dtype=jnp.int32)
@@ -179,9 +193,11 @@ def generate_loop(
         ptr0 = jnp.int32(0)
         Ln = 1
 
+    per_row_seeds = spv is not None and "seed" in spv
+
     def body(i, carry):
         (tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits_prev,
-         key, counts, window, ptr) = carry
+         counts, window, ptr) = carry
         step_slots = slots[i]
         cell_pos = cell_pos.at[step_slots].set(pos)
         cell_seq = cell_seq.at[step_slots].set(
@@ -191,9 +207,14 @@ def generate_loop(
             params, cfg, tokens, pos, seq_ids, step_slots, cache,
             cell_pos, cell_seq, out_ids, compute_dtype=compute_dtype,
         )
-        key, sub = jax.random.split(key)
-        next_tokens = _sample(logits, sp, sub, counts if use_pen else None,
-                              spv=spv)
+        if per_row_seeds:
+            # base key stays constant; _sample folds (seed_r, pos_r) per row
+            next_tokens = _sample(logits, sp, key0, counts if use_pen else None,
+                                  spv=spv, pos=pos)
+        else:
+            sub = jax.random.fold_in(key0, pos[0])
+            next_tokens = _sample(logits, sp, sub, counts if use_pen else None,
+                                  spv=spv)
         out_tokens = out_tokens.at[i].set(next_tokens)
         if use_pen:
             evicted = window[:, ptr % Ln]
@@ -203,13 +224,13 @@ def generate_loop(
             window = window.at[:, ptr % Ln].set(next_tokens)
             ptr = ptr + 1
         return (next_tokens, pos + 1, cache, cell_pos, cell_seq, out_tokens,
-                logits, key, counts, window, ptr)
+                logits, counts, window, ptr)
 
     out_tokens = jnp.zeros((n_steps, B), jnp.int32)
     logits0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
     carry = (tokens0, pos0, cache, cell_pos, cell_seq, out_tokens, logits0,
-             key0, counts0, pen_window, ptr0)
-    (tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits, _k, _c, _w,
+             counts0, pen_window, ptr0)
+    (tokens, pos, cache, cell_pos, cell_seq, out_tokens, logits, _c, _w,
      _p) = jax.lax.fori_loop(0, n_steps, body, carry)
     return out_tokens, cache, cell_pos, cell_seq, logits
 
@@ -230,10 +251,12 @@ def generate(ctx, prompt_tokens, n_steps: int, sp: SampleParams = SampleParams()
         raise RuntimeError("KV cache full during prefill")
     # the first generated token honours sp too (it used to be argmax
     # regardless of temperature/seed)
+    n_prompt = len(prompt_tokens)
+    # fold the sampling position (last prompt token's pos) — consistent
+    # with the loop's per-position keys and disjoint from them (>= n_prompt)
     first = int(np.asarray(_sample(
         jnp.asarray(ctx.get_logits()[:1]), sp,
-        jax.random.fold_in(jax.random.PRNGKey(sp.seed), 0x5EED))[0]))
-    n_prompt = len(prompt_tokens)
+        jax.random.fold_in(jax.random.PRNGKey(sp.seed), n_prompt - 1))[0]))
 
     slots_flat = ctx.meta.find_slots(n_steps)
     if slots_flat is None:

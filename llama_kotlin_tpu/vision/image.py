@@ -70,6 +70,26 @@ def select_best_resolution(orig_w: int, orig_h: int,
     return best or (pts[0], pts[1])
 
 
+def resize_and_pad(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Aspect-preserving resize then centered zero (black) padding to the
+    target resolution (clip.cpp resize_and_pad_image:1694) — llava-1.6
+    anyres tiles must NOT contain stretched content."""
+    h, w = img.shape[:2]
+    scale_w, scale_h = target_w / w, target_h / h
+    if scale_w < scale_h:
+        new_w = target_w
+        new_h = min(int(np.ceil(h * scale_w)), target_h)
+    else:
+        new_h = target_h
+        new_w = min(int(np.ceil(w * scale_h)), target_w)
+    resized = bilinear_resize(img, new_h, new_w)
+    out = np.zeros((target_h, target_w, img.shape[2]), np.float32)
+    pad_y = (target_h - new_h) // 2
+    pad_x = (target_w - new_w) // 2
+    out[pad_y:pad_y + new_h, pad_x:pad_x + new_w] = resized
+    return out
+
+
 # -- minicpmv LLaVA-UHD slicing (clip.cpp:1791-1935) --------------------------
 
 
@@ -162,7 +182,10 @@ def anyres_slices(image: np.ndarray, cfg) -> tuple[list[np.ndarray], tuple[int, 
     img = np.asarray(image, np.float32)
     if img.max() > 1.5:
         img = img / 255.0
-    resized = bilinear_resize(img, gh, gw)
+    # aspect-preserving resize + centered pad (clip.cpp:2023 calls
+    # resize_and_pad_image) — a direct stretch would distort tile content
+    # whenever the image aspect doesn't match the chosen pinpoint
+    resized = resize_and_pad(img, gh, gw)
     mean = np.asarray(cfg.image_mean, np.float32)
     std = np.asarray(cfg.image_std, np.float32)
     out = [preprocess(image, cfg)]  # base image first (flat resize)

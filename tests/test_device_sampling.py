@@ -291,6 +291,54 @@ def test_spv_sampling_reproducible_across_batch_composition(rng):
     assert len(outs) > 1  # different seeds give different draws eventually
 
 
+def test_spv_sampling_position_fold_decorrelates_chunks(rng):
+    """A row's draw is keyed by (seed, ABSOLUTE position): the same seed at
+    different positions gives fresh randomness (so consecutive chunked
+    generate_loop calls never replay a chunk's draw sequence), while the
+    same (seed, position) is exactly reproducible."""
+    V = 97
+    logits = rng.standard_normal((1, V)).astype(np.float32)
+    sp = SampleParams(temp=1.0, top_k=50, seed=0)
+
+    def draw(position):
+        spv = {
+            "temp": jnp.asarray([1.2], jnp.float32),
+            "top_k": jnp.asarray([50], jnp.int32),
+            "top_p": jnp.asarray([1.0], jnp.float32),
+            "min_p": jnp.asarray([0.0], jnp.float32),
+            "seed": jnp.asarray([9], jnp.int32),
+        }
+        return int(np.asarray(_sample(
+            jnp.asarray(logits), sp, jax.random.PRNGKey(0), spv=spv,
+            pos=jnp.asarray([position], jnp.int32)))[0])
+
+    assert draw(17) == draw(17)  # reproducible at a fixed position
+    # distinct positions re-key the draw: over several positions the token
+    # must vary (period-K chunk reuse would pin it)
+    assert len({draw(p) for p in range(16)}) > 1
+
+
+def test_generate_loop_chunks_not_periodic(tmp_path):
+    """Two consecutive generate_loop chunks (same seed, advancing pos0) must
+    use fresh per-step keys: with near-uniform logits the second chunk's
+    draw at step offset j differs from the first chunk's for some j."""
+    import jax as _jax
+
+    from llama_kotlin_tpu.runtime.generate import generate_loop
+
+    # the key property lives in _sample's key derivation; drive it through
+    # the same fold the loop body applies (fold_in(key0, pos[0]))
+    V = 211
+    logits = jnp.zeros((1, V), jnp.float32)  # uniform: token = pure RNG
+    sp = SampleParams(temp=1.0, top_k=0, seed=123)
+    key0 = _jax.random.PRNGKey(123)
+    chunk1 = [int(np.asarray(_sample(
+        logits, sp, _jax.random.fold_in(key0, p)))[0]) for p in range(8)]
+    chunk2 = [int(np.asarray(_sample(
+        logits, sp, _jax.random.fold_in(key0, 8 + p)))[0]) for p in range(8)]
+    assert chunk1 != chunk2
+
+
 def test_chunked_decode_no_retrace_per_seed(tmp_path):
     """Distinct request seeds must reuse ONE compiled chunk loop: the seed
     rides as a traced argument (sp.seed stays 0)."""

@@ -241,6 +241,23 @@ def test_spatial_merge_ordering():
                     assert out[row, 1] == py * nps + px
 
 
+def test_anyres_resize_preserves_aspect_with_centered_pad():
+    """anyres tiles come from an aspect-preserving resize + centered black
+    pad (clip.cpp:1694 resize_and_pad_image), never a stretch."""
+    from llama_kotlin_tpu.vision.image import resize_and_pad
+
+    img = np.ones((100, 400, 3), np.float32)  # 4:1 wide, all-ones
+    out = resize_and_pad(img, 336, 672)  # target 2:1
+    # scale = min(672/400, 336/100) = 1.68 -> new (w=672, h=168), pad_y=84
+    assert out.shape == (336, 672, 3)
+    assert np.all(out[84:252] > 0.99)  # content band, centered
+    assert np.all(out[:84] == 0.0) and np.all(out[252:] == 0.0)  # black pads
+    # tall image pads left/right
+    out2 = resize_and_pad(np.ones((400, 100, 3), np.float32), 672, 336)
+    assert np.all(out2[:, :84] == 0.0) and np.all(out2[:, 252:] == 0.0)
+    assert np.all(out2[:, 84:252] > 0.99)
+
+
 def test_llava16_anyres_end_to_end(clip_pair, rng):
     """llava-1.6 anyres: a 2x1-grid image produces base + re-rastered tile
     embeddings, matching a manual per-tile embed + permute."""
