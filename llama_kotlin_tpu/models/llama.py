@@ -433,7 +433,7 @@ def forward(
                 alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
                 k_scale=None if ks_layer is None else ks_layer[:kvl],
                 v_scale=None if vs_layer is None else vs_layer[:kvl],
-                kv_bits=cache.kv_bits,
+                kv_bits=cache.kv_bits, tp=cache.tp,
             )
         attn = attn.astype(compute_dtype).reshape(nt, -1)
         with jax.named_scope("ffn"):
@@ -486,8 +486,10 @@ def forward(
 
         use_flash = (jax.default_backend() not in ("cpu",)
                      and cache.k.shape[-1] == cache.v.shape[-1]
-                     and cache.kv_bits == 8)  # stacked kernel: int8 only;
+                     and cache.kv_bits == 8  # stacked kernel: int8 only;
                      # q4 caches take the unrolled path (prefer_unrolled)
+                     and cache.tp == 1)  # tp-sharded caches use the
+                     # unrolled path's shard_map'd flash (ops/attention.py)
 
         def attend(q, k, v, i):
             qc = q.astype(compute_dtype)

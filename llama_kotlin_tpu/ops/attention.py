@@ -75,6 +75,7 @@ def attention(
     v_scale: Optional[jnp.ndarray] = None,
     kv_bits: int = 8,  # 4 = packed-nibble cache arrays [KV, cells, D/2]
     allow_pallas: bool = True,
+    tp: int = 1,  # KV-head axis TP degree (KVCache.tp) — shard_map the kernel
 ) -> jnp.ndarray:
     """Masked multi-head attention with GQA; returns [nt, n_head, head_dim].
 
@@ -82,18 +83,32 @@ def attention(
     the mask's cell extent (used-prefix bucketing): only the first
     mask.shape[1] cells are attended.  k_scale/v_scale mark an
     int8-quantized cache (per-row scales, runtime/kv_cache.py).
+
+    tp > 1: the cache is head-sharded over the active mesh's tp axis
+    (parallel/sharding.shard_cache) — the flash kernel runs per-shard
+    under jax.shard_map (heads are independent, no collective).
     """
+    from llama_kotlin_tpu.ops.qmatmul import _interpret_forced, _use_pallas
+
     n_vis = mask.shape[1]
-    if (allow_pallas and alibi_slopes is None
-            and jax.default_backend() not in ("cpu",)):
+    if allow_pallas and alibi_slopes is None and _use_pallas():
         from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
 
-        out = flash_attention_or_none(q, k_cache, v_cache, mask,
-                                      scale=scale, logit_softcap=logit_softcap,
-                                      k_scale=k_scale, v_scale=v_scale,
-                                      n_vis=n_vis, kv_bits=kv_bits)
-        if out is not None:
-            return out
+        if tp > 1:
+            out = _tp_attention(q, k_cache, v_cache, mask, scale=scale,
+                                logit_softcap=logit_softcap, k_scale=k_scale,
+                                v_scale=v_scale, n_vis=n_vis, kv_bits=kv_bits,
+                                tp=tp)
+            if out is not None:
+                return out
+        else:
+            out = flash_attention_or_none(q, k_cache, v_cache, mask,
+                                          scale=scale, logit_softcap=logit_softcap,
+                                          k_scale=k_scale, v_scale=v_scale,
+                                          n_vis=n_vis, kv_bits=kv_bits,
+                                          interpret=_interpret_forced())
+            if out is not None:
+                return out
     kf = k_cache[:, :n_vis]
     vf = v_cache[:, :n_vis]
     if k_scale is not None:
@@ -105,6 +120,58 @@ def attention(
         q, kf, vf, mask, scale=scale, logit_softcap=logit_softcap,
         alibi_slopes=alibi_slopes, token_pos=token_pos, cell_pos=cell_pos,
     )
+
+
+def _tp_attention(q, k_cache, v_cache, mask, *, scale, logit_softcap,
+                  k_scale, v_scale, n_vis, kv_bits, tp):
+    """Flash attention per-shard under jax.shard_map over the tp-split head
+    axis (XLA cannot partition the Pallas custom call).  q [nt, H, D] splits
+    on H; the cache layer [KV, cells, D] and per-row scales split on KV;
+    the mask replicates.  GQA grouping is shard-local (H/tp : KV/tp keeps
+    the same rep ratio).  Falls back inside the shard to the reference
+    attention (numerics-identical math) if the kernel declines the local
+    shapes; returns None when no mesh is active or heads don't divide."""
+    from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
+    from llama_kotlin_tpu.ops.qmatmul import _interpret_forced
+    from llama_kotlin_tpu.parallel.mesh import get_active_mesh
+    from jax.sharding import PartitionSpec as P
+
+    mesh = get_active_mesh()
+    if mesh is None:
+        return None
+    mesh_tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+    h, kv = q.shape[1], k_cache.shape[0]
+    if mesh_tp != tp or h % tp or kv % tp:
+        return None
+    quant = k_scale is not None
+    itp = _interpret_forced()
+
+    def f(ql, kl, vl, ml, *rest):
+        ksl, vsl = rest if rest else (None, None)
+        out = flash_attention_or_none(ql, kl, vl, ml, scale=scale,
+                                      logit_softcap=logit_softcap,
+                                      k_scale=ksl, v_scale=vsl, n_vis=n_vis,
+                                      kv_bits=kv_bits, interpret=itp)
+        if out is not None:
+            return out
+        kf, vf = kl[:, :n_vis], vl[:, :n_vis]
+        if ksl is not None:
+            from llama_kotlin_tpu.runtime.kv_cache import dequantize_cache_layer
+
+            kf = dequantize_cache_layer(kf, ksl[:, :n_vis], bits=kv_bits)
+            vf = dequantize_cache_layer(vf, vsl[:, :n_vis], bits=kv_bits)
+        return attention_reference(ql, kf.astype(ql.dtype), vf.astype(ql.dtype),
+                                   ml, scale=scale, logit_softcap=logit_softcap)
+
+    args = [q, k_cache, v_cache, mask]
+    in_specs = [P(None, "tp", None), P("tp", None, None),
+                P("tp", None, None), P(None, None)]
+    if quant:
+        args += [k_scale, v_scale]
+        in_specs += [P("tp", None), P("tp", None)]
+    fn = jax.shard_map(f, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=P(None, "tp", None), check_vma=False)
+    return fn(*args)
 
 
 def attention_reference(

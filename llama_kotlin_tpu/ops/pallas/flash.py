@@ -194,11 +194,12 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
 
 def flash_attention_or_none(q, k, v, mask, *, scale, logit_softcap=0.0,
                             k_scale=None, v_scale=None, n_vis=None,
-                            out_dtype=None, kv_bits=8):
+                            out_dtype=None, kv_bits=8, interpret=False):
     try:
         return flash_attention(q, k, v, mask, scale=scale,
                                logit_softcap=logit_softcap, k_scale=k_scale,
                                v_scale=v_scale, n_vis=n_vis,
-                               out_dtype=out_dtype, kv_bits=kv_bits)
+                               out_dtype=out_dtype, kv_bits=kv_bits,
+                               interpret=interpret)
     except Exception:
         return None

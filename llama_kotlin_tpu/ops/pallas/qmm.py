@@ -351,8 +351,9 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
     return out[:b_real].reshape(*lead_shape, n)
 
 
-def qmm_pallas_or_none(x, w: QTensor, *, compute_dtype=jnp.bfloat16):
+def qmm_pallas_or_none(x, w: QTensor, *, compute_dtype=jnp.bfloat16,
+                       interpret: bool = False):
     try:
-        return qmm(x, w, compute_dtype=compute_dtype)
+        return qmm(x, w, compute_dtype=compute_dtype, interpret=interpret)
     except Exception:
         return None

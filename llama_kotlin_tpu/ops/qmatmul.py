@@ -15,12 +15,16 @@ Replaces the reference's per-format ``ggml_vec_dot_*`` CPU hot loops
 
 from __future__ import annotations
 
-from typing import Union
+import os
+from dataclasses import replace as _dc_replace
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.sharding import PartitionSpec as P
 
-from llama_kotlin_tpu.quant.qtensor import QTensor, dequantize
+from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN, dequantize
 
 Weight = Union[QTensor, jax.Array]
 
@@ -40,11 +44,160 @@ class StackedSlice:
         self.index = index
 
 
+def _interpret_forced() -> bool:
+    """LKTPU_FORCE_PALLAS_INTERPRET=1 runs every Pallas kernel in interpret
+    mode even on CPU — used by tests and the multichip dryrun to exercise
+    the REAL kernel dispatch (incl. the shard_map TP path) without TPU
+    hardware."""
+    return bool(os.environ.get("LKTPU_FORCE_PALLAS_INTERPRET"))
+
+
 def _use_pallas() -> bool:
+    if _interpret_forced():
+        return True
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
+
+
+def _pallas_dispatch(x: jnp.ndarray, w: QTensor, compute_dtype) -> Optional[jnp.ndarray]:
+    """Kernel-only dispatch chain (no dequant fallback): W4 block-diagonal
+    -> W8 block-diagonal -> Q8F flat -> fused dequant prefill.  Returns
+    None when no kernel takes the shapes."""
+    itp = _interpret_forced()
+    if w.hi_signed:
+        from llama_kotlin_tpu.ops.pallas.qmm_w4 import qmm_w4_or_none
+
+        y = qmm_w4_or_none(x, w, interpret=itp)
+        if y is not None:
+            return y
+    if w.aux is not None and "scw" in w.aux:
+        from llama_kotlin_tpu.ops.pallas.qmm_w8 import qmm_w8_or_none
+
+        y = qmm_w8_or_none(x, w, interpret=itp)
+        if y is not None:
+            return y
+    if w.bits == 8 and w.group_size == 256 and w.g_min is None \
+            and w.sb_scale is None:
+        from llama_kotlin_tpu.ops.pallas.qmm_int8 import qmm_int8_or_none
+
+        y = qmm_int8_or_none(x, w, interpret=itp)
+        if y is not None:
+            return y
+    from llama_kotlin_tpu.ops.pallas.qmm import qmm_pallas_or_none
+
+    return qmm_pallas_or_none(x, w, compute_dtype=compute_dtype, interpret=itp)
+
+
+def _w_specs(w: QTensor, axis: int):
+    """PartitionSpec pytree matching `w` for shard_map: main arrays are
+    [n, k/x] (spec follows `axis`); rank-2 aux planes are TRANSPOSED
+    ([G-ish, n], parallel/sharding._put) so their spec swaps; scalars
+    replicate."""
+    main = ("tp", None) if axis == 0 else (None, "tp")
+    auxs = (None, "tp") if axis == 0 else ("tp", None)
+
+    def spec_fn(path, a):
+        if getattr(a, "ndim", 0) != 2:
+            return P()
+        is_aux = bool(path) and getattr(path[0], "name", None) == "aux"
+        return P(*(auxs if is_aux else main))
+
+    return jtu.tree_map_with_path(spec_fn, w)
+
+
+def _localize_abstract(w: QTensor, tp: int, axis: int) -> QTensor:
+    """Abstract (ShapeDtypeStruct-leaved) QTensor with per-shard local
+    shapes, used to pre-check kernel eligibility via jax.eval_shape."""
+
+    def loc(path, a):
+        if getattr(a, "ndim", 0) != 2:
+            return jax.ShapeDtypeStruct(getattr(a, "shape", ()), a.dtype)
+        is_aux = bool(path) and getattr(path[0], "name", None) == "aux"
+        ax = (1 - axis) if is_aux else axis
+        s = list(a.shape)
+        s[ax] //= tp
+        return jax.ShapeDtypeStruct(tuple(s), a.dtype)
+
+    t = jtu.tree_map_with_path(loc, w)
+    n, k = w.shape
+    local = (n // tp, k) if axis == 0 else (n, k // tp)
+    return _dc_replace(t, shape=local, tp_axis=None)
+
+
+def _tp_qmatmul(x: jnp.ndarray, w: QTensor, *, compute_dtype) -> Optional[jnp.ndarray]:
+    """Run the Pallas fast-path kernels per-shard under jax.shard_map for a
+    TP-sharded weight (w.tp_axis set by parallel/sharding.py).
+
+    XLA's SPMD partitioner cannot split a Pallas custom call, so without
+    this wrapper sharded serving silently falls back to the slow dequant
+    path (the reference runs its hot loop on every backend under every
+    split mode, ggml-backend.c:1258-1841 — this is the TPU equivalent).
+
+    Column parallel (tp_axis=0): x replicated, each shard computes its
+    n/tp output slice, output sharded on the last axis — no collective.
+    Row parallel (tp_axis=1): x split on k, partial products psum over
+    the tp axis (Megatron row-parallel).  Returns None when the mesh is
+    absent or no kernel would take the local shard shapes (caller then
+    uses the global XLA dequant path, numerics-identical to today's
+    sharded fallback)."""
+    from llama_kotlin_tpu.parallel.mesh import get_active_mesh
+
+    mesh = get_active_mesh()
+    if mesh is None:
+        return None
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+    if tp <= 1:
+        return None
+    axis = w.tp_axis
+    n, k = w.shape
+    if x.shape[-1] != k:
+        return None
+    if axis == 0:
+        if n % tp:
+            return None
+    else:
+        # row shards split the contraction: shard boundaries must align
+        # with the 256-element span structure, and x's logical k must equal
+        # the padded k so x and codes split congruently
+        if w.k_pad != k or k % tp or (k // tp) % SPAN:
+            return None
+    w_abs = _localize_abstract(w, tp, axis)
+    xk = k // tp if axis == 1 else k
+    x_abs = jax.ShapeDtypeStruct(x.shape[:-1] + (xk,), x.dtype)
+    try:
+        ok = jax.eval_shape(
+            lambda xx, ww: _pallas_dispatch(xx, ww, compute_dtype),
+            x_abs, w_abs) is not None
+    except Exception:
+        ok = False
+    if not ok:
+        return None  # keep sharded/unsharded numerics aligned per mode
+
+    local_shape = w_abs.shape
+
+    def f(xl, wl):
+        wl = _dc_replace(wl, shape=local_shape, tp_axis=None)
+        y = _pallas_dispatch(xl, wl, compute_dtype)
+        if y is None:  # unreachable (eval_shape-gated); stay correct anyway
+            y = jnp.dot(xl.astype(compute_dtype),
+                        dequantize(wl, dtype=compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+        if axis == 1:
+            y = jax.lax.psum(y, "tp")
+        return y
+
+    nd = x.ndim
+    if axis == 0:
+        x_spec = P(*((None,) * nd))
+        out_spec = P(*((None,) * (nd - 1)), "tp")
+    else:
+        x_spec = P(*((None,) * (nd - 1)), "tp")
+        out_spec = P(*((None,) * nd))
+    fn = jax.shard_map(f, mesh=mesh, in_specs=(x_spec, _w_specs(w, axis)),
+                       out_specs=out_spec, check_vma=False)
+    return fn(x, w)
 
 
 def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
@@ -75,30 +228,14 @@ def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
         return y + w.scale * delta
     if isinstance(w, QTensor):
         if allow_pallas and _use_pallas():
-            if w.hi_signed:
-                from llama_kotlin_tpu.ops.pallas.qmm_w4 import qmm_w4_or_none
-
-                y = qmm_w4_or_none(x, w)
+            if w.tp_axis is not None and not w.is_stacked:
+                y = _tp_qmatmul(x, w, compute_dtype=compute_dtype)
                 if y is not None:
                     return y
-            if w.aux is not None and "scw" in w.aux:
-                from llama_kotlin_tpu.ops.pallas.qmm_w8 import qmm_w8_or_none
-
-                y = qmm_w8_or_none(x, w)
+            else:
+                y = _pallas_dispatch(x, w, compute_dtype)
                 if y is not None:
                     return y
-            if w.bits == 8 and w.group_size == 256 and w.g_min is None \
-                    and w.sb_scale is None:
-                from llama_kotlin_tpu.ops.pallas.qmm_int8 import qmm_int8_or_none
-
-                y = qmm_int8_or_none(x, w)
-                if y is not None:
-                    return y
-            from llama_kotlin_tpu.ops.pallas.qmm import qmm_pallas_or_none
-
-            y = qmm_pallas_or_none(x, w, compute_dtype=compute_dtype)
-            if y is not None:
-                return y
         wf = dequantize(w, dtype=compute_dtype)
     else:
         wf = w.astype(compute_dtype)

@@ -30,3 +30,23 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# -- active TP mesh ----------------------------------------------------------
+# The mesh used by shard_params/shard_cache, recorded so the op layer
+# (ops/qmatmul.py, ops/attention.py) can wrap Pallas kernels in
+# jax.shard_map with matching specs: XLA's SPMD partitioner cannot split a
+# custom call, so without this the fast kernels would be unusable under a
+# sharded mesh (the dequant fallback would silently serve instead).
+# Process-global by design — serving runs one mesh per process.
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH

@@ -49,16 +49,33 @@ def _divisible(w: Any, axis: int, tp: int) -> bool:
     return ok
 
 
+def _tp_axis_of(w: Any, spec: P) -> Any:
+    """tp_axis marker for a 2-D QTensor placed with `spec` (see
+    QTensor.tp_axis): lets qmatmul run the Pallas kernels per-shard via
+    shard_map.  Stacked (3-D) tensors keep None — the MoE paths handle
+    their own layout."""
+    if not isinstance(w, QTensor) or w.is_stacked:
+        return None
+    axes = tuple(spec)
+    if len(axes) >= 1 and axes[0] == "tp":
+        return 0
+    if len(axes) >= 2 and axes[1] == "tp":
+        return 1
+    return None
+
+
 def _put(w: Any, mesh: Mesh, spec: P) -> Any:
+    from dataclasses import replace as _dc_replace
+
     sh = NamedSharding(mesh, spec)
     if isinstance(w, QTensor):
+        tp_axis = _tp_axis_of(w, spec)
         if w.aux is None:
-            return jax.tree.map(lambda a: jax.device_put(a, sh), w)
+            out = jax.tree.map(lambda a: jax.device_put(a, sh), w)
+            return _dc_replace(out, tp_axis=tp_axis)
         # fast-mode (W4/W8) tensors carry TRANSPOSED aux scale planes
         # ([G, n] vs the main arrays' [n, k/x]) plus rank-0 markers: the
         # main spec's axes swap for rank-2 aux, scalars replicate
-        from dataclasses import replace as _dc_replace
-
         axes = tuple(spec) + (None,) * (2 - len(tuple(spec)))
         aux_sh2 = NamedSharding(mesh, P(axes[1], axes[0]))
         rep = NamedSharding(mesh, P())
@@ -68,7 +85,8 @@ def _put(w: Any, mesh: Mesh, spec: P) -> Any:
 
         main = _dc_replace(w, aux=None)
         main = jax.tree.map(lambda a: jax.device_put(a, sh), main)
-        return _dc_replace(main, aux={k: put_aux(v) for k, v in w.aux.items()})
+        return _dc_replace(main, aux={k: put_aux(v) for k, v in w.aux.items()},
+                           tp_axis=tp_axis)
     return jax.device_put(w, sh)
 
 
@@ -113,7 +131,14 @@ def shard_weight(key: str, w: Any, mesh: Mesh) -> Any:
 
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     """Return a new params pytree with every weight device_put with its
-    sharding (cf. llm_load_tensors' buffer-type selection per layer)."""
+    sharding (cf. llm_load_tensors' buffer-type selection per layer).
+
+    Also records `mesh` as the process's active mesh so the op layer can
+    shard_map the Pallas fast-path kernels with matching specs."""
+    from llama_kotlin_tpu.parallel.mesh import set_active_mesh
+
+    if mesh.shape.get("tp", 1) > 1 or mesh.shape.get("dp", 1) > 1:
+        set_active_mesh(mesh)
     out: dict[str, Any] = {}
     for k, v in params.items():
         if k == "layers":
@@ -135,6 +160,8 @@ def cache_sharding(mesh: Mesh, n_kv_head: int) -> NamedSharding:
 
 
 def shard_cache(cache, mesh: Mesh) -> Any:
+    from dataclasses import replace as _dc_replace
+
     n_kv = cache.k.shape[1]
     tp = mesh.shape["tp"]
     split = tp > 1 and n_kv % tp == 0
@@ -146,4 +173,7 @@ def shard_cache(cache, mesh: Mesh) -> Any:
                     for i in range(a.ndim)]))
         return jax.device_put(a, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, cache)
+    out = jax.tree.map(put, cache)
+    # static marker so the attention op can shard_map the flash kernel
+    # over the tp-split head axis (see KVCache.tp)
+    return _dc_replace(out, tp=tp if split else 1)

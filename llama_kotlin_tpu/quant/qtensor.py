@@ -64,6 +64,12 @@ class QTensor:
     # int8 is exactly 16*(q-8) — both nibbles reach the MXU with one AND
     # each, no shifts (see ops/pallas/qmm_w4.py)
     hi_signed: bool = field(default=False, metadata=dict(static=True))
+    # TP sharding marker set by parallel/sharding.py when the weight was
+    # device_put with a tensor-parallel spec: 0 = output dim (column
+    # parallel), 1 = contraction dim (row parallel), None = unsharded.
+    # ops/qmatmul.py uses it to run the Pallas kernels per-shard under
+    # jax.shard_map (XLA cannot partition custom calls itself).
+    tp_axis: Optional[int] = field(default=None, metadata=dict(static=True))
     # auxiliary device arrays for fast kernels (e.g. transposed per-group
     # scale planes); None for standard layouts
     aux: Optional[dict] = None

@@ -59,6 +59,11 @@ class KVCache:
     # pre-signed in the high nibble, the same AND-only unpack scheme as
     # the W4 weight kernel); only meaningful when quantized
     kv_bits: int = field(default=8, metadata=dict(static=True))
+    # tensor-parallel degree the KV-head axis was sharded over
+    # (parallel/sharding.py shard_cache); 1 = unsharded.  Lets the
+    # attention op shard_map the flash kernel over tp (XLA can't
+    # partition the custom call itself).
+    tp: int = field(default=1, metadata=dict(static=True))
 
     @property
     def n_cells(self) -> int:
