@@ -53,9 +53,15 @@ class Request:
     stop_strings: tuple[str, ...] = ()
     stream: Optional[Callable[[int, str, bool], None]] = None  # (token, text, done)
     n_keep: int = 0
+    # top-N per-token probabilities (reference n_probs, server.cpp:931):
+    # > 0 routes the request through the per-token host path and fills
+    # probs_output with one entry per generated token
+    n_probs: int = 0
     id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     # results
     done: threading.Event = field(default_factory=threading.Event)
+    # [{"tok": id, "logprob": f, "top": [(id, logprob), ...]}] per token
+    probs_output: list = field(default_factory=list)
     output_tokens: list[int] = field(default_factory=list)
     output_text: str = ""
     stop_reason: str = ""
@@ -111,6 +117,12 @@ class Engine:
         }
         # per-slot context budget, like server's n_ctx / n_parallel
         self.slot_ctx = ctx.n_cells // n_slots
+        # global system prompt prepended to every request's prompt
+        # (reference --system-prompt-file / request "system_prompt",
+        # server.cpp:642,1130); the per-slot prompt-cache LCP reuse keeps
+        # the shared prefix cached across requests, the analogue of the
+        # reference's evaluate-once + kv_cache_seq_cp
+        self.system_tokens: list[int] = []
 
     # -- public API ----------------------------------------------------------
 
@@ -118,6 +130,17 @@ class Engine:
         with self.lock:
             self.queue.append(req)
         return req
+
+    def set_system_prompt(self, tokens) -> None:
+        """Set/replace the global system prefix; idle slots' caches are
+        cleared so stale prefixes never match via LCP reuse."""
+        with self.lock:
+            self.system_tokens = [int(t) for t in tokens]
+            for slot in self.slots:
+                if slot.state == SlotState.IDLE:
+                    self.ctx.seq_rm(slot.seq_id, 0, -1)
+                    slot.tokens = []
+                    slot.n_past = 0
 
     def step(self) -> bool:
         """One update_slots iteration; returns True if any work was done."""
@@ -173,6 +196,8 @@ class Engine:
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active or any(s.state == SlotState.PROMPT for s in self.slots):
             return None
+        if any(s.request.n_probs > 0 for s in active):
+            return None  # logprob capture needs the per-token host path
         K = self.chunk_steps
         skey0 = pen0 = None
         mixed = False
@@ -333,12 +358,15 @@ class Engine:
             if slot.state != SlotState.IDLE or not self.queue:
                 continue
             req = self.queue.pop(0)
-            prompt = list(map(int, req.prompt_tokens))
+            prompt = self.system_tokens + list(map(int, req.prompt_tokens))
             if len(prompt) >= self.slot_ctx:
                 # keep the tail (cf. server truncating long prompts); clamp
                 # n_keep so the tail length stays positive even when
-                # n_keep >= slot_ctx - 4
-                keep = min(max(req.n_keep, 0), self.slot_ctx - 5)
+                # n_keep >= slot_ctx - 4.  The system prefix always survives
+                # truncation (the reference's system prompt lives outside
+                # the slot prompt entirely)
+                keep = min(max(req.n_keep, len(self.system_tokens)),
+                           self.slot_ctx - 5)
                 tail = prompt[-(self.slot_ctx - keep - 4):]
                 prompt = prompt[:keep] + tail
             # prompt-cache reuse: longest common prefix with what this
@@ -420,6 +448,23 @@ class Engine:
         slot.sampler.accept(tok, tokenizer=self.tokenizer)
         slot.tokens.append(tok)
         self.metrics["tokens_predicted"] += 1
+        req = slot.request
+        if req is not None and req.n_probs > 0:
+            # per-token top-N logprobs from the raw (pre-sampler) f32
+            # distribution — the n_probs payload (server.cpp:931,
+            # completion_token_output :159); raw rather than post-chain
+            # probabilities so greedy/temp=0 requests still get finite
+            # values (OpenAI logprobs semantics)
+            lf = logits.astype(np.float64)
+            lse = np.logaddexp.reduce(lf)
+            lp = lf - lse
+            top_ids = np.argpartition(-lp, min(req.n_probs, lp.size - 1))[: req.n_probs]
+            top_ids = top_ids[np.argsort(-lp[top_ids])]
+            req.probs_output.append({
+                "tok": tok,
+                "logprob": float(lp[tok]),
+                "top": [(int(i), float(lp[i])) for i in top_ids],
+            })
         return tok
 
     def _emit(self, slot: Slot, tok: int) -> None:
@@ -476,7 +521,7 @@ class Engine:
     def _shift_slot(self, slot: Slot) -> None:
         """Context-shift one slot: keep n_keep, discard half the rest
         (server.cpp:1947)."""
-        n_keep = slot.request.n_keep
+        n_keep = max(slot.request.n_keep, len(self.system_tokens))
         n_discard = max(1, (slot.n_past - n_keep) // 2)
         self.ctx.seq_rm(slot.seq_id, n_keep, n_keep + n_discard)
         self.ctx.seq_add(slot.seq_id, n_keep + n_discard, -1, -n_discard)

@@ -60,7 +60,7 @@ def main(argv=None):
 
     from llama_kotlin_tpu.models.loader import load_gguf_model
     from llama_kotlin_tpu.runtime.batch import Batch
-    from llama_kotlin_tpu.runtime.chat import apply_chat_template, detect_template
+    from llama_kotlin_tpu.runtime.chat import apply_chat_template, resolve_template
     from llama_kotlin_tpu.runtime.context import LlamaContext
     from llama_kotlin_tpu.runtime import state as state_io
     from llama_kotlin_tpu.sampling.samplers import SamplerChain, SamplingParams
@@ -75,7 +75,7 @@ def main(argv=None):
     print(f"loading {args.model} ...", file=sys.stderr)
     cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
     tok = build_tokenizer(f.metadata)
-    template = args.chat_template or detect_template(
+    template = args.chat_template or resolve_template(
         f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()
     kv_quant = args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0") else False

@@ -21,7 +21,7 @@ from typing import Any, Optional
 
 import numpy as np
 
-from llama_kotlin_tpu.runtime.chat import apply_chat_template, detect_template
+from llama_kotlin_tpu.runtime.chat import apply_chat_template, resolve_template
 from llama_kotlin_tpu.runtime.engine import Engine, Request
 from llama_kotlin_tpu.sampling.samplers import SamplingParams
 
@@ -198,6 +198,21 @@ def make_handler(state: ServerState):
             stops = d.get("stop", [])
             if isinstance(stops, str):
                 stops = [stops]
+            # per-token logprobs: native n_probs (server.cpp:931) or the
+            # OpenAI spellings (completions: logprobs=N; chat:
+            # logprobs=true + top_logprobs=N)
+            n_probs = int(d.get("n_probs") or 0)
+            if openai_kind == "text" and d.get("logprobs"):
+                n_probs = max(n_probs, int(d["logprobs"]))
+            elif openai_kind == "chat" and d.get("logprobs"):
+                n_probs = max(n_probs, int(d.get("top_logprobs") or 1))
+            if d.get("system_prompt") is not None:
+                # global system prefix update (server.cpp:642,1130)
+                sp = d["system_prompt"]
+                sp_text = sp.get("prompt", "") if isinstance(sp, dict) else str(sp)
+                engine.set_system_prompt(
+                    tokenizer.encode(sp_text, add_special=False,
+                                     parse_special=True))
             if tokens is None:
                 tokens = np.asarray(
                     tokenizer.encode(prompt_text, add_special=True, parse_special=True),
@@ -207,15 +222,25 @@ def make_handler(state: ServerState):
             created = int(time.time())
             rid = "cmpl-" + time.strftime("%H%M%S")
 
+            def probs_json(entries):
+                # probs_vector_to_json shape (reference examples/server/
+                # utils.hpp): [{content, probs: [{tok_str, prob}]}]
+                return [{
+                    "content": tokenizer.decode([e["tok"]], skip_special=False),
+                    "probs": [{"tok_str": tokenizer.decode([t], skip_special=False),
+                               "prob": float(np.exp(lp))} for t, lp in e["top"]],
+                } for e in entries]
+
             if stream:
                 q: queue.Queue = queue.Queue()
                 req = Request(
                     prompt_tokens=tokens, params=params, n_predict=n_predict,
-                    stop_strings=tuple(stops),
+                    stop_strings=tuple(stops), n_probs=n_probs,
                     stream=lambda tok, text, done: q.put((tok, text, done)),
                 )
                 engine.submit(req)
                 self._sse_start()
+                n_sent_probs = 0
                 while True:
                     tok, text, done = q.get()
                     if openai_kind == "chat":
@@ -237,6 +262,10 @@ def make_handler(state: ServerState):
                         }
                     else:  # llama.cpp native /completion
                         payload = {"content": text, "stop": done}
+                        if n_probs > 0:
+                            fresh = req.probs_output[n_sent_probs:]
+                            n_sent_probs = len(req.probs_output)
+                            payload["completion_probabilities"] = probs_json(fresh)
                     self._sse(payload)
                     if done:
                         if openai_kind:
@@ -246,7 +275,7 @@ def make_handler(state: ServerState):
                 return
 
             req = Request(prompt_tokens=tokens, params=params, n_predict=n_predict,
-                          stop_strings=tuple(stops))
+                          stop_strings=tuple(stops), n_probs=n_probs)
             engine.submit(req)
             req.done.wait()
             usage = {
@@ -255,26 +284,45 @@ def make_handler(state: ServerState):
                 "total_tokens": int(tokens.size) + len(req.output_tokens),
             }
             if openai_kind == "chat":
+                choice = {
+                    "index": 0,
+                    "message": {"role": "assistant", "content": req.output_text},
+                    "finish_reason": req.stop_reason,
+                }
+                if n_probs > 0:
+                    choice["logprobs"] = {"content": [{
+                        "token": tokenizer.decode([e["tok"]], skip_special=False),
+                        "logprob": e["logprob"],
+                        "top_logprobs": [
+                            {"token": tokenizer.decode([t], skip_special=False),
+                             "logprob": lp} for t, lp in e["top"]],
+                    } for e in req.probs_output]}
                 self._json({
                     "id": rid, "object": "chat.completion", "created": created,
                     "model": state.model_name,
-                    "choices": [{
-                        "index": 0,
-                        "message": {"role": "assistant", "content": req.output_text},
-                        "finish_reason": req.stop_reason,
-                    }],
+                    "choices": [choice],
                     "usage": usage,
                 })
             elif openai_kind == "text":
+                choice = {"index": 0, "text": req.output_text,
+                          "finish_reason": req.stop_reason}
+                if n_probs > 0:
+                    choice["logprobs"] = {
+                        "tokens": [tokenizer.decode([e["tok"]], skip_special=False)
+                                   for e in req.probs_output],
+                        "token_logprobs": [e["logprob"] for e in req.probs_output],
+                        "top_logprobs": [
+                            {tokenizer.decode([t], skip_special=False): lp
+                             for t, lp in e["top"]} for e in req.probs_output],
+                    }
                 self._json({
                     "id": rid, "object": "text_completion", "created": created,
                     "model": state.model_name,
-                    "choices": [{"index": 0, "text": req.output_text,
-                                 "finish_reason": req.stop_reason}],
+                    "choices": [choice],
                     "usage": usage,
                 })
             else:
-                self._json({
+                out = {
                     "content": req.output_text,
                     "stop": True,
                     "stopped_eos": req.stop_reason == "eos",
@@ -287,7 +335,10 @@ def make_handler(state: ServerState):
                         "ttft_ms": round((req.t_first_token - req.t_start) * 1e3, 2)
                         if req.t_first_token else None,
                     },
-                })
+                }
+                if n_probs > 0:
+                    out["completion_probabilities"] = probs_json(req.probs_output)
+                self._json(out)
 
         def _slot_action(self):
             """POST /slots/{id}?action=save|restore|erase (parity:
@@ -410,6 +461,9 @@ def main():
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for /slots save/restore files "
                          "(unset = endpoint disabled, like the reference)")
+    ap.add_argument("--system-prompt-file", default=None,
+                    help="file whose contents prefix every request "
+                         "(reference server.cpp --system-prompt-file)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -423,7 +477,7 @@ def main():
 
     cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
     tokenizer = build_tokenizer(f.metadata)
-    template = detect_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
+    template = resolve_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()
     kv_quant = args.cache_type_k if args.cache_type_k in ("q8_0", "q4_0") else False
     ctx = LlamaContext(cfg, params, n_cells=args.n_ctx, kv_quant=kv_quant)
@@ -431,6 +485,10 @@ def main():
                   slot_save_path=args.slot_save_path,
                   host=args.host, port=args.port, n_slots=args.n_slots,
                   n_batch=args.n_batch)
+    if args.system_prompt_file:
+        state.engine.set_system_prompt(tokenizer.encode(
+            open(args.system_prompt_file).read(), add_special=False,
+            parse_special=True))
     print(f"listening on http://{args.host}:{args.port}")
     try:
         state.httpd.serve_forever()

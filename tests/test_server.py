@@ -302,3 +302,116 @@ def test_slot_context_shift_mid_generation(tmp_path):
     # generated PAST the 32-cell context thanks to the shift
     assert len(req.output_tokens) == 48
     assert req.stop_reason == "length"  # n_predict reached, not ctx edge
+
+
+def test_http_completion_n_probs(served):
+    """Native n_probs (server.cpp:931): per-token top-N probabilities in
+    probs_vector_to_json shape (reference examples/server/utils.hpp)."""
+    url, _ = served
+    out = _post(url + "/completion", {"prompt": "hi", "n_predict": 3,
+                                      "temperature": 0, "n_probs": 4})
+    cp = out["completion_probabilities"]
+    assert len(cp) == len(out["content"]) or len(cp) >= 1
+    for entry in cp:
+        assert "content" in entry
+        probs = entry["probs"]
+        assert len(probs) == 4
+        ps = [p["prob"] for p in probs]
+        assert all(0.0 <= p <= 1.0 for p in ps)
+        assert ps == sorted(ps, reverse=True)  # top-N sorted desc
+
+
+def test_http_openai_logprobs(served):
+    """OpenAI spellings: completions logprobs=N; chat logprobs=true +
+    top_logprobs=N."""
+    url, _ = served
+    out = _post(url + "/v1/completions", {"prompt": "hi", "max_tokens": 3,
+                                          "temperature": 0, "logprobs": 3})
+    lp = out["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) >= 1
+    assert all(v <= 0.0 for v in lp["token_logprobs"])
+    assert all(len(t) == 3 for t in lp["top_logprobs"])
+    # greedy decode: the sampled token must be the argmax -> its logprob
+    # equals the best top_logprob
+    for tl, v in zip(lp["top_logprobs"], lp["token_logprobs"]):
+        assert abs(max(tl.values()) - v) < 1e-9
+
+    out = _post(url + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 3, "temperature": 0,
+        "logprobs": True, "top_logprobs": 2,
+    })
+    content = out["choices"][0]["logprobs"]["content"]
+    assert len(content) >= 1
+    for e in content:
+        assert e["logprob"] <= 0.0
+        assert len(e["top_logprobs"]) == 2
+
+
+def test_http_system_prompt(served):
+    """Global system prompt (server.cpp:642,1130): prefixes every request
+    and changes greedy output; clearing restores the old output."""
+    url, engine = served
+    base = _post(url + "/completion", {"prompt": "xyz", "n_predict": 6,
+                                       "temperature": 0})["content"]
+    with_sys = _post(url + "/completion", {
+        "prompt": "xyz", "n_predict": 6, "temperature": 0,
+        "system_prompt": "You are terse.",
+    })["content"]
+    assert engine.system_tokens  # prefix installed
+    # conditioning on the prefix changes the greedy continuation
+    # (random weights: any prefix change perturbs logits)
+    assert with_sys != base
+    again = _post(url + "/completion", {"prompt": "xyz", "n_predict": 6,
+                                        "temperature": 0})["content"]
+    assert again == with_sys  # prefix is sticky (global)
+    cleared = _post(url + "/completion", {"prompt": "xyz", "n_predict": 6,
+                                          "temperature": 0,
+                                          "system_prompt": ""})["content"]
+    assert cleared == base
+    assert not engine.system_tokens
+
+
+def test_server_saturation_mixed_streaming(served):
+    """More concurrent streaming requests than slots with mixed n_predict:
+    every request completes with exactly its requested token count and no
+    stall (reference examples/server/tests parallel.feature)."""
+    import threading as _th
+
+    url, engine = served
+    n_slots = len(engine.slots)
+    n_req = 3 * n_slots
+    lens = [3 + (i % 4) * 2 for i in range(n_req)]  # 3..9 tokens, mixed
+    results: dict[int, list] = {i: [] for i in range(n_req)}
+    errors: list = []
+
+    def run(i):
+        try:
+            req = urllib.request.Request(
+                url + "/completion",
+                json.dumps({"prompt": f"req {i}", "n_predict": lens[i],
+                            "temperature": 0, "stream": True}).encode(),
+                {"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                for line in r:
+                    line = line.strip()
+                    if line.startswith(b"data: "):
+                        results[i].append(json.loads(line[6:]))
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    threads = [_th.Thread(target=run, args=(i,)) for i in range(n_req)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert all(not t.is_alive() for t in threads), "stalled request"
+    for i in range(n_req):
+        evs = results[i]
+        assert evs and evs[-1]["stop"] is True
+        n_toks = sum(1 for e in evs if e.get("content"))
+        assert 1 <= n_toks <= lens[i] + 1
+    # fairness: with 3x oversubscription everything drains reasonably fast
+    assert time.time() - t0 < 240
