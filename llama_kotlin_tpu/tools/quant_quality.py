@@ -32,21 +32,33 @@ import numpy as np
 LADDER = ["Q8_0", "Q6_K", "Q5_K_M", "Q4_K_M", "Q4_0", "Q3_K_M", "Q2_K"]
 
 
-def default_corpus(root: Path, cap: int = 400_000) -> bytes:
-    """Concatenate the framework's own .py sources (real local text)."""
+def default_corpus(root: Path, cap: int = 400_000,
+                   extra_roots: tuple = (), suffixes=(".py",)) -> bytes:
+    """Concatenate local source text (real local text; zero egress leaves
+    no WikiText on disk).  extra_roots lets large runs add more text
+    volume (e.g. other local source trees as TRAINING DATA only)."""
     buf = []
     total = 0
-    for p in sorted(root.rglob("*.py")):
-        b = p.read_bytes()
-        buf.append(b)
-        total += len(b)
-        if total >= cap:
-            break
+    roots = (root,) + tuple(Path(r) for r in extra_roots)
+    for r in roots:
+        for suf in suffixes:
+            for p in sorted(r.rglob(f"*{suf}")):
+                try:
+                    b = p.read_bytes()
+                except OSError:
+                    continue
+                buf.append(b)
+                total += len(b)
+                if total >= cap:
+                    return b"".join(buf)[:cap]
     return b"".join(buf)[:cap]
 
 
 def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
-        ladder=None, seed: int = 0) -> dict:
+        ladder=None, seed: int = 0, n_embd: int = 256, n_layer: int = 4,
+        n_head: int = 4, n_ff: int = 512, batch: int = 8,
+        with_kld: bool = True, keep_files: bool = False,
+        eval_tokens: int = 65536) -> dict:
     import jax.numpy as jnp
 
     from llama_kotlin_tpu.models.config import ModelConfig
@@ -60,35 +72,58 @@ def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
     data = np.frombuffer(text, np.uint8).astype(np.int32)
     split = int(len(data) * 0.9)
     train_toks, held = data[:split], data[split:]
+    held = held[:max(eval_tokens, n_ctx)]  # bound ladder-scoring cost
 
     # dims are 256-multiples so the K-quant superblocks actually engage
     # (k % 256 != 0 rows fall back to f32 in the quantize tool)
-    cfg = ModelConfig(arch="llama", vocab_size=256, n_embd=256, n_layer=4,
-                      n_head=4, n_head_kv=4, n_ff=512, n_ctx_train=n_ctx)
+    cfg = ModelConfig(arch="llama", vocab_size=256, n_embd=n_embd,
+                      n_layer=n_layer, n_head=n_head, n_head_kv=n_head,
+                      n_ff=n_ff, n_ctx_train=n_ctx)
+    n_params = (n_layer * (4 * n_embd * n_embd + 3 * n_ff * n_embd)
+                + 2 * 256 * n_embd)
+    sys.stderr.write(f"training ~{n_params/1e6:.1f}M-param model, "
+                     f"{steps} steps x {batch}x{n_ctx} tokens\n")
     params, losses = train(
-        cfg, train_toks, steps=steps, batch=8, seq_len=n_ctx, lr=1e-3,
+        cfg, train_toks, steps=steps, batch=batch, seq_len=n_ctx, lr=1e-3,
         seed=seed,
         log=lambda i, l: sys.stderr.write(f"step {i}: loss {l:.3f}\n"))
     f32_path = out_dir / "f32.gguf"
     save_checkpoint_gguf(params, cfg, f32_path)
 
-    def ppl(path) -> float:
+    def score(path):
+        """(ppl, per-chunk logits) through the standard serving path."""
         cfg2, params2, f = load_gguf_model(path, compute_dtype=jnp.float32)
         f.close()
         ctx = LlamaContext(cfg2, params2, n_cells=n_ctx,
                            compute_dtype=jnp.float32)
-        ppl_val, _nll, _n = compute_perplexity(ctx, held, n_ctx=n_ctx)[:3]
-        return float(ppl_val)
+        ppl_val, _nll, _n, logits = compute_perplexity(
+            ctx, held, n_ctx=n_ctx, collect_logits=with_kld)
+        return float(ppl_val), logits
 
-    base = ppl(f32_path)
+    base, base_logits = score(f32_path)
     rows = {"f32": {"ppl": round(base, 4), "delta": 0.0,
-                    "final_train_loss": round(losses[-1], 4)}}
+                    "final_train_loss": round(losses[-1], 4),
+                    "n_params": n_params}}
     for ft in (ladder or LADDER):
         qp = out_dir / f"{ft.lower()}.gguf"
         quantize_model(str(f32_path), str(qp), ft)
-        p = ppl(qp)
+        p, logits = score(qp)
         rows[ft] = {"ppl": round(p, 4), "delta": round(p - base, 4)}
-        sys.stderr.write(f"{ft}: ppl {p:.4f} (Δ {p - base:+.4f})\n")
+        if with_kld:
+            # reference KLD method (examples/perplexity/README.md:77-114):
+            # mean KL(f32 || quant) per scored token through the SERVING
+            # path, plus top-1 agreement
+            from llama_kotlin_tpu.tools.perplexity import kl_divergence
+
+            kld, top1 = kl_divergence(base_logits, logits)
+            rows[ft]["kld"] = round(kld, 6)
+            rows[ft]["top1_agree"] = round(top1, 4)
+        if not keep_files:
+            qp.unlink(missing_ok=True)
+        sys.stderr.write(f"{ft}: ppl {p:.4f} (Δ {p - base:+.4f}) "
+                         + (f"kld {rows[ft]['kld']:.6f} "
+                            f"top1 {rows[ft]['top1_agree']:.3f}\n"
+                            if with_kld else "\n"))
     return rows
 
 
@@ -100,13 +135,29 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="/tmp/quant_quality")
     ap.add_argument("--n-ctx", type=int, default=128)
     ap.add_argument("--ladder", default=",".join(LADDER))
+    ap.add_argument("--n-embd", type=int, default=256)
+    ap.add_argument("--n-layer", type=int, default=4)
+    ap.add_argument("--n-head", type=int, default=4)
+    ap.add_argument("--n-ff", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--corpus-cap", type=int, default=400_000)
+    ap.add_argument("--corpus-root", action="append", default=[],
+                    help="extra source trees to add as training text")
+    ap.add_argument("--corpus-suffixes", default=".py",
+                    help="comma-separated suffixes for corpus files")
+    ap.add_argument("--no-kld", action="store_true")
     args = ap.parse_args(argv)
     if args.text:
         text = Path(args.text).read_bytes()
     else:
-        text = default_corpus(Path(__file__).resolve().parents[1])
+        text = default_corpus(Path(__file__).resolve().parents[1],
+                              cap=args.corpus_cap,
+                              extra_roots=tuple(args.corpus_root),
+                              suffixes=tuple(args.corpus_suffixes.split(",")))
     rows = run(args.steps, text, Path(args.out_dir), n_ctx=args.n_ctx,
-               ladder=args.ladder.split(","))
+               ladder=args.ladder.split(","), n_embd=args.n_embd,
+               n_layer=args.n_layer, n_head=args.n_head, n_ff=args.n_ff,
+               batch=args.batch, with_kld=not args.no_kld)
     print(json.dumps(rows, indent=1))
     return rows
 

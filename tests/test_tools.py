@@ -174,11 +174,20 @@ def test_quant_quality_ladder(tmp_path):
     text = (Path(__file__).resolve().parents[1] / "README.md").read_bytes()
     text = (text * (30_000 // len(text) + 1))[:30_000]
     rows = run(steps=80, text=text, out_dir=tmp_path / "q",
-               n_ctx=64, ladder=["Q8_0", "Q2_K"], seed=1)
+               n_ctx=64, ladder=["Q8_0", "Q4_K_M", "Q2_K"], seed=1)
     assert rows["f32"]["ppl"] > 0
     assert rows["Q2_K"]["delta"] >= rows["Q8_0"]["delta"] - 1e-3
     # 8-bit is near-lossless on any model
     assert abs(rows["Q8_0"]["delta"]) < 0.05 * rows["f32"]["ppl"]
+    # KLD gate (reference KLD method, examples/perplexity/README.md:77-114):
+    # KL(f32 || quant) through the serving path must be near-zero at 8-bit,
+    # monotone down the ladder, and bounded at 4-bit
+    assert rows["Q8_0"]["kld"] < 1e-3
+    assert rows["Q4_K_M"]["kld"] < 0.05
+    assert rows["Q8_0"]["kld"] <= rows["Q4_K_M"]["kld"] + 1e-6
+    assert rows["Q4_K_M"]["kld"] <= rows["Q2_K"]["kld"] + 1e-6
+    # top-1 agreement with f32 stays high through 4-bit
+    assert rows["Q4_K_M"]["top1_agree"] > 0.95
 
 
 def test_gritlm_causal_toggle(tmp_path):
