@@ -248,7 +248,7 @@ class LlamaContext:
             self.params,
             jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(seq),
             jnp.asarray(slot_arr), self.cache,
-            jnp.asarray(self.meta.pos[:n_vis]), jnp.asarray(self.meta.seq[:n_vis]),
+            *self.meta.device_view(n_vis),
             jnp.asarray(out_ids),
         )
         if len(out_rows):
@@ -298,8 +298,7 @@ class LlamaContext:
             logits, self.cache, embd_out = self._step_embd(
                 self.params, jnp.asarray(e), jnp.asarray(pos_a),
                 jnp.asarray(seq_a), jnp.asarray(slot_a), self.cache,
-                jnp.asarray(self.meta.pos[:n_vis]),
-                jnp.asarray(self.meta.seq[:n_vis]), jnp.asarray(out_ids),
+                *self.meta.device_view(n_vis), jnp.asarray(out_ids),
             )
             if last:
                 self._logits = logits[:1]

@@ -156,6 +156,15 @@ class Engine:
         if rc != 0:
             self._handle_cache_full()
             return True
+        # one-token-lookahead overlap (SURVEY §7.3): decode dispatch is
+        # async, so compute each grammar slot's next-token mask NOW (it
+        # depends only on the grammar state, not the logits) — the host
+        # pushdown sweep runs concurrently with the device step instead of
+        # serializing after get_logits
+        for slot in self.slots:
+            if (getattr(slot, "_batch_n", 0) > 0 and slot.sampler is not None
+                    and slot.sampler.grammar is not None):
+                slot.sampler.precompute_grammar(self.tokenizer)
         self._consume_results(batch)
         self.metrics["n_decode_steps"] += 1
         return True
@@ -308,8 +317,7 @@ class Engine:
                      self.ctx.n_cells)
         out_tokens, cache, _, _, _ = generate_loop(
             self.ctx.params, self.ctx.cfg, self.ctx.cache,
-            jnp.asarray(self.ctx.meta.pos[:n_vis]),
-            jnp.asarray(self.ctx.meta.seq[:n_vis]),
+            *self.ctx.meta.device_view(n_vis),
             jnp.asarray([s.tokens[-1] for s in active], jnp.int32),
             jnp.asarray([s.n_past for s in active], jnp.int32),
             jnp.asarray([s.seq_id for s in active], jnp.int32),

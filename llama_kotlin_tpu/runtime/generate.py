@@ -272,7 +272,7 @@ def generate(ctx, prompt_tokens, n_steps: int, sp: SampleParams = SampleParams()
 
     out_tokens, cache, cell_pos, cell_seq, _ = generate_loop(
         ctx.params, ctx.cfg, ctx.cache,
-        jnp.asarray(ctx.meta.pos[:n_vis]), jnp.asarray(ctx.meta.seq[:n_vis]),
+        *ctx.meta.device_view(n_vis),
         jnp.asarray([first], jnp.int32), jnp.asarray([n_prompt], jnp.int32),
         jnp.asarray([seq_id], jnp.int32), jnp.asarray(slots),
         n_steps, sp, ctx.compute_dtype,

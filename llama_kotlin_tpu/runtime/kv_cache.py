@@ -173,6 +173,24 @@ class CellMetadata:
         live = np.nonzero(self.pos >= 0)[0]
         return int(live[-1]) + 1 if live.size else 0
 
+    def device_view(self, n_vis: Optional[int] = None):
+        """(cell_pos, cell_seq) device arrays for a decode step — always
+        COPIES of the live metadata.
+
+        CRITICAL: jnp.asarray on the CPU backend can zero-copy ALIAS a
+        numpy buffer (especially slice views like pos[:n_vis]).  These
+        arrays are mutated in place by commit/seq_rm/seq_add while a
+        previously dispatched decode may still be running asynchronously —
+        an aliased buffer lets that mutation corrupt the in-flight step's
+        attention metadata.  This was the root cause of the rare
+        test_kv_quant_k_shift / context-shift full-suite flakes (decode →
+        seq_add mutates pos → the still-running decode read shifted
+        positions under CPU load)."""
+        import jax.numpy as jnp
+
+        n = self.n_cells if n_vis is None else n_vis
+        return jnp.asarray(self.pos[:n].copy()), jnp.asarray(self.seq[:n].copy())
+
     def find_slots(self, n: int) -> Optional[np.ndarray]:
         """Allocate n cells; returns indices or None if cache is full."""
         free = np.nonzero(self.pos < 0)[0]
@@ -288,7 +306,9 @@ def apply_k_shift(cache: KVCache, meta: CellMetadata, deltas: np.ndarray,
     """Device-side companion of seq_add/seq_div (the K-shift)."""
     if rope.rope_type == ROPE_TYPE_NONE or not np.any(deltas):
         return cache
-    deltas = np.asarray(deltas, np.int32)
+    # always copy: the caller's buffer may be meta-owned and later mutated
+    # while the rotation still runs (see CellMetadata.device_view)
+    deltas = np.array(deltas, np.int32, copy=True)
     if deltas.shape[0] < cache.n_cells:  # pad to cover any scratch rows
         deltas = np.pad(deltas, (0, cache.n_cells - deltas.shape[0]))
     if cache.quantized:

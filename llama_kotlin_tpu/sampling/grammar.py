@@ -391,15 +391,42 @@ class Grammar:
 class GrammarSampler:
     """Grammar-constrained sampling hook used by SamplerChain."""
 
+    _MASK_MEMO_CAP = 256
+
     def __init__(self, gbnf_text: str):
         rules, root = parse_gbnf(gbnf_text)
         self.grammar = Grammar(rules, root)
         self._piece_cache: dict[int, str] = {}
         self.partial = b""
+        # full-vocab allowed masks memoized by grammar state: states repeat
+        # heavily during generation (e.g. "inside a JSON string"), and the
+        # mask depends only on the state — so the O(vocab) pushdown sweep
+        # runs once per distinct state, and can be precomputed while the
+        # device computes the next logits (SURVEY §7.3 overlap)
+        self._mask_memo: dict = {}
 
     def reset(self) -> None:
         self.grammar.reset()
         self.partial = b""
+
+    def state_key(self):
+        return (tuple(self.grammar.stacks), self.partial)
+
+    def allowed_mask(self, tokenizer, vocab_size: int,
+                     eos_id: int = -1) -> np.ndarray:
+        """bool [vocab_size] of grammar-legal next tokens from the CURRENT
+        state.  Memoized by state; logits-independent, so callers can
+        compute it concurrently with the next decode step."""
+        key = (self.state_key(), eos_id)
+        m = self._mask_memo.get(key)
+        if m is None or m.size < vocab_size:
+            m = np.fromiter(
+                (self.token_allowed(t, tokenizer, eos_id=eos_id)
+                 for t in range(vocab_size)), bool, vocab_size)
+            if len(self._mask_memo) >= self._MASK_MEMO_CAP:
+                self._mask_memo.clear()
+            self._mask_memo[key] = m
+        return m
 
     def _piece(self, tid: int, tokenizer) -> bytes:
         s = self._piece_cache.get(tid)
@@ -440,11 +467,16 @@ class GrammarSampler:
         # only extend to SOME code point; the completing token is checked)
         return bool(text) or bool(rest)
 
-    def filter_candidates(self, c, tokenizer, eos_id: int = -1) -> None:
-        keep = np.ones(len(c.ids), bool)
-        for i, tid in enumerate(c.ids):
-            if not self.token_allowed(int(tid), tokenizer, eos_id=eos_id):
-                keep[i] = False
+    def filter_candidates(self, c, tokenizer, eos_id: int = -1,
+                          vocab_size: int = 0) -> None:
+        ids = np.asarray(c.ids)
+        if vocab_size and ids.size and int(ids.max()) < vocab_size:
+            keep = self.allowed_mask(tokenizer, vocab_size, eos_id=eos_id)[ids]
+        else:
+            keep = np.ones(len(c.ids), bool)
+            for i, tid in enumerate(c.ids):
+                if not self.token_allowed(int(tid), tokenizer, eos_id=eos_id):
+                    keep[i] = False
         if keep.any():
             c.keep(keep)
         c.sorted = False

@@ -243,7 +243,8 @@ class SamplerChain:
 
         if self.grammar is not None and tokenizer is not None:
             eos = getattr(getattr(tokenizer, "vocab", None), "eos_id", -1)
-            self.grammar.filter_candidates(c, tokenizer, eos_id=eos)
+            self.grammar.filter_candidates(c, tokenizer, eos_id=eos,
+                                           vocab_size=self.vocab_size)
 
         if p.temp < 0.0:
             # "sample with probs but greedy" mode
@@ -271,6 +272,16 @@ class SamplerChain:
                     temperature(c, p.temp, p.dynatemp_range, p.dynatemp_exponent)
             tok = self._dist(c)
         return tok
+
+    def precompute_grammar(self, tokenizer) -> None:
+        """Warm the grammar's allowed-mask memo for the CURRENT state —
+        called while the device computes the next logits (the one-token-
+        lookahead overlap, SURVEY §7.3): sample()'s grammar filter then
+        hits the memo instead of paying the O(vocab) pushdown sweep on the
+        critical path."""
+        if self.grammar is not None and tokenizer is not None:
+            eos = getattr(getattr(tokenizer, "vocab", None), "eos_id", -1)
+            self.grammar.allowed_mask(tokenizer, self.vocab_size, eos_id=eos)
 
     def accept(self, token: int, tokenizer=None, apply_grammar: bool = True) -> None:
         self.prev.append(int(token))

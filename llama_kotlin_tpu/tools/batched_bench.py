@@ -42,7 +42,7 @@ def bench_combo(ctx, n_pp: int, n_tg: int, n_pl: int,
     t0 = time.time()
     out, cache, *_ = generate_loop(
         ctx.params, ctx.cfg, ctx.cache,
-        jnp.asarray(ctx.meta.pos), jnp.asarray(ctx.meta.seq),
+        *ctx.meta.device_view(),
         jnp.full((n_pl,), tok, jnp.int32),
         jnp.full((n_pl,), n_pp, jnp.int32),
         jnp.arange(n_pl, dtype=jnp.int32),

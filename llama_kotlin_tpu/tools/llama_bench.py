@@ -53,7 +53,7 @@ def bench_tg(ctx, n_gen: int, reps: int) -> list[float]:
         t0 = time.perf_counter()
         toks, cache, *_ = generate_loop(
             ctx.params, ctx.cfg, ctx.cache,
-            jnp.asarray(ctx.meta.pos), jnp.asarray(ctx.meta.seq),
+            *ctx.meta.device_view(),
             jnp.asarray([1], jnp.int32), jnp.asarray([1], jnp.int32),
             jnp.asarray([0], jnp.int32), jnp.asarray(slots.reshape(n_gen, 1)),
             n_gen, SampleParams(), ctx.compute_dtype,

@@ -332,3 +332,22 @@ def test_flash_wide_v_head_dims(rng, vd):
     ref = attention_reference(q, k, v, mask, scale=0.1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_metadata_device_view_not_aliased():
+    """jnp.asarray on CPU can zero-copy alias numpy buffers; the decode
+    path must hand the device COPIES of the live cell metadata, or an
+    in-flight async decode reads later in-place mutations (the root cause
+    of the historical test_kv_quant_k_shift / context-shift flakes)."""
+    import numpy as np
+
+    from llama_kotlin_tpu.runtime.kv_cache import CellMetadata
+
+    meta = CellMetadata(64)
+    meta.pos[:8] = np.arange(8)
+    meta.seq[:8] = 1
+    pos_dev, seq_dev = meta.device_view(16)
+    meta.pos[:] = -5  # simulate a post-dispatch seq op mutating in place
+    meta.seq[:] = 0
+    assert np.asarray(pos_dev)[:8].tolist() == list(range(8))
+    assert np.asarray(seq_dev)[:8].tolist() == [1] * 8

@@ -243,3 +243,48 @@ def test_json_schema_min_items_open_max():
     else:
         ok = g.can_end
     assert not ok  # minItems=1: empty array rejected
+
+
+def test_grammar_allowed_mask_memo_and_overlap():
+    """The grammar's full-vocab allowed mask is state-memoized and matches
+    the per-token loop; precompute_grammar warms the memo so the sampling-
+    path filter is a lookup (the decode-overlap mechanism)."""
+    import numpy as np
+
+    from llama_kotlin_tpu.sampling.grammar import GrammarSampler
+    from llama_kotlin_tpu.sampling.samplers import SamplerChain, SamplingParams
+
+    class Tok:
+        class vocab:
+            eos_id = 0
+
+        @staticmethod
+        def id_to_piece(t):
+            return {1: b"{", 2: b"}", 3: b'"', 4: b"a", 5: b":", 6: b"1",
+                    7: b" ", 8: b"x"}.get(t, b"@")
+
+    g = GrammarSampler('root ::= "{" "}"')
+    V = 9
+    mask = g.allowed_mask(Tok, V, eos_id=0)
+    loop = np.array([g.token_allowed(t, Tok, eos_id=0) for t in range(V)])
+    np.testing.assert_array_equal(mask, loop)
+    assert mask[1] and not mask[2] and not mask[0]  # only "{" opens
+    # memo hit: same state returns the same array object
+    assert g.allowed_mask(Tok, V, eos_id=0) is mask
+    # state advance invalidates (new key), eos allowed only at the end
+    g.accept_token(1, Tok, eos_id=0)
+    m2 = g.allowed_mask(Tok, V, eos_id=0)
+    assert m2[2] and not m2[1]
+    g.accept_token(2, Tok, eos_id=0)
+    m3 = g.allowed_mask(Tok, V, eos_id=0)
+    assert m3[0] and not m3[1] and not m3[2]  # only EOS
+
+    # chain path: precompute then sample hits the memo and stays legal
+    chain = SamplerChain(SamplingParams(temp=0.0, grammar='root ::= "{" "}"'),
+                         vocab_size=V)
+    chain.precompute_grammar(Tok)
+    assert chain.grammar._mask_memo  # memo warmed for the current state
+    logits = np.zeros(V, np.float32)
+    logits[8] = 10.0  # illegal argmax: grammar must veto it
+    tok = chain.sample(logits, tokenizer=Tok)
+    assert tok == 1
