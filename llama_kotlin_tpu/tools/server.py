@@ -112,7 +112,17 @@ def make_handler(state: ServerState):
         # -- routes ----------------------------------------------------------
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/", "/index.html"):
+                # bundled chat UI (reference examples/server/public parity)
+                from llama_kotlin_tpu.tools.server_ui import INDEX_HTML
+
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
                 self._json({"status": "ok"})
             elif self.path in ("/v1/models", "/models"):
                 self._json({"object": "list", "data": [

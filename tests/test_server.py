@@ -415,3 +415,13 @@ def test_server_saturation_mixed_streaming(served):
         assert 1 <= n_toks <= lens[i] + 1
     # fairness: with 3x oversubscription everything drains reasonably fast
     assert time.time() - t0 < 240
+
+
+def test_http_web_ui(served):
+    """GET / serves the bundled chat UI (reference examples/server/public
+    parity)."""
+    url, _ = served
+    with urllib.request.urlopen(url + "/", timeout=30) as r:
+        body = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/html")
+    assert "/v1/chat/completions" in body and "<textarea" in body
