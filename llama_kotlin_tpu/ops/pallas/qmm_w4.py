@@ -203,6 +203,8 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
 
     grid = (n // bn, kc // bkc)
     nch_blk = bkc // CHUNK
+    nch = kc // CHUNK  # sxv rides whole (tiny); block-sliced spec breaks
+    # Mosaic's (8,128)-divisibility rule when nch_blk < nch (e.g. k=14336)
 
     def kernel(xlo_ref, xhi_ref, sxv_ref, codes_ref, sclo_ref, schi_ref, out_ref):
         @pl.when(pl.program_id(1) == 0)
@@ -212,6 +214,7 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
         cw = codes_ref[...]  # [bn, bkc] u8
         lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
         hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+        ch0 = pl.program_id(1) * nch_blk
         acc = jnp.zeros_like(out_ref)
         for t in range(nch_blk):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -223,7 +226,7 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
                 preferred_element_type=jnp.int32)
             sc_lo = jnp.repeat(sclo_ref[t * NG:(t + 1) * NG, :], b, axis=0)
             sc_hi = jnp.repeat(schi_ref[t * NG:(t + 1) * NG, :], b, axis=0)
-            sxc = sxv_ref[t, :][:, None]  # [16b, 1]
+            sxc = sxv_ref[ch0 + t, :][:, None]  # [16b, 1]
             contrib = (p_lo.astype(jnp.float32) * sc_lo.astype(jnp.float32)
                        + p_hi.astype(jnp.float32) * sc_hi.astype(jnp.float32)
                        ) * sxc
@@ -236,7 +239,7 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((rows, bkc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, bkc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch_blk, rows), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, rows), (lambda i, j: (0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bkc), (lambda i, j: (i, j)), memory_space=pltpu.VMEM),
             pl.BlockSpec((bkc // 32, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
             pl.BlockSpec((bkc // 32, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),

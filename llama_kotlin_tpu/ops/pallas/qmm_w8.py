@@ -154,6 +154,8 @@ def qmm_w8(x_bd: jnp.ndarray, sxv: jnp.ndarray, w: QTensor, *,
 
     grid = (n // bn, k_pad // bk)
     nch_blk = bk // CHUNK
+    nch = k_pad // CHUNK  # sxv rides whole (tiny); block-sliced spec breaks
+    # Mosaic's (8,128)-divisibility rule when nch_blk < nch
 
     def kernel(xbd_ref, sxv_ref, codes_ref, scw_ref, out_ref):
         @pl.when(pl.program_id(1) == 0)
@@ -161,6 +163,7 @@ def qmm_w8(x_bd: jnp.ndarray, sxv: jnp.ndarray, w: QTensor, *,
             out_ref[...] = jnp.zeros_like(out_ref)
 
         cw = codes_ref[...]  # [bn, bk] i8
+        ch0 = pl.program_id(1) * nch_blk
         acc = jnp.zeros_like(out_ref)
         for t in range(nch_blk):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -168,7 +171,7 @@ def qmm_w8(x_bd: jnp.ndarray, sxv: jnp.ndarray, w: QTensor, *,
                 xbd_ref[:, sl], cw[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)  # [ng*nb, bn]
             sc = jnp.repeat(scw_ref[t * ng:(t + 1) * ng, :], nb, axis=0)
-            sxc = sxv_ref[t, :][:, None]  # [ng*nb, 1]
+            sxc = sxv_ref[ch0 + t, :][:, None]  # [ng*nb, 1]
             contrib = p.astype(jnp.float32) * sc * sxc
             acc = acc + contrib.reshape(ng, nb, bn).sum(axis=0)
         out_ref[...] += acc
@@ -178,7 +181,7 @@ def qmm_w8(x_bd: jnp.ndarray, sxv: jnp.ndarray, w: QTensor, *,
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, bk), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch_blk, rows), (lambda i, j: (j, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, rows), (lambda i, j: (0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bk), (lambda i, j: (i, j)), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // gs, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
         ],

@@ -64,19 +64,35 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
     w = jax.tree.map(jnp.asarray, w)
     x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
 
-    @jax.jit
-    def run(x):
-        def body(i, acc):
-            y = qmatmul(x + acc[:, :1] * 0, w, compute_dtype=jnp.bfloat16)
-            return acc + y[:, :1] * 1e-30
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros((b, 1), jnp.float32))
+    def make_run(r):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                # real loop-carried dependence (acc stays ~1e-27, numerically
+                # inert) so XLA cannot hoist the matmul out of the loop
+                y = qmatmul(x + acc[:, :1], w, compute_dtype=jnp.bfloat16)
+                return acc + y[:, :1] * 1e-30
+            return jax.lax.fori_loop(0, r, body, jnp.zeros((b, 1), jnp.float32))
+        return run
 
+    # warm + estimate, then re-time with enough reps that the block runs
+    # multi-second: the axon tunnel costs ~25ms/dispatch, so short blocks
+    # are dispatch-dominated garbage (TODO.md measurement warning)
+    run = make_run(reps)
     r = run(x)
     jax.block_until_ready(r)  # compile+warm
     t0 = time.time()
-    r = run(x)
-    jax.block_until_ready(r)
+    jax.block_until_ready(run(x))
     dt = (time.time() - t0) / reps
+    target_s = float(os.environ.get("TUNE_TARGET_S", "2.0"))
+    reps2 = max(reps, min(100_000, int(target_s / max(dt, 1e-6))))
+    if reps2 > reps:
+        run = make_run(reps2)
+        jax.block_until_ready(run(x))  # warm the new loop bound
+        t0 = time.time()
+        jax.block_until_ready(run(x))
+        dt = (time.time() - t0) / reps2
+        reps = reps2
 
     from llama_kotlin_tpu.quant.qtensor import QTensor
 
