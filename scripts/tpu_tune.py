@@ -78,21 +78,34 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
     # warm + estimate, then re-time with enough reps that the block runs
     # multi-second: the axon tunnel costs ~25ms/dispatch, so short blocks
     # are dispatch-dominated garbage (TODO.md measurement warning)
-    run = make_run(reps)
-    r = run(x)
-    jax.block_until_ready(r)  # compile+warm
-    t0 = time.time()
-    jax.block_until_ready(run(x))
-    dt = (time.time() - t0) / reps
-    target_s = float(os.environ.get("TUNE_TARGET_S", "2.0"))
-    reps2 = max(reps, min(100_000, int(target_s / max(dt, 1e-6))))
-    if reps2 > reps:
-        run = make_run(reps2)
-        jax.block_until_ready(run(x))  # warm the new loop bound
+    if os.environ.get("TUNE_DET_REPS", "1") != "0":
+        # Deterministic reps by shape: ~2s blocks at HBM-bound speed, and a
+        # stable fori_loop bound -> the persistent compile cache hits on
+        # every rerun (compiles through the axon tunnel cost ~3min each,
+        # the adaptive two-stage estimate would double that and never
+        # cache; measured round 3).
+        reps = min(100_000, max(200, int(1.2e12 / (n * k))))
+        run = make_run(reps)
+        jax.block_until_ready(run(x))  # compile+warm
         t0 = time.time()
         jax.block_until_ready(run(x))
-        dt = (time.time() - t0) / reps2
-        reps = reps2
+        dt = (time.time() - t0) / reps
+    else:
+        run = make_run(reps)
+        r = run(x)
+        jax.block_until_ready(r)  # compile+warm
+        t0 = time.time()
+        jax.block_until_ready(run(x))
+        dt = (time.time() - t0) / reps
+        target_s = float(os.environ.get("TUNE_TARGET_S", "2.0"))
+        reps2 = max(reps, min(100_000, int(target_s / max(dt, 1e-6))))
+        if reps2 > reps:
+            run = make_run(reps2)
+            jax.block_until_ready(run(x))  # warm the new loop bound
+            t0 = time.time()
+            jax.block_until_ready(run(x))
+            dt = (time.time() - t0) / reps2
+            reps = reps2
 
     from llama_kotlin_tpu.quant.qtensor import QTensor
 
@@ -118,6 +131,12 @@ def main() -> None:
                          "kernel sweep into this directory (per-op ground "
                          "truth; host wall-clock through the tunnel lies)")
     args = ap.parse_args()
+
+    import sys as _sys0
+    _sys0.path.insert(0, str(Path(__file__).parent.parent))
+    from llama_kotlin_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # tunnel compiles cost minutes; pay once
 
     import jax
 
