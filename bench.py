@@ -56,7 +56,8 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from llama_kotlin_tpu.models.synthetic import preset_config, synthetic_params
+    from llama_kotlin_tpu.models.synthetic import (preset_config,
+                                                   synthetic_params_device)
     from llama_kotlin_tpu.quant.formats import GGMLQuantType
     from llama_kotlin_tpu.runtime.batch import Batch
     from llama_kotlin_tpu.runtime.context import LlamaContext
@@ -72,10 +73,15 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     # BENCH_MODE=dequant measures the bit-exact per-32-group dequant
     # kernels (VPU-bound, slower; kept for parity testing).
     mode = os.environ.get("BENCH_MODE", "w4a8")
-    params = synthetic_params(
+    # weights are generated ON the device (synthetic_params_device): the
+    # axon tunnel moves ~6 MB/s h2d (measured round 3), so a host-built 8B
+    # model would cost ~13 min of pure transfer before the bench starts
+    params = synthetic_params_device(
         cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
         fast_int8=(mode == "int8"),
-        fast_w4a8={"w4a8": True, "exact": "w4x"}.get(mode, False))
+        fast_w4a8={"w4a8": True, "exact": "w4x"}.get(mode, False),
+        fuse=os.environ.get("BENCH_FUSE", "1") == "1")
+    jax.block_until_ready(jax.tree.leaves(params))
     if os.environ.get("BENCH_LMHEAD", "") == "q6k" and "output" in params:
         # real Q4_K_M profile: q6_K lm_head served by the exact W8
         # block-diagonal kernel (ggml_vec_dot_q6_K_q8_K analogue)
@@ -149,11 +155,32 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     run_loop(steps)
     dt = time.time() - t0
     tps = steps * batch / dt
+
+    # prefill throughput (pp1024-class, reference llama-bench's pp metric):
+    # warm-timed full-prompt decode on a cleared context
+    pp = int(os.environ.get("BENCH_PP", "1024"))
+    pp_tps = None
+    if pp > 0:
+        prompt_pp = rng.integers(0, cfg.vocab_size, pp).astype(np.int32)
+        try:
+            for _ in range(2):  # first pass compiles the large buckets
+                ctx.clear()
+                t0 = time.time()
+                assert ctx.decode(Batch.single(prompt_pp)) == 0
+                np.asarray(ctx.get_logits()[0, :8])  # force completion
+                pp_dt = time.time() - t0
+            pp_tps = round(pp / pp_dt, 1)
+        except Exception:
+            pp_tps = None  # cache too small for the pp prompt etc.
     return {
         "metric": f"decode_tps_{preset}_{mode}" + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TPS, 3),
+        # p50-class warm TTFT + prefill throughput (BASELINE.json north
+        # stars) surfaced at top level so the driver records them per round
+        "ttft_ms": round(ttft_warm_s * 1e3, 1),
+        "pp_tps": pp_tps,
         "detail": {
             "backend": jax.default_backend(),
             "build_s": round(build_s, 1),
@@ -172,6 +199,9 @@ def child_main() -> None:
     """Run one bench attempt in-process and print its JSON line."""
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         _force_cpu()
+    from llama_kotlin_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # tunnel compiles cost minutes each; pay once
     preset = os.environ.get("BENCH_PRESET", "llama3-8b")
     steps = int(os.environ.get("BENCH_STEPS", "64"))
     prefill = int(os.environ.get("BENCH_PREFILL", "64"))
@@ -234,8 +264,12 @@ def main() -> None:
 
     result: dict | None = None
     if tpu_alive:
-        # 2. full attempt on the TPU backend (compile can take minutes)
-        result, aerr = _run_child(["--run"], {}, timeout_s=900)
+        # 2. full attempt on the TPU backend (compile can take minutes;
+        # through the axon tunnel a COLD-cache compile of every decode
+        # bucket can take tens of minutes — the persistent compile cache
+        # makes reruns fast, but give the first attempt room)
+        t_attempt = float(os.environ.get("BENCH_TPU_TIMEOUT", "2400"))
+        result, aerr = _run_child(["--run"], {}, timeout_s=t_attempt)
         if result is None:
             errors.append(f"tpu attempt: {aerr}")
             # 3. one retry (tunnel flakes are transient)

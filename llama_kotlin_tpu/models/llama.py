@@ -196,9 +196,17 @@ def forward(
         record(f"blk.{li}.attn_qkv", x)
         if lp.get("wkv_a_mqa") is not None:
             return qkv_mla(lp, x, li)
-        q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
-        k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
-        v = qmatmul(x, lp["wv"], compute_dtype=compute_dtype)
+        if lp.get("wqkv_fused") is not None:
+            # serving fold (quant/qtensor.py concat_qtensors): one kernel
+            # launch for q|k|v — static row slices recover the projections
+            qd = cfg.n_head * cfg.head_dim
+            kvd = cfg.n_head_kv * cfg.head_dim
+            y = qmatmul(x, lp["wqkv_fused"], compute_dtype=compute_dtype)
+            q, k, v = y[:, :qd], y[:, qd:qd + kvd], y[:, qd + kvd:]
+        else:
+            q = qmatmul(x, lp["wq"], compute_dtype=compute_dtype)
+            k = qmatmul(x, lp["wk"], compute_dtype=compute_dtype)
+            v = qmatmul(x, lp["wv"], compute_dtype=compute_dtype)
         if lp.get("wq_scale") is not None:  # bitnet per-projection scales
             q = q * lp["wq_scale"]
             k = k * lp["wk_scale"]
@@ -356,6 +364,14 @@ def forward(
         if (lp.get("ffn_gate_inp") is not None
                 and lp.get("ffn_norm_exps") is None):
             down = moe_ffn(lp, x).astype(h.dtype)
+        elif cfg.ffn_gated and lp.get("ffn_gateup_fused") is not None:
+            # serving fold: gate|up in one kernel launch (concat_qtensors)
+            y = qmatmul(x, lp["ffn_gateup_fused"], compute_dtype=compute_dtype)
+            gate, up = y[:, :cfg.n_ff], y[:, cfg.n_ff:]
+            ffn = act(gate) * up
+            record(f"blk.{li}.ffn_down", ffn)
+            down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"],
+                           compute_dtype=compute_dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
             if lp.get("ffn_gate_scale") is not None:  # bitnet

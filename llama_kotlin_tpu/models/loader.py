@@ -257,6 +257,60 @@ _ARCH_KEY_ALIASES = {
 }
 
 
+def fuse_layer_projections(cfg: ModelConfig, params: dict) -> int:
+    """Serving fold: concatenate wq|wk|wv -> wqkv_fused and ffn_gate|up ->
+    ffn_gateup_fused per layer (models/llama.py slices the outputs).
+
+    One kernel launch replaces 2-3 on the decode hot path; each Pallas
+    invocation costs ~10-15us of fixed ramp (round-3 device traces), so at
+    32 layers this is a direct tokens/s win.  Single-chip serving only —
+    TP row splits would cross the fused segment boundaries, so callers
+    must fuse only when the params stay unsharded (tp == 1).
+
+    Layers are fused only when metadata matches and head counts are the
+    config-uniform values (per-layer-head archs like openelm keep split
+    projections).  Returns the number of layers fused."""
+    from llama_kotlin_tpu.quant.qtensor import QTensor, concat_qtensors
+
+    def fusable(ws):
+        if any(w is None for w in ws):
+            return False
+        if all(isinstance(w, QTensor) for w in ws):
+            return not any(w.is_stacked for w in ws)
+        return all(isinstance(w, jnp.ndarray) and w.ndim == 2 for w in ws)
+
+    def cat(ws):
+        if isinstance(ws[0], QTensor):
+            return concat_qtensors(ws)
+        return jnp.concatenate(ws, axis=0)
+
+    n_fused = 0
+    for li, lp in enumerate(params["layers"]):
+        uniform = (cfg.layer_n_head(li) == cfg.n_head
+                   and cfg.layer_n_head_kv(li) == cfg.n_head_kv)
+        did = False
+        qkv = [lp.get(k) for k in ("wq", "wk", "wv")]
+        if uniform and fusable(qkv):
+            try:
+                lp["wqkv_fused"] = cat(qkv)
+                for k in ("wq", "wk", "wv"):
+                    del lp[k]
+                did = True
+            except ValueError:
+                pass  # mismatched quant metadata: keep split projections
+        gu = [lp.get(k) for k in ("ffn_gate", "ffn_up")]
+        if (cfg.ffn_gated and fusable(gu)
+                and cfg.layer_n_ff(li) == cfg.n_ff):
+            try:
+                lp["ffn_gateup_fused"] = cat(gu)
+                del lp["ffn_gate"], lp["ffn_up"]
+                did = True
+            except ValueError:
+                pass
+        n_fused += int(did)
+    return n_fused
+
+
 def load_gguf_model(
     path: str | Path,
     *,
@@ -264,6 +318,7 @@ def load_gguf_model(
     progress_callback=None,
     metadata_overrides: Optional[dict] = None,
     fast_mode: Optional[str] = None,
+    fuse: bool = False,
 ) -> tuple[ModelConfig, dict, GGUFFile]:
     """Load a GGUF model file into (config, params pytree, open gguf).
 
@@ -304,6 +359,10 @@ def load_gguf_model(
         # unknown tensors are tolerated (vision towers etc. until supported)
     if "rope_freqs" not in params:
         params["rope_freqs"] = None
+    if fuse:
+        # single-chip serving fold (see fuse_layer_projections); callers
+        # that shard for TP must load with fuse=False
+        fuse_layer_projections(cfg, params)
     if progress_callback is not None:
         progress_callback(1.0)
     return cfg, params, f

@@ -100,6 +100,226 @@ def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 
                    code_offset=probe.code_offset, shape=(n, k))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _w4_gen(n: int, k: int, scale: float, precise: bool):
+    import jax
+
+    from llama_kotlin_tpu.quant.fold import GROUP, _plane_group_perm
+    from llama_kotlin_tpu.quant.qtensor import SPAN
+
+    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    G = k_pad // GROUP
+    perm_lo = _plane_group_perm(G, hi=False)
+    perm_hi = _plane_group_perm(G, hi=True)
+    sdt = jnp.float32 if precise else jnp.bfloat16
+
+    @jax.jit
+    def gen(key):
+        kp, ks, km = jax.random.split(key, 3)
+        packed = jax.random.bits(kp, (n, k_pad // 2), jnp.uint8)
+        s_eff = jax.random.uniform(ks, (n, G), jnp.float32) * (scale / 8.0)
+        m_adj = jax.random.uniform(km, (n, G), jnp.float32) * (scale * 0.5)
+        s_st = s_eff.astype(sdt)
+        sT = s_st.astype(jnp.float32).T  # [G, n]
+        scw_lo = sT[perm_lo].astype(sdt)
+        scw_hi = (sT[perm_hi] / 16.0).astype(sdt)
+        return packed, s_st, m_adj.astype(sdt), scw_lo, scw_hi
+
+    return gen
+
+
+def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
+                        precise: bool = False):
+    """Device-side synthetic_w4: identical layout, but the codes/scales are
+    generated ON the accelerator (jax.random under jit) instead of being
+    built in numpy and pushed through the host link.  Through the axon
+    tunnel (~6 MB/s h2d, measured round 3) a host-built 8B model costs
+    ~13 min of transfer; device-side it's seconds."""
+    packed, s_st, m_adj, scw_lo, scw_hi = _w4_gen(n, k, scale, precise)(key)
+    from llama_kotlin_tpu.quant.fold import GROUP
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
+    from llama_kotlin_tpu.quant.qtensor import QTensor
+
+    return QTensor(
+        codes=packed, g_scale=s_st, g_min=m_adj, sb_scale=None, sb_min=None,
+        qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
+        shape=(n, k), hi_signed=True,
+        aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
+             **({"precise": jnp.ones((), jnp.bool_)} if precise else {})},
+    )
+
+
+@lru_cache(maxsize=None)
+def _q8flat_gen(n: int, k_pad: int, scale: float):
+    import jax
+
+    from llama_kotlin_tpu.quant.qtensor import SPAN
+
+    @jax.jit
+    def gen(key):
+        kc, ks = jax.random.split(key)
+        codes = jax.random.randint(kc, (n, k_pad), -127, 128, jnp.int8)
+        scales = (jax.random.uniform(ks, (n, k_pad // SPAN), jnp.float32)
+                  * (scale / 127.0))
+        return codes, scales
+
+    return gen
+
+
+def synthetic_q8flat_device(key, n: int, k: int, scale: float = 0.02):
+    """Device-side synthetic_q8flat (W8A8 Q8F layout)."""
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
+    from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
+
+    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    codes, scales = _q8flat_gen(n, k_pad, scale)(key)
+    return QTensor(codes=codes, g_scale=scales, g_min=None, sb_scale=None,
+                   sb_min=None, qtype=_QT.Q8_0, bits=8,
+                   group_size=SPAN, code_offset=0, shape=(n, k))
+
+
+@lru_cache(maxsize=None)
+def _qtensor_gen(n: int, k: int, qtype: GGMLQuantType, scale: float):
+    import jax
+
+    from llama_kotlin_tpu.quant import repack as R
+    from llama_kotlin_tpu.quant.qtensor import SPAN
+
+    probe = R.repack_float(np.zeros((1, SPAN), np.float32), qtype)
+    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    g = probe.group_size
+    cols = k_pad // SPAN * probe.codes.shape[1]
+
+    def rint(key, shp, lo, hi, dtype):
+        return jax.random.randint(key, shp, lo, hi, jnp.int32).astype(dtype)
+
+    @jax.jit
+    def gen(key):
+        ks = list(jax.random.split(key, 6))
+        if probe.codes.dtype == np.int8:
+            codes = rint(ks[0], (n, cols), -32, 32, jnp.int8)
+        elif probe.bits == 8:
+            codes = rint(ks[0], (n, cols), 0, 32, jnp.uint8)
+        else:
+            codes = jax.random.bits(ks[0], (n, cols), jnp.uint8)
+        if np.issubdtype(probe.g_scale.dtype, np.floating):
+            g_scale = (jax.random.uniform(ks[1], (n, k_pad // g), jnp.float32)
+                       * scale).astype(probe.g_scale.dtype)
+        else:
+            g_scale = rint(ks[1], (n, k_pad // g), 0, 64,
+                           jnp.dtype(probe.g_scale.dtype))
+        g_min = None
+        if probe.g_min is not None:
+            if np.issubdtype(probe.g_min.dtype, np.floating):
+                g_min = (jax.random.uniform(ks[2], (n, k_pad // g), jnp.float32)
+                         * scale * 0.1).astype(probe.g_min.dtype)
+            else:
+                g_min = rint(ks[2], (n, k_pad // g), 0, 16,
+                             jnp.dtype(probe.g_min.dtype))
+        sb_scale = sb_min = None
+        if probe.sb_scale is not None:
+            sb_scale = (jax.random.uniform(ks[3], (n, k_pad // SPAN), jnp.float32)
+                        * scale / 32).astype(probe.sb_scale.dtype)
+        if probe.sb_min is not None:
+            sb_min = (jax.random.uniform(ks[4], (n, k_pad // SPAN), jnp.float32)
+                      * scale / 32).astype(probe.sb_min.dtype)
+        return codes, g_scale, g_min, sb_scale, sb_min
+
+    return gen, probe, g
+
+
+def synthetic_qtensor_device(key, n: int, k: int, qtype: GGMLQuantType,
+                             scale: float = 0.02):
+    """Device-side synthetic_qtensor: same geometry probing on the host,
+    random codes/scales generated on the accelerator."""
+    from llama_kotlin_tpu.quant.qtensor import QTensor
+
+    gen, probe, g = _qtensor_gen(n, k, qtype, scale)
+    codes, g_scale, g_min, sb_scale, sb_min = gen(key)
+    return QTensor(codes=codes, g_scale=g_scale, g_min=g_min, sb_scale=sb_scale,
+                   sb_min=sb_min, qtype=qtype, bits=probe.bits, group_size=g,
+                   code_offset=probe.code_offset, shape=(n, k))
+
+
+def _rand_weight_device(key, n, k, qtype: Optional[GGMLQuantType], dtype,
+                        fast_int8=False, fast_w4a8=False):
+    import jax
+
+    if qtype is None or not TYPE_TRAITS[qtype].is_quantized:
+        return (jax.random.normal(key, (n, k), jnp.float32) * 0.02).astype(dtype)
+    if fast_w4a8:
+        return synthetic_w4_device(key, n, k, precise=(fast_w4a8 == "w4x"))
+    if fast_int8:
+        return synthetic_q8flat_device(key, n, k)
+    return synthetic_qtensor_device(key, n, k, qtype)
+
+
+def synthetic_params_device(cfg: ModelConfig, qtype: Optional[GGMLQuantType] = None,
+                            seed: int = 0, compute_dtype=jnp.bfloat16,
+                            tie_output: bool = False, fast_int8: bool = False,
+                            fast_w4a8: bool = False, fuse: bool = False) -> dict:
+    """synthetic_params, but every large matmul weight is generated on the
+    accelerator — no multi-GB host->device transfer.  Used by bench.py and
+    the graft entry; the numpy builder stays for tests that need
+    reproducible host-side weights."""
+    import jax
+
+    rng = np.random.default_rng(seed)  # small host arrays (norms) only
+    root = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def next_key():
+        counter[0] += 1
+        return jax.random.fold_in(root, counter[0])
+
+    E, F, V = cfg.n_embd, cfg.n_ff, cfg.vocab_size
+    qdim = cfg.n_head * cfg.head_dim
+    kvdim = cfg.n_head_kv * cfg.head_dim
+
+    def norm_w():
+        return jnp.asarray(1.0 + 0.01 * rng.standard_normal(E), jnp.float32)
+
+    def w(n_, k_):
+        return _rand_weight_device(next_key(), n_, k_, qtype, compute_dtype,
+                                   fast_int8, fast_w4a8)
+
+    params: dict = {
+        "tok_embd": w(V, E),
+        "output_norm": norm_w(),
+        "rope_freqs": None,
+    }
+    if not tie_output:
+        params["output"] = w(V, E)
+    params["layers"] = []
+    for _ in range(cfg.n_layer):
+        lp = {"attn_norm": norm_w(), "ffn_norm": norm_w()}
+        if fuse:
+            # serving fold: q|k|v and gate|up as single fused projections
+            # (models/llama.py slices the outputs; see concat_qtensors)
+            lp["wqkv_fused"] = w(qdim + 2 * kvdim, E)
+        else:
+            lp["wq"] = w(qdim, E)
+            lp["wk"] = w(kvdim, E)
+            lp["wv"] = w(kvdim, E)
+        lp["wo"] = w(E, qdim)
+        params["layers"].append(lp)
+        if cfg.n_expert > 0:
+            # MoE presets go through the host builder (expert stacking
+            # policy lives there); bench presets are dense
+            raise NotImplementedError(
+                "synthetic_params_device: use synthetic_params for MoE cfgs")
+        if fuse:
+            lp["ffn_gateup_fused"] = w(2 * F, E)
+        else:
+            lp["ffn_gate"] = w(F, E)
+            lp["ffn_up"] = w(F, E)
+        lp["ffn_down"] = w(E, F)
+    return params
+
+
 def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=False,
                  fast_w4a8=False):
     import jax

@@ -201,20 +201,27 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
     b = rows // NG
     scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
 
-    grid = (n // bn, kc // bkc)
+    # k-blocks OUTER, n-blocks inner: the activation block's index only
+    # depends on the k position, so Mosaic fetches it once per k-block
+    # instead of once per (n, k) step — with n inner, the j-sweep re-read
+    # of x cost (n/bn) * |x| extra HBM traffic (round-3 device trace:
+    # [4096,14336] ran at 438 GB/s vs 567 for its transpose).  The price
+    # is the f32 out block ping-ponging per revisit, (kc/bkc) * |out|
+    # bytes — orders of magnitude smaller at decode batch sizes.
+    grid = (kc // bkc, n // bn)
     nch_blk = bkc // CHUNK
     nch = kc // CHUNK  # sxv rides whole (tiny); block-sliced spec breaks
     # Mosaic's (8,128)-divisibility rule when nch_blk < nch (e.g. k=14336)
 
     def kernel(xlo_ref, xhi_ref, sxv_ref, codes_ref, sclo_ref, schi_ref, out_ref):
-        @pl.when(pl.program_id(1) == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
         cw = codes_ref[...]  # [bn, bkc] u8
         lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
         hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
-        ch0 = pl.program_id(1) * nch_blk
+        ch0 = pl.program_id(0) * nch_blk
         acc = jnp.zeros_like(out_ref)
         for t in range(nch_blk):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -237,14 +244,14 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, bkc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, bkc), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, rows), (lambda i, j: (0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bkc), (lambda i, j: (i, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkc // 32, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkc // 32, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, rows), (lambda j, i: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bkc), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, bn), (lambda i, j: (0, i)), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, bn), (lambda j, i: (0, i)), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -152,18 +152,21 @@ def qmm_w8(x_bd: jnp.ndarray, sxv: jnp.ndarray, w: QTensor, *,
     bn, bk = plan
     scw = w.aux["scw"]  # [G, n] f32
 
-    grid = (n // bn, k_pad // bk)
+    # k-blocks OUTER, n-blocks inner: the activation block only moves with
+    # the k position, so it's fetched once per k-block instead of once per
+    # (n, k) grid step (see qmm_w4.py for the traffic math)
+    grid = (k_pad // bk, n // bn)
     nch_blk = bk // CHUNK
     nch = k_pad // CHUNK  # sxv rides whole (tiny); block-sliced spec breaks
     # Mosaic's (8,128)-divisibility rule when nch_blk < nch
 
     def kernel(xbd_ref, sxv_ref, codes_ref, scw_ref, out_ref):
-        @pl.when(pl.program_id(1) == 0)
+        @pl.when(pl.program_id(0) == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
         cw = codes_ref[...]  # [bn, bk] i8
-        ch0 = pl.program_id(1) * nch_blk
+        ch0 = pl.program_id(0) * nch_blk
         acc = jnp.zeros_like(out_ref)
         for t in range(nch_blk):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -180,12 +183,12 @@ def qmm_w8(x_bd: jnp.ndarray, sxv: jnp.ndarray, w: QTensor, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, bk), (lambda i, j: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, rows), (lambda i, j: (0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), (lambda i, j: (i, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // gs, bn), (lambda i, j: (j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bk), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, rows), (lambda j, i: (0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // gs, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, bn), (lambda i, j: (0, i)), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((nb, bn), (lambda j, i: (0, i)), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, n), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

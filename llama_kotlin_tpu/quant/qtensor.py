@@ -143,6 +143,58 @@ def stack_qtensors(qts: list) -> QTensor:
     )
 
 
+def concat_qtensors(qts: list) -> QTensor:
+    """Concatenate QTensors along the OUTPUT (n) axis into one tensor.
+
+    Serving fold for fused projections: wq|wk|wv -> wqkv, gate|up ->
+    gateup.  One large matmul replaces 2-3 smaller kernel launches — on
+    the decode path each Pallas invocation has ~10-15us of fixed pipeline
+    ramp (round-3 device traces: [4096,4096] W4 runs at 383 GB/s vs 579
+    at [16384,4096]), so fusing the per-layer projections is a direct
+    tokens/s win.  The reference keeps QKV fused for several archs for the
+    same reason (build_starcoder et al.); here it's a load-time layout
+    choice independent of the wire format.
+
+    Requires identical static metadata and k; aux scale planes ([G', n]
+    layout) concatenate along axis 1.  Sharded (tp_axis set) tensors are
+    rejected — TP row splits would cross segment boundaries."""
+    q0 = qts[0]
+    for q in qts[1:]:
+        if (q.qtype, q.bits, q.group_size, q.code_offset, q.k,
+                q.hi_signed, q.tp_axis) != (q0.qtype, q0.bits, q0.group_size,
+                                            q0.code_offset, q0.k,
+                                            q0.hi_signed, q0.tp_axis):
+            raise ValueError("concat_qtensors: mismatched metadata")
+        if (q.aux is None) != (q0.aux is None) or (
+                q.aux is not None and set(q.aux) != set(q0.aux)):
+            raise ValueError("concat_qtensors: mismatched aux")
+    if q0.tp_axis is not None:
+        raise ValueError("concat_qtensors: refusing to fuse sharded tensors")
+    if any(q.is_stacked for q in qts):
+        raise ValueError("concat_qtensors: stacked (MoE) tensors unsupported")
+
+    def cat(get, axis=0):
+        vals = [get(q) for q in qts]
+        return None if vals[0] is None else jnp.concatenate(vals, axis=axis)
+
+    aux = None
+    if q0.aux is not None:
+        aux = {}
+        for key in q0.aux:
+            if key == "precise":
+                aux[key] = q0.aux[key]
+            else:  # scw / scw_lo / scw_hi: [G', n] -> concat over n
+                aux[key] = jnp.concatenate([q.aux[key] for q in qts], axis=1)
+    n_total = sum(q.n for q in qts)
+    return QTensor(
+        codes=cat(lambda q: q.codes), g_scale=cat(lambda q: q.g_scale),
+        g_min=cat(lambda q: q.g_min), sb_scale=cat(lambda q: q.sb_scale),
+        sb_min=cat(lambda q: q.sb_min), qtype=q0.qtype, bits=q0.bits,
+        group_size=q0.group_size, code_offset=q0.code_offset,
+        shape=(n_total, q0.k), hi_signed=q0.hi_signed, aux=aux,
+    )
+
+
 def unpack_codes(qt: QTensor) -> jnp.ndarray:
     """Unpack `codes` to int32 [n, k_pad] (plane layout -> element order)."""
     c = qt.codes

@@ -105,7 +105,8 @@ def main():
     else:
         from llama_kotlin_tpu.models.loader import load_gguf_model
 
-        cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
+        cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode,
+                                         fuse=True)
         f.close()
         name = cfg.name or args.model
 

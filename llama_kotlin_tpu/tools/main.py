@@ -48,6 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
                          "4-bit-resident W4A8, w4x = W4 with exact f32 "
                          "scales + dual-plane activations (high fidelity); "
                          "default = exact dequant repack")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable the fused q|k|v / gate|up serving fold "
+                         "(fewer kernel launches; on by default single-chip)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a device trace (jax.profiler xplane pbs) "
                          "of the run into this directory; also honours "
@@ -73,7 +76,8 @@ def main(argv=None):
 
     enable_compile_cache()
     print(f"loading {args.model} ...", file=sys.stderr)
-    cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
+    cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode,
+                                     fuse=not args.no_fuse)
     tok = build_tokenizer(f.metadata)
     template = args.chat_template or resolve_template(
         f.metadata.get("tokenizer.chat_template"), cfg.arch)

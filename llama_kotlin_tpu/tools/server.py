@@ -468,6 +468,8 @@ def main():
                          "int4 K/V)")
     ap.add_argument("--fast-mode", default=None, choices=["int8", "w4", "w4x"],
                     help="serving weight layout (see tools/main.py --fast-mode)")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable the fused q|k|v / gate|up serving fold")
     ap.add_argument("--slot-save-path", default=None,
                     help="directory for /slots save/restore files "
                          "(unset = endpoint disabled, like the reference)")
@@ -485,7 +487,8 @@ def main():
 
     enable_compile_cache()
 
-    cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode)
+    cfg, params, f = load_gguf_model(args.model, fast_mode=args.fast_mode,
+                                     fuse=not args.no_fuse)
     tokenizer = build_tokenizer(f.metadata)
     template = resolve_template(f.metadata.get("tokenizer.chat_template"), cfg.arch)
     f.close()

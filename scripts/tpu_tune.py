@@ -146,6 +146,8 @@ def main() -> None:
     shapes = [(4096, 4096), (14336, 4096), (4096, 14336)]
     if not args.quick:
         shapes.append((16384, 4096))  # lm_head-class (vocab row-sharded tile)
+        shapes.append((6144, 4096))   # fused wqkv (llama3-8b GQA)
+        shapes.append((28672, 4096))  # fused gate|up
     reps = 50 if args.quick else 200
 
     import contextlib
