@@ -37,6 +37,15 @@ NEG_INF = -1e30
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
             scale, logit_softcap, n_ctiles, quantized, bits):
+    """Per-grid-step attention over the kv heads in the block.
+
+    Blocks carry `kvps` kv heads ([kvps, R, D] q where R = rep*nt rows per
+    kv head, [kvps, Ct, Dk] k/v); a static python loop attends each head
+    slice with its own rows of the stats scratch.  kvps=1 with R=nt is the
+    per-query-head prefill sweep; decode packs every kv head (GQA) or 128
+    rows' worth of heads (MHA) into one grid step, so the cell sweep costs
+    one step instead of H (round-1 device trace: 36us/layer at nt=8, H=32
+    — grid-step-overhead bound)."""
     if quantized:
         ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -49,14 +58,30 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # [nt, D]
+    kvps = q_ref.shape[0]
+    r_rows = q_ref.shape[1]
+    for hh in range(kvps):
+        _attend_head(q_ref, k_ref, v_ref, mask_ref,
+                     ks_ref if quantized else None,
+                     vs_ref if quantized else None,
+                     out_ref, acc_ref, m_ref, l_ref,
+                     hh=hh, rs=slice(hh * r_rows, (hh + 1) * r_rows),
+                     c_i=c_i, scale=scale, logit_softcap=logit_softcap,
+                     n_ctiles=n_ctiles, quantized=quantized, bits=bits)
+
+
+def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
+                 out_ref, acc_ref, m_ref, l_ref, *, hh, rs, c_i,
+                 scale, logit_softcap, n_ctiles, quantized, bits):
+    q = q_ref[hh].astype(jnp.float32)  # [R, D]
+    vd = acc_ref.shape[-1]
     if quantized and bits == 4:
         # packed int4 K tile [Ct, D/2]: byte j = (code_j + 8) | the
         # two's-complement code_{j+D/2} << 4, so two byte-wide ANDs unpack
         # both planes (no shifts — the W4 weight-kernel scheme).  The lo
         # plane's +8 bias folds into a per-query-row constant and the hi
         # plane's 16x into the matching q columns.
-        kb = k_ref[0]
+        kb = k_ref[hh]
         kl = pltpu.bitcast(kb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
         kh = pltpu.bitcast(kb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
         d2 = kb.shape[-1]
@@ -66,57 +91,57 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
             qadj, ku, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         s = s - 8.0 * jnp.sum(q[:, :d2], axis=-1, keepdims=True)
-        s = s * scale * ks_ref[0][None, :]
+        s = s * scale * ks_ref[hh, 0][None, :]
     else:
-        k = k_ref[0].astype(jnp.float32)  # [Ct, D]
+        k = k_ref[hh].astype(jnp.float32)  # [Ct, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [nt, Ct]
+        ) * scale  # [R, Ct]
         if quantized:  # fold per-cell K scales into the score columns
-            s = s * ks_ref[0][None, :]
+            s = s * ks_ref[hh, 0][None, :]
     if logit_softcap > 0.0:
         s = jnp.tanh(s / logit_softcap) * logit_softcap
     visible = mask_ref[...] != 0
     s = jnp.where(visible, s, NEG_INF)
 
-    m_prev = m_ref[...]  # [nt, 128] replicated stats
-    l_prev = l_ref[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [nt, 1]
+    m_prev = m_ref[rs]  # [R, 128] replicated stats
+    l_prev = l_ref[rs]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [R, 1]
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp(m_prev - m_new)  # [nt, 128]
-    p = jnp.exp(s - m_new[:, :1])  # [nt, Ct]
+    alpha = jnp.exp(m_prev - m_new)  # [R, 128]
+    p = jnp.exp(s - m_new[:, :1])  # [R, Ct]
     p = jnp.where(visible, p, 0.0)
-    l_ref[...] = l_prev * alpha + jnp.broadcast_to(
+    l_ref[rs] = l_prev * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
     )
-    m_ref[...] = m_new
+    m_ref[rs] = m_new
     if quantized and bits == 4:
-        vb = v_ref[0]  # [Ct, Dv/2] packed
+        vb = v_ref[hh]  # [Ct, Dv/2] packed
         vl = pltpu.bitcast(vb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
         vh = pltpu.bitcast(vb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
         vu = jnp.concatenate([vl, vh], axis=-1)  # [Ct, Dv] plane order
-        pt = p * vs_ref[0][None, :]
+        pt = p * vs_ref[hh, 0][None, :]
         pv = jax.lax.dot_general(
             pt, vu, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [nt, Dv]
+            preferred_element_type=jnp.float32)  # [R, Dv]
         dv2 = vb.shape[-1]
         psum = jnp.sum(pt, axis=-1, keepdims=True)
         pv = jnp.concatenate(
             [pv[:, :dv2] - 8.0 * psum, pv[:, dv2:] * (1.0 / 16.0)], axis=-1)
     else:
-        v = v_ref[0].astype(jnp.float32)  # [Ct, D]
+        v = v_ref[hh].astype(jnp.float32)  # [Ct, D]
         if quantized:  # fold per-cell V scales into the probability columns
-            p = p * vs_ref[0][None, :]
+            p = p * vs_ref[hh, 0][None, :]
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [nt, D]
-    acc_ref[...] = acc_ref[...] * alpha[:, : acc_ref.shape[-1]] + pv
+        )  # [R, D]
+    acc_ref[rs] = acc_ref[rs] * alpha[:, :vd] + pv
 
     @pl.when(c_i == n_ctiles - 1)
     def _final():
-        l = l_ref[...][:, : acc_ref.shape[-1]]
+        l = l_ref[rs][:, :vd]
         safe = jnp.where(l > 0.0, l, 1.0)
-        out_ref[0] = (acc_ref[...] / safe).astype(out_ref.dtype)
+        out_ref[hh] = (acc_ref[rs] / safe).astype(out_ref.dtype)
 
 
 def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
@@ -155,41 +180,82 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
     mask_i8 = mask.astype(jnp.int8) if mask.dtype != jnp.int8 else mask
     out_dtype = out_dtype or q.dtype
 
-    grid = (h, n_ctiles)
+    # Head grouping (decode hot path).  A per-query-head grid re-reads
+    # every k/v tile rep times and issues tiny [nt, D] dots (round-1
+    # device trace: 36us/layer at nt=8, H=32 — grid-step-overhead bound).
+    # Two stacked remedies:
+    # - GQA: q [H, nt, D] -> [KV, rep*nt, D] (row r*nt + t = head g*rep+r,
+    #   token t) so one grid step serves a kv head's whole rep group — k/v
+    #   HBM traffic and grid steps drop by rep and the MXU sees
+    #   [rep*nt, D] row blocks.
+    # - kvps: pack several kv heads' tiles into one block ([kvps, Ct, Dk])
+    #   and loop over them in-kernel, each head on its own rows of the
+    #   shared stats scratch — the MHA (rep=1) analogue, where per-head
+    #   q rows can't be stacked because every head has distinct k/v.
+    # Gated to r_rows <= 256 so prefill buckets keep the per-head sweep
+    # (score tiles stay small); kvps is VMEM-bounded so k+v blocks stay
+    # under ~4MB (double-buffered fits comfortably in 16MB VMEM).
+    r_rows = rep * nt
+    grouped = r_rows <= 256
+    if grouped:
+        qh = qh.reshape(kv, r_rows, d)
+        if rep > 1:
+            mask_i8 = jnp.tile(mask_i8, (rep, 1))
+        kv_tile_bytes = ct * (k.shape[-1] * k.dtype.itemsize
+                              + v.shape[-1] * v.dtype.itemsize)
+        kvps = 1
+        for c in range(2, kv + 1):
+            if kv % c == 0 and c * r_rows <= 256 \
+                    and c * kv_tile_bytes <= 4 * 1024 * 1024:
+                kvps = c
+        groups = kv // kvps
+        kv_map = lambda gi, ci: (gi, ci, 0)
+        sc_map = lambda gi, ci: (gi, 0, ci)
+    else:
+        groups, r_rows, kvps = h, nt, 1
+        kv_map = lambda gi, ci: (gi // rep, ci, 0)
+        sc_map = lambda gi, ci: (gi // rep, 0, ci)
+
+    grid = (groups, n_ctiles)
     in_specs = [
-        pl.BlockSpec((1, nt, d), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ct, k.shape[-1]), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ct, v.shape[-1]), (lambda hi, ci: (hi // rep, ci, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nt, ct), (lambda hi, ci: (0, ci)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kvps, r_rows, d), (lambda gi, ci: (gi, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kvps, ct, k.shape[-1]), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kvps, ct, v.shape[-1]), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_rows, ct), (lambda gi, ci: (0, ci)), memory_space=pltpu.VMEM),
     ]
     operands = [qh, k, v, mask_i8]
     if quantized:
+        # scales ride as [KV, 1, cells] so the block's last-two dims are
+        # (1, ct) — Mosaic requires second-minor block dims divisible by 8
+        # or equal to the array dim, which a bare [KV, cells] layout breaks
+        # whenever the head-block count isn't a sublane multiple
         in_specs += [
-            pl.BlockSpec((1, ct), (lambda hi, ci: (hi // rep, ci)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ct), (lambda hi, ci: (hi // rep, ci)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
         ]
-        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        operands += [k_scale.astype(jnp.float32)[:, None, :],
+                     v_scale.astype(jnp.float32)[:, None, :]]
     out = pl.pallas_call(
         lambda *refs: _kernel(*refs, scale=scale, logit_softcap=logit_softcap,
                               n_ctiles=n_ctiles, quantized=quantized,
                               bits=kv_bits),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nt, vd), (lambda hi, ci: (hi, 0, 0)), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, nt, vd), out_dtype),
+        out_specs=pl.BlockSpec((kvps, r_rows, vd), (lambda gi, ci: (gi, 0, 0)), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((groups * kvps, r_rows, vd), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((nt, vd), jnp.float32),
+            pltpu.VMEM((kvps * r_rows, vd), jnp.float32),
             # softmax stats replicate across >= vd lanes (alpha slices to
             # the acc width, so 128 lanes alone break vd=192/256 heads)
-            pltpu.VMEM((nt, max(128, vd)), jnp.float32),
-            pltpu.VMEM((nt, max(128, vd)), jnp.float32),
+            pltpu.VMEM((kvps * r_rows, max(128, vd)), jnp.float32),
+            pltpu.VMEM((kvps * r_rows, max(128, vd)), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(*operands)
-    return out.swapaxes(0, 1)
+    return out.reshape(h, nt, vd).swapaxes(0, 1)
 
 
 def flash_attention_or_none(q, k, v, mask, *, scale, logit_softcap=0.0,

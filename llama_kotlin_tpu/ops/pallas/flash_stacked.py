@@ -133,13 +133,23 @@ def flash_attention_stacked(q, k_stacked, v_stacked, layer, new_k, new_v,
     ]
     operands = [qh, k_stacked, v_stacked, m_cells, knh, vnh, m_new]
     if quantized:
+        # scales ride as [L*KV, 1, cells]: the singleton second-minor keeps
+        # the (1, ct) block legal under Mosaic's sublane-tiling rule (a
+        # [L, KV, cells] layout puts KV second-minor, and a 1-block over
+        # KV not divisible by 8 is rejected at compile)
         in_specs += [
-            pl.BlockSpec((1, 1, ct), (lambda hi, ci, L: (L[0], hi // rep, ci)),
+            pl.BlockSpec((1, 1, ct),
+                         (lambda hi, ci, L: (L[0] * kv + hi // rep, 0, ci)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ct), (lambda hi, ci, L: (L[0], hi // rep, ci)),
+            pl.BlockSpec((1, 1, ct),
+                         (lambda hi, ci, L: (L[0] * kv + hi // rep, 0, ci)),
                          memory_space=pltpu.VMEM),
         ]
-        operands += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        nL = k_stacked.shape[0]
+        operands += [
+            k_scale.astype(jnp.float32).reshape(nL * kv, 1, cells),
+            v_scale.astype(jnp.float32).reshape(nL * kv, 1, cells),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -153,7 +153,17 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
     if x.shape[-1] != k or b_real > max_rows:
         return None  # prefill batches route to the dense/bf16 path
-    bp = max(8, int(2 ** np.ceil(np.log2(b_real))))
+    # Pad the batch to a power of two, floored so the block-diagonal rows
+    # (NG*bp per activation plane; precise mode stacks 2 planes) meet the
+    # int8 sublane tile of 32.  Keep bp MINIMAL beyond that: at bp=8 the
+    # kernel runs 128 rows x 2 nibble planes = 512 int8-ops per weight
+    # byte, past the v5e MXU:HBM balance (~480 ops/byte at 394 TOPS /
+    # 819 GB/s), i.e. the 16x block-diagonal redundancy makes it
+    # MXU-bound (round-3 device sweep: ~570 GB/s plateau).  bp=2 (32
+    # rows) quarters the MXU and partial-rescale VPU work and returns
+    # single-stream decode to HBM-bound.
+    bp_min = 1 if precise else 2
+    bp = max(bp_min, int(2 ** np.ceil(np.log2(max(b_real, 1)))))
     x2 = x.reshape(b_real, k).astype(jnp.float32)
     if bp != b_real or k_pad != k:
         x2 = jnp.pad(x2, ((0, bp - b_real), (0, k_pad - k)))

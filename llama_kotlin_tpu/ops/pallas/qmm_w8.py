@@ -101,8 +101,14 @@ def qmm_w8_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
     if x.shape[-1] != k or b_real > max_rows:
         return None  # prefill batches route to the dense/bf16 path
-    bp = max(8, int(2 ** np.ceil(np.log2(b_real))))
-    nb = bp * (2 if precise else 1)
+    # Minimal power-of-two batch pad: the block-diagonal rows (ng*bp per
+    # plane, 2 planes in precise mode) only need to reach the int8 sublane
+    # tile of 32 — larger pads multiply MXU work by the block-diagonal
+    # redundancy for nothing (see qmm_w4.py for the v5e balance math).
+    f = 2 if precise else 1
+    bp = max(-(-32 // (ng * f)),
+             int(2 ** np.ceil(np.log2(max(b_real, 1)))))
+    nb = bp * f
     if _plan(n, k_pad, ng, nb) is None:
         return None
     x2 = x.reshape(b_real, k).astype(jnp.float32)

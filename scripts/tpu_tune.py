@@ -114,7 +114,7 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
                      for a in jax.tree.leaves(w))
     else:
         nbytes = n * k
-    return {"kind": "kernel", "mode": mode, "shape": list(shape),
+    return {"kind": "kernel", "mode": mode, "shape": list(shape), "b": b,
             "ms": round(dt * 1e3, 4), "GBps": round(nbytes / dt / 1e9, 1)}
 
 
@@ -122,6 +122,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--modes", default="w4,w4x,w8,int8")
+    ap.add_argument("--b", default="1",
+                    help="comma list of activation batch sizes; 1 = the "
+                         "single-stream decode hot path (tg128)")
     ap.add_argument("--e2e", action="store_true",
                     help="also run bench.py presets per mode (spawns "
                          "children that probe the backend — only useful "
@@ -159,11 +162,12 @@ def main() -> None:
     with maybe_trace(args.trace):
         for mode in args.modes.split(","):
             for shape in shapes:
-                try:
-                    record(bench_kernel(shape, mode, reps))
-                except Exception as e:
-                    record({"kind": "kernel", "mode": mode, "shape": list(shape),
-                            "error": repr(e)[:200]})
+                for b in (int(s) for s in args.b.split(",")):
+                    try:
+                        record(bench_kernel(shape, mode, reps, b=b))
+                    except Exception as e:
+                        record({"kind": "kernel", "mode": mode, "b": b,
+                                "shape": list(shape), "error": repr(e)[:200]})
 
     # end-to-end decode presets via bench.py child runs
     for mode in ("w4a8", "exact", "int8") if args.e2e else ():

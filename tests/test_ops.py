@@ -75,7 +75,12 @@ def test_qmm_rejects_untileable(rng):
 # -- flash attention ---------------------------------------------------------
 
 
-@pytest.mark.parametrize("nt,cells,h,kv,d", [(8, 256, 8, 4, 64), (16, 128, 4, 4, 128)])
+@pytest.mark.parametrize("nt,cells,h,kv,d", [
+    (8, 256, 8, 4, 64),    # GQA rep=2, kv heads pack into one grid step
+    (16, 128, 4, 4, 128),  # MHA, all heads in one step
+    (8, 512, 16, 16, 128),  # MHA decode shape: VMEM-capped kvps, >1 group
+    (256, 256, 8, 2, 64),  # prefill bucket: r_rows>256 per-head sweep
+])
 def test_flash_attention_matches_reference(rng, nt, cells, h, kv, d):
     from llama_kotlin_tpu.ops.attention import attention_reference
     from llama_kotlin_tpu.ops.pallas.flash import flash_attention
