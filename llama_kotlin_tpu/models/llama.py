@@ -420,9 +420,16 @@ def forward(
     kv_quant = cache.quantized
 
     def layer_body(lp: dict, h, k_layer, v_layer, mask, cvec=None, li: int = -1,
-                   ks_layer=None, vs_layer=None):
-        """Unrolled-path layer: scatter K/V into the carried cache layer,
-        then attend over it (per-layer masks, e.g. gemma2 SWA)."""
+                   ks_layer=None, vs_layer=None, whole=False):
+        """Unrolled-path layer: scatter K/V into the carried cache, then
+        attend over it (per-layer masks, e.g. gemma2 SWA).
+
+        whole=True: k_layer/v_layer are the FULL stacked 4D cache arrays —
+        the scatter targets [li, :, slots] and attention reads the stacked
+        array with a static layer index baked into the flash BlockSpecs.
+        The slice-out/write-back alternative costs 4 HBM copies of the
+        ~8 MB layer slice per layer per token (round-3 device trace:
+        slice-start/copy-start dominated MHA decode at 50 t/s)."""
         with jax.named_scope("qkv"):
             q, k, v = qkv(lp, attn_in(lp, h), li)
         kvl = k.shape[1]  # per-layer kv head count (cache dim covers max)
@@ -438,18 +445,39 @@ def forward(
             qr = quantize_rows_q4 if cache.kv_bits == 4 else quantize_rows
             kh, ks = qr(kh)
             vh, vs = qr(vh)
-            ks_layer = ks_layer.at[:kvl, slots].set(ks, mode="drop")
-            vs_layer = vs_layer.at[:kvl, slots].set(vs, mode="drop")
-        k_layer = k_layer.at[:kvl, slots].set(kh.astype(k_layer.dtype), mode="drop")
-        v_layer = v_layer.at[:kvl, slots].set(vh.astype(v_layer.dtype), mode="drop")
+        if whole:
+            # at[li, :, slots]: the int layer index and the slot array are
+            # BOTH advanced indices separated by a slice, so their axes
+            # move to the front — the value must be [nt, KV, ...]-ordered
+            if kv_quant:
+                ks_layer = ks_layer.at[li, :, slots].set(
+                    ks.swapaxes(0, 1), mode="drop")
+                vs_layer = vs_layer.at[li, :, slots].set(
+                    vs.swapaxes(0, 1), mode="drop")
+            k_layer = k_layer.at[li, :, slots].set(
+                kh.swapaxes(0, 1).astype(k_layer.dtype), mode="drop")
+            v_layer = v_layer.at[li, :, slots].set(
+                vh.swapaxes(0, 1).astype(v_layer.dtype), mode="drop")
+            att_k, att_v = k_layer, v_layer
+            att_ks, att_vs = ks_layer, vs_layer
+            att_layer = li
+        else:
+            if kv_quant:
+                ks_layer = ks_layer.at[:kvl, slots].set(ks, mode="drop")
+                vs_layer = vs_layer.at[:kvl, slots].set(vs, mode="drop")
+            k_layer = k_layer.at[:kvl, slots].set(kh.astype(k_layer.dtype), mode="drop")
+            v_layer = v_layer.at[:kvl, slots].set(vh.astype(v_layer.dtype), mode="drop")
+            att_k, att_v = k_layer[:kvl], v_layer[:kvl]
+            att_ks = None if ks_layer is None else ks_layer[:kvl]
+            att_vs = None if vs_layer is None else vs_layer[:kvl]
+            att_layer = None
         with jax.named_scope("attn"):
             attn = attention(
-                q.astype(compute_dtype), k_layer[:kvl], v_layer[:kvl], mask,
+                q.astype(compute_dtype), att_k, att_v, mask,
                 scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap,
                 alibi_slopes=alibi, token_pos=token_pos, cell_pos=cell_pos,
-                k_scale=None if ks_layer is None else ks_layer[:kvl],
-                v_scale=None if vs_layer is None else vs_layer[:kvl],
-                kv_bits=cache.kv_bits, tp=cache.tp,
+                k_scale=att_ks, v_scale=att_vs,
+                kv_bits=cache.kv_bits, tp=cache.tp, layer=att_layer,
             )
         attn = attn.astype(compute_dtype).reshape(nt, -1)
         with jax.named_scope("ffn"):
@@ -587,21 +615,35 @@ def forward(
         new_v = cache.v
         new_ks = cache.k_scale
         new_vs = cache.v_scale
+        # whole-cache mode: every layer writes/reads the stacked 4D arrays
+        # in place (static layer index in the flash BlockSpecs / a fused
+        # read slice on the fallback) — no per-layer slice copies.  Needs a
+        # uniform kv-head count (openelm's per-layer counts keep slicing)
+        # and an unsharded cache (the tp shard_map path takes 3D operands).
+        whole = (cache.tp == 1
+                 and all(cfg.layer_n_head_kv(i) == cache.k.shape[1]
+                         for i in range(cfg.n_layer)))
         for i in range(cfg.n_layer):
             lp = layer_params(params, i)
             window = cfg.layer_swa_window(i)
             mask = mask_swa if (window > 0 and mask_swa is not None) else mask_full
             cvec = None if control_vectors is None else control_vectors[i]
-            h, kl, vl, ksl, vsl = layer_body(
-                lp, h, new_k[i], new_v[i], mask, cvec, li=i,
-                ks_layer=None if new_ks is None else new_ks[i],
-                vs_layer=None if new_vs is None else new_vs[i],
-            )
-            new_k = new_k.at[i].set(kl)
-            new_v = new_v.at[i].set(vl)
-            if ksl is not None:
-                new_ks = new_ks.at[i].set(ksl)
-                new_vs = new_vs.at[i].set(vsl)
+            if whole:
+                h, new_k, new_v, new_ks, new_vs = layer_body(
+                    lp, h, new_k, new_v, mask, cvec, li=i,
+                    ks_layer=new_ks, vs_layer=new_vs, whole=True,
+                )
+            else:
+                h, kl, vl, ksl, vsl = layer_body(
+                    lp, h, new_k[i], new_v[i], mask, cvec, li=i,
+                    ks_layer=None if new_ks is None else new_ks[i],
+                    vs_layer=None if new_vs is None else new_vs[i],
+                )
+                new_k = new_k.at[i].set(kl)
+                new_v = new_v.at[i].set(vl)
+                if ksl is not None:
+                    new_ks = new_ks.at[i].set(ksl)
+                    new_vs = new_vs.at[i].set(vsl)
             if collect_layer_outputs:  # cvector extraction (cb "l_out")
                 stats[f"l_out.{i}"] = h.astype(jnp.float32)
 

@@ -51,10 +51,9 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False
     """Random W4 (W4A8 fast-mode, quant/fold.py layout) weight: plane-packed
     4-bit codes + per-32-group bf16 scales/mins + transposed scale planes.
     precise=True builds the W4X f32-scale layout (dual-plane activations)."""
-    from llama_kotlin_tpu.quant.fold import GROUP, w4_from_parts
-    from llama_kotlin_tpu.quant.qtensor import SPAN
+    from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, w4_from_parts
 
-    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
     G = k_pad // GROUP
     packed = rng.integers(0, 256, (n, k_pad // 2), dtype=np.uint8)
     s_eff = (rng.random((n, G), np.float32) * scale / 8.0).astype(np.float32)
@@ -107,10 +106,9 @@ from functools import lru_cache
 def _w4_gen(n: int, k: int, scale: float, precise: bool):
     import jax
 
-    from llama_kotlin_tpu.quant.fold import GROUP, _plane_group_perm
-    from llama_kotlin_tpu.quant.qtensor import SPAN
+    from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, _plane_group_perm
 
-    k_pad = (k + SPAN - 1) // SPAN * SPAN
+    k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
     G = k_pad // GROUP
     perm_lo = _plane_group_perm(G, hi=False)
     perm_hi = _plane_group_perm(G, hi=True)
@@ -126,7 +124,9 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool):
         sT = s_st.astype(jnp.float32).T  # [G, n]
         scw_lo = sT[perm_lo].astype(sdt)
         scw_hi = (sT[perm_hi] / 16.0).astype(sdt)
-        return packed, s_st, m_adj.astype(sdt), scw_lo, scw_hi
+        m_st = m_adj.astype(sdt)
+        madj_t = m_st.astype(jnp.float32).T.astype(sdt)  # [G, n] in-kernel min plane
+        return packed, s_st, m_st, scw_lo, scw_hi, madj_t
 
     return gen
 
@@ -138,7 +138,7 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
     built in numpy and pushed through the host link.  Through the axon
     tunnel (~6 MB/s h2d, measured round 3) a host-built 8B model costs
     ~13 min of transfer; device-side it's seconds."""
-    packed, s_st, m_adj, scw_lo, scw_hi = _w4_gen(n, k, scale, precise)(key)
+    packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(n, k, scale, precise)(key)
     from llama_kotlin_tpu.quant.fold import GROUP
     from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
     from llama_kotlin_tpu.quant.qtensor import QTensor
@@ -147,7 +147,7 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
         codes=packed, g_scale=s_st, g_min=m_adj, sb_scale=None, sb_min=None,
         qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
         shape=(n, k), hi_signed=True,
-        aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
+        aux={"scw_lo": scw_lo, "scw_hi": scw_hi, "madj_t": madj_t,
              **({"precise": jnp.ones((), jnp.bool_)} if precise else {})},
     )
 

@@ -76,6 +76,7 @@ def attention(
     kv_bits: int = 8,  # 4 = packed-nibble cache arrays [KV, cells, D/2]
     allow_pallas: bool = True,
     tp: int = 1,  # KV-head axis TP degree (KVCache.tp) — shard_map the kernel
+    layer: Optional[int] = None,  # static layer index for 4D [L, KV, cells, D]
 ) -> jnp.ndarray:
     """Masked multi-head attention with GQA; returns [nt, n_head, head_dim].
 
@@ -87,28 +88,40 @@ def attention(
     tp > 1: the cache is head-sharded over the active mesh's tp axis
     (parallel/sharding.shard_cache) — the flash kernel runs per-shard
     under jax.shard_map (heads are independent, no collective).
+
+    layer: pass the WHOLE stacked 4D cache with a static layer index —
+    the flash kernel selects the layer in its BlockSpecs, so the unrolled
+    decode path never materialises per-layer slice copies (round-3 device
+    trace: those copies dominated MHA decode).  The non-flash fallback
+    slices (XLA fuses a pure read slice).
     """
     from llama_kotlin_tpu.ops.qmatmul import _interpret_forced, _use_pallas
 
     n_vis = mask.shape[1]
+    layered = k_cache.ndim == 4
     if allow_pallas and alibi_slopes is None and _use_pallas():
         from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
 
-        if tp > 1:
+        if tp > 1 and not layered:
             out = _tp_attention(q, k_cache, v_cache, mask, scale=scale,
                                 logit_softcap=logit_softcap, k_scale=k_scale,
                                 v_scale=v_scale, n_vis=n_vis, kv_bits=kv_bits,
                                 tp=tp)
             if out is not None:
                 return out
-        else:
+        elif tp == 1:
             out = flash_attention_or_none(q, k_cache, v_cache, mask,
                                           scale=scale, logit_softcap=logit_softcap,
                                           k_scale=k_scale, v_scale=v_scale,
                                           n_vis=n_vis, kv_bits=kv_bits,
+                                          layer=layer if layered else None,
                                           interpret=_interpret_forced())
             if out is not None:
                 return out
+    if layered:
+        k_cache, v_cache = k_cache[layer], v_cache[layer]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[layer], v_scale[layer]
     kf = k_cache[:, :n_vis]
     vf = v_cache[:, :n_vis]
     if k_scale is not None:

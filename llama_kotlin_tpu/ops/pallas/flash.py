@@ -58,22 +58,27 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    kvps = q_ref.shape[0]
-    r_rows = q_ref.shape[1]
+    kvps = q_ref.shape[-3]
     for hh in range(kvps):
         _attend_head(q_ref, k_ref, v_ref, mask_ref,
                      ks_ref if quantized else None,
                      vs_ref if quantized else None,
                      out_ref, acc_ref, m_ref, l_ref,
-                     hh=hh, rs=slice(hh * r_rows, (hh + 1) * r_rows),
-                     c_i=c_i, scale=scale, logit_softcap=logit_softcap,
+                     hh=hh, c_i=c_i, scale=scale, logit_softcap=logit_softcap,
                      n_ctiles=n_ctiles, quantized=quantized, bits=bits)
 
 
 def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
-                 out_ref, acc_ref, m_ref, l_ref, *, hh, rs, c_i,
+                 out_ref, acc_ref, m_ref, l_ref, *, hh, c_i,
                  scale, logit_softcap, n_ctiles, quantized, bits):
+    # k/v blocks may carry a leading layer axis of size 1 (4D whole-cache
+    # operands with a static-layer index map — the unrolled decode path
+    # passes the ENTIRE stacked cache so XLA never materialises an 8 MB
+    # per-layer slice copy); load one head tile either way
+    kt = (lambda: k_ref[0, hh]) if len(k_ref.shape) == 4 else (lambda: k_ref[hh])
+    vt = (lambda: v_ref[0, hh]) if len(v_ref.shape) == 4 else (lambda: v_ref[hh])
     q = q_ref[hh].astype(jnp.float32)  # [R, D]
+    rs = hh  # per-head plane of the [kvps, R, ...] stats scratch
     vd = acc_ref.shape[-1]
     if quantized and bits == 4:
         # packed int4 K tile [Ct, D/2]: byte j = (code_j + 8) | the
@@ -81,7 +86,7 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
         # both planes (no shifts — the W4 weight-kernel scheme).  The lo
         # plane's +8 bias folds into a per-query-row constant and the hi
         # plane's 16x into the matching q columns.
-        kb = k_ref[hh]
+        kb = kt()
         kl = pltpu.bitcast(kb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
         kh = pltpu.bitcast(kb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
         d2 = kb.shape[-1]
@@ -89,13 +94,15 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
         qadj = jnp.concatenate([q[:, :d2], q[:, d2:] * (1.0 / 16.0)], axis=-1)
         s = jax.lax.dot_general(
             qadj, ku, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         s = s - 8.0 * jnp.sum(q[:, :d2], axis=-1, keepdims=True)
         s = s * scale * ks_ref[hh, 0][None, :]
     else:
-        k = k_ref[hh].astype(jnp.float32)  # [Ct, D]
+        k = kt().astype(jnp.float32)  # [Ct, D]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) * scale  # [R, Ct]
         if quantized:  # fold per-cell K scales into the score columns
             s = s * ks_ref[hh, 0][None, :]
@@ -116,24 +123,26 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
     )
     m_ref[rs] = m_new
     if quantized and bits == 4:
-        vb = v_ref[hh]  # [Ct, Dv/2] packed
+        vb = vt()  # [Ct, Dv/2] packed
         vl = pltpu.bitcast(vb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
         vh = pltpu.bitcast(vb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
         vu = jnp.concatenate([vl, vh], axis=-1)  # [Ct, Dv] plane order
         pt = p * vs_ref[hh, 0][None, :]
         pv = jax.lax.dot_general(
             pt, vu, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [R, Dv]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [R, Dv]
         dv2 = vb.shape[-1]
         psum = jnp.sum(pt, axis=-1, keepdims=True)
         pv = jnp.concatenate(
             [pv[:, :dv2] - 8.0 * psum, pv[:, dv2:] * (1.0 / 16.0)], axis=-1)
     else:
-        v = v_ref[hh].astype(jnp.float32)  # [Ct, D]
+        v = vt().astype(jnp.float32)  # [Ct, D]
         if quantized:  # fold per-cell V scales into the probability columns
             p = p * vs_ref[hh, 0][None, :]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [R, D]
     acc_ref[rs] = acc_ref[rs] * alpha[:, :vd] + pv
 
@@ -146,7 +155,7 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
 
 def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
                     k_scale=None, v_scale=None, n_vis: Optional[int] = None,
-                    out_dtype=None, kv_bits: int = 8,
+                    out_dtype=None, kv_bits: int = 8, layer: Optional[int] = None,
                     interpret: bool = False) -> Optional[jnp.ndarray]:
     """q [nt, H, D], k/v [KV, cells, D], mask [nt, n_vis] -> [nt, H, D].
 
@@ -154,12 +163,22 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
     defaults to the mask's cell extent.  k_scale/v_scale [KV, cells] f32
     enable the quantized cache path: int8 codes (kv_bits=8) or packed
     int4 nibbles in [KV, cells, D/2] uint8 arrays (kv_bits=4, the
-    type_k/type_v=q4_0 analogue — half the cache HBM traffic)."""
+    type_k/type_v=q4_0 analogue — half the cache HBM traffic).
+
+    layer (static int) selects a layer of 4D whole-cache operands
+    k/v [L, KV, cells, Dk] (+ scales [L, KV, cells]): the layer index is
+    baked into the BlockSpec index maps, so the kernel streams tiles
+    straight from the stacked cache — the unrolled decode path would
+    otherwise materialise an 8 MB per-layer slice copy per operand per
+    layer (round-3 device trace: slice-start/copy-start dominated MHA
+    decode)."""
     nt, h, d = q.shape
-    kv, cells, _ = k.shape
+    layered = layer is not None
+    if layered != (k.ndim == 4):
+        return None
+    kv, cells = k.shape[-3], k.shape[-2]
     n_vis = n_vis if n_vis is not None else mask.shape[1]
-    if h % kv != 0 or d not in (64, 128, 192, 256) or nt % 8 != 0 \
-            or n_vis > cells:
+    if h % kv != 0 or d not in (64, 128, 192, 256) or n_vis > cells:
         return None
     quantized = k_scale is not None
     packed = 2 if (quantized and kv_bits == 4) else 1
@@ -209,18 +228,28 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
                     and c * kv_tile_bytes <= 4 * 1024 * 1024:
                 kvps = c
         groups = kv // kvps
-        kv_map = lambda gi, ci: (gi, ci, 0)
-        sc_map = lambda gi, ci: (gi, 0, ci)
+        if layered:
+            kv_map = lambda gi, ci: (layer, gi, ci, 0)
+            # scales ride [L*KV, 1, cells]; first dim is in kvps-blocks
+            sc_map = lambda gi, ci: ((layer * kv) // kvps + gi, 0, ci)
+        else:
+            kv_map = lambda gi, ci: (gi, ci, 0)
+            sc_map = lambda gi, ci: (gi, 0, ci)
     else:
         groups, r_rows, kvps = h, nt, 1
-        kv_map = lambda gi, ci: (gi // rep, ci, 0)
-        sc_map = lambda gi, ci: (gi // rep, 0, ci)
+        if layered:
+            kv_map = lambda gi, ci: (layer, gi // rep, ci, 0)
+            sc_map = lambda gi, ci: (layer * kv + gi // rep, 0, ci)
+        else:
+            kv_map = lambda gi, ci: (gi // rep, ci, 0)
+            sc_map = lambda gi, ci: (gi // rep, 0, ci)
 
     grid = (groups, n_ctiles)
+    kvb = ((1, kvps, ct) if layered else (kvps, ct))
     in_specs = [
         pl.BlockSpec((kvps, r_rows, d), (lambda gi, ci: (gi, 0, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((kvps, ct, k.shape[-1]), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((kvps, ct, v.shape[-1]), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kvb + (k.shape[-1],), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(kvb + (v.shape[-1],), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((r_rows, ct), (lambda gi, ci: (0, ci)), memory_space=pltpu.VMEM),
     ]
     operands = [qh, k, v, mask_i8]
@@ -233,8 +262,14 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
             pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
         ]
-        operands += [k_scale.astype(jnp.float32)[:, None, :],
-                     v_scale.astype(jnp.float32)[:, None, :]]
+        if layered:  # [L, KV, cells] -> [L*KV, 1, cells]
+            nL = k.shape[0]
+            operands += [
+                k_scale.astype(jnp.float32).reshape(nL * kv, 1, cells),
+                v_scale.astype(jnp.float32).reshape(nL * kv, 1, cells)]
+        else:
+            operands += [k_scale.astype(jnp.float32)[:, None, :],
+                         v_scale.astype(jnp.float32)[:, None, :]]
     out = pl.pallas_call(
         lambda *refs: _kernel(*refs, scale=scale, logit_softcap=logit_softcap,
                               n_ctiles=n_ctiles, quantized=quantized,
@@ -244,11 +279,11 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
         out_specs=pl.BlockSpec((kvps, r_rows, vd), (lambda gi, ci: (gi, 0, 0)), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((groups * kvps, r_rows, vd), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((kvps * r_rows, vd), jnp.float32),
+            pltpu.VMEM((kvps, r_rows, vd), jnp.float32),
             # softmax stats replicate across >= vd lanes (alpha slices to
             # the acc width, so 128 lanes alone break vd=192/256 heads)
-            pltpu.VMEM((kvps * r_rows, max(128, vd)), jnp.float32),
-            pltpu.VMEM((kvps * r_rows, max(128, vd)), jnp.float32),
+            pltpu.VMEM((kvps, r_rows, max(128, vd)), jnp.float32),
+            pltpu.VMEM((kvps, r_rows, max(128, vd)), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -260,12 +295,13 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
 
 def flash_attention_or_none(q, k, v, mask, *, scale, logit_softcap=0.0,
                             k_scale=None, v_scale=None, n_vis=None,
-                            out_dtype=None, kv_bits=8, interpret=False):
+                            out_dtype=None, kv_bits=8, layer=None,
+                            interpret=False):
     try:
         return flash_attention(q, k, v, mask, scale=scale,
                                logit_softcap=logit_softcap, k_scale=k_scale,
                                v_scale=v_scale, n_vis=n_vis,
                                out_dtype=out_dtype, kv_bits=kv_bits,
-                               interpret=interpret)
+                               layer=layer, interpret=interpret)
     except Exception:
         return None

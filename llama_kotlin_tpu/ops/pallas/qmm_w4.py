@@ -16,7 +16,8 @@ measurement).  This kernel solves both:
        hi = byte & 0xF0  (bitcast) -> 16*(q_hi - 8) (int8, exact)
    Both feed the MXU directly; the hi plane's *16 is folded into its
    scale plane, and the lo plane's raw bias is folded into the per-group
-   min term (applied outside via one small group-sum matmul).
+   min term (streamed in-kernel via the transposed aux['madj_t'] plane
+   against the sx-scaled activation group sums).
 
 2. Per-32-group integer partials from full 512-wide MXU dots, by laying
    the activations out block-diagonally over the MXU's row dimension:
@@ -40,9 +41,9 @@ Layout of operands (prepared by ops/qmatmul.py / quant/fold.py):
   column order (hi includes the /16)
 - sxv [k/1024, 16*b] f32: per-chunk activation scales sx[b, superblock]
   broadcast over the block-diagonal row layout
-
-Returns the scale-weighted main term; the caller subtracts the group-sum
-min term (see qmatmul._w4_matmul).
+- madj_t [k/32, n] + xg_t [k/32, b]: transposed min plane and sx-scaled
+  activation group sums for the in-kernel min term (one [Gblk, b]^T x
+  [Gblk, bn] dot per grid step, pipelined with the code stream)
 """
 
 from __future__ import annotations
@@ -173,19 +174,22 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
         x8, sx = quantize_activations(x2)  # int8 [bp, k_pad], f32 [bp, S]
     xlo, xhi = build_xbd(x8, k_pad)
     sxv = jnp.asarray(build_sxv(sx, k_pad))
-    y_main = qmm_w4(xlo, xhi, sxv, w, interpret=interpret)
-    if y_main is None:
-        return None
-    # min term on sx-scaled group sums (exact in f32)
+    # sx-scaled per-group activation sums (exact in f32), transposed to
+    # [G, nb] for the in-kernel min term (see qmm_w4's madj stream)
     G = k_pad // 32
     nb = x8.shape[0]
     xg = x8.reshape(nb, G, 32).astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
     xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
+    in_kernel_min = w.aux is not None and "madj_t" in w.aux
+    y = qmm_w4(xlo, xhi, sxv, w, interpret=interpret,
+               xg_t=xg.T if in_kernel_min else None)
+    if y is None:
+        return None
+    if not in_kernel_min:  # legacy fold without the transposed min plane
+        y = y - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
+                        preferred_element_type=jnp.float32)
     if precise:
-        y_main = y_main[:bp] + y_main[bp:]
-        xg = xg[:bp] + xg[bp:]
-    y = y_main - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
-                         preferred_element_type=jnp.float32)
+        y = y[:bp] + y[bp:]
     return y[:b_real].reshape(*lead_shape, n)
 
 
@@ -197,8 +201,17 @@ def qmm_w4_or_none(x, w, **kw):
 
 
 def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
-           w: QTensor, *, interpret: bool = False) -> Optional[jnp.ndarray]:
-    """Main term of the W4A8 matmul: [b, n] f32 (mins applied by caller)."""
+           w: QTensor, *, interpret: bool = False,
+           xg_t: Optional[jnp.ndarray] = None) -> Optional[jnp.ndarray]:
+    """Main term of the W4A8 matmul: [b, n] f32.
+
+    xg_t [G, b] (sx-scaled per-group activation sums, transposed) enables
+    the IN-KERNEL min term: each (k-block, n-block) grid step streams the
+    matching rows of aux['madj_t'] [G, n] and subtracts
+    xg_t_blk^T @ madj_blk from the accumulator — the min plane rides the
+    same pipelined grid as the scale planes instead of a separate XLA dot
+    re-reading g_min (0.5 bit/weight) outside the kernel.  Without xg_t
+    the caller applies the min term itself."""
     if not w.hi_signed or w.aux is None:
         return None
     n, k = w.shape
@@ -210,6 +223,9 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
     rows = x8_bd_lo.shape[0]  # 16 * b
     b = rows // NG
     scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
+    with_min = xg_t is not None
+    if with_min and "madj_t" not in w.aux:
+        return None
 
     # k-blocks OUTER, n-blocks inner: the activation block's index only
     # depends on the k position, so Mosaic fetches it once per k-block
@@ -223,7 +239,13 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
     nch = kc // CHUNK  # sxv rides whole (tiny); block-sliced spec breaks
     # Mosaic's (8,128)-divisibility rule when nch_blk < nch (e.g. k=14336)
 
-    def kernel(xlo_ref, xhi_ref, sxv_ref, codes_ref, sclo_ref, schi_ref, out_ref):
+    def kernel(xlo_ref, xhi_ref, sxv_ref, codes_ref, sclo_ref, schi_ref,
+               *rest):
+        if with_min:
+            xgt_ref, madj_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+
         @pl.when(pl.program_id(0) == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
@@ -248,24 +270,40 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
                        + p_hi.astype(jnp.float32) * sc_hi.astype(jnp.float32)
                        ) * sxc
             acc = acc + contrib.reshape(NG, b, bn).sum(axis=0)
+        if with_min:
+            # min term streamed per grid step: [Gblk, b]^T @ [Gblk, bn]
+            acc = acc - jax.lax.dot_general(
+                xgt_ref[...], madj_ref[...].astype(jnp.float32),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         out_ref[...] += acc
 
+    in_specs = [
+        pl.BlockSpec((rows, bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nch, rows), (lambda j, i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bkc), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+    ]
+    operands = [x8_bd_lo, x8_bd_hi, sxv, w.codes, scw_lo, scw_hi]
+    if with_min:
+        # per-block group rows: bkc plane cols = 2*bkc elements = bkc/16
+        # groups across BOTH planes (sequential order in madj_t)
+        in_specs += [
+            pl.BlockSpec((bkc // 16, b), (lambda j, i: (j, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+        ]
+        operands += [xg_t, w.aux["madj_t"]]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows, bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nch, rows), (lambda j, i: (0, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bkc), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b, bn), (lambda j, i: (0, i)), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(x8_bd_lo, x8_bd_hi, sxv, w.codes, scw_lo, scw_hi)
+    )(*operands)
     return out

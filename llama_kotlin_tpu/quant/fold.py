@@ -32,6 +32,8 @@ HBM bytes read per weight: 4 bits codes + 0.5 bit scw + 0.5 bit m_adj
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -39,6 +41,23 @@ import jax.numpy as jnp
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN, unpack_codes, effective_scales
 
 GROUP = 32  # W4 group size (= Q4_K group)
+
+# Kernel k-alignment: the block-diagonal kernels sweep 512-column chunks
+# (1024 elements for the plane-packed W4 layout, 512 for W8), so folds pad
+# the contraction dim up to a chunk multiple with ZERO scales/mins — padded
+# groups contribute exactly nothing regardless of code bytes, and
+# dequantize() slices back to the logical k.  Without this, k like 11008
+# (llama2-7b n_ff) silently failed kernel eligibility and fell to the
+# VPU-bound dequant path (measured 24.6 t/s vs ~120 expected, round 3).
+ALIGN_W4 = 1024
+ALIGN_W8 = 512
+
+
+def _pad_cols(a: Optional[np.ndarray], cols: int):
+    """Zero-pad [n, C] by `cols` extra columns (None passes through)."""
+    if a is None or cols == 0:
+        return a
+    return np.pad(a, ((0, 0), (0, cols)))
 
 
 def _plane_group_perm(n_groups: int, hi: bool) -> np.ndarray:
@@ -73,13 +92,19 @@ def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
         return qt
     n, k = qt.shape
     k_pad = qt.k_pad
-    G = k_pad // GROUP
 
     codes = np.asarray(unpack_codes(qt)).astype(np.int32)  # [n, k_pad] element order
     s_eff, m_eff = (np.asarray(a, np.float32) if a is not None else None
                     for a in effective_scales(qt))
     if m_eff is None:
         m_eff = np.zeros_like(s_eff)
+    k_pad2 = -(-k_pad // ALIGN_W4) * ALIGN_W4
+    if k_pad2 != k_pad:
+        codes = _pad_cols(codes, k_pad2 - k_pad)
+        s_eff = _pad_cols(s_eff, (k_pad2 - k_pad) // GROUP)
+        m_eff = _pad_cols(m_eff, (k_pad2 - k_pad) // GROUP)
+        k_pad = k_pad2
+    G = k_pad // GROUP
 
     off = float(qt.code_offset)
     g_idx = np.arange(G)
@@ -111,14 +136,21 @@ def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
     scw_hi = np.ascontiguousarray(
         sT[_plane_group_perm(G, hi=True)] / 16.0  # exact: power-of-two scale
     ).astype(sdt)
+    # min plane transposed to [G, n] (sequential group order): streamed
+    # in-kernel alongside the scale planes, so the min term rides the same
+    # pipelined grid instead of a separate XLA dot over g_min (round-3
+    # device trace: that dot's ~0.5 bit/weight of reads competed with the
+    # kernel DMAs instead of overlapping them)
+    m_st = m_adj.astype(sdt)
+    madj_t = np.ascontiguousarray(np.asarray(m_st, np.float32).T).astype(sdt)
 
     return QTensor(
-        codes=packed, g_scale=s_st, g_min=m_adj.astype(sdt),
+        codes=packed, g_scale=s_st, g_min=m_st,
         sb_scale=None, sb_min=None,
         qtype=qtype if qtype is not None else GGMLQuantType.Q4_K,
         bits=4, group_size=GROUP,
         code_offset=0, shape=shape, hi_signed=True,
-        aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
+        aux={"scw_lo": scw_lo, "scw_hi": scw_hi, "madj_t": madj_t,
              **({"precise": np.ones((), np.bool_)} if precise else {})},
     )
 
@@ -166,6 +198,12 @@ def fold_to_w8(qt: QTensor, precise: bool = False) -> QTensor:
         raise ValueError("fold_to_w8: offset-folded codes exceed int8")
     s_eff, m_eff = (np.asarray(a, np.float32) if a is not None else None
                     for a in effective_scales(qt))
+    k_pad = codes.shape[-1]
+    k_pad2 = -(-k_pad // ALIGN_W8) * ALIGN_W8
+    if k_pad2 != k_pad:
+        codes = _pad_cols(codes, k_pad2 - k_pad)
+        s_eff = _pad_cols(s_eff, (k_pad2 - k_pad) // gs)
+        m_eff = _pad_cols(m_eff, (k_pad2 - k_pad) // gs)
     scw = np.ascontiguousarray(s_eff.T)  # [G, n] f32, sequential group order
     return QTensor(
         codes=codes.astype(np.int8), g_scale=s_eff.astype(np.float32),

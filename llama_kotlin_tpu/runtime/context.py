@@ -317,6 +317,39 @@ class LlamaContext:
     def get_logits_ith(self, i: int = -1) -> np.ndarray:
         return self.get_logits()[i]
 
+    def sample_rows_device(self, rows, sp, spv, pos, masks=None,
+                           pen_window=None) -> np.ndarray:
+        """Sample token ids from the last decode's logits rows ON DEVICE
+        (constrained-decode fast path: the host grammar mask is packed to
+        vocab/8 bytes and uploaded; only the [n] ids come back, instead of
+        the [n, vocab] f32 logits download the host sampler needs — the
+        dominant per-token cost through the axon tunnel).
+
+        rows: logits-row indices.  masks: bool [n, vocab] (grammar-legal
+        tokens) or None.  pen_window: [n, last_n] i32 recent tokens
+        (-1 = empty) when sp enables penalties.  spv/pos: per-row sampling
+        arrays and absolute positions (same reproducibility contract as
+        generate_loop's per-slot path)."""
+        from llama_kotlin_tpu.runtime.generate import sample_rows
+
+        if self._logits is None:
+            raise RuntimeError("no logits: call decode first")
+        use_mask = masks is not None
+        if use_mask:
+            mask_bits = jnp.asarray(
+                np.packbits(np.asarray(masks, bool), axis=-1,
+                            bitorder="little"))
+        else:
+            mask_bits = jnp.zeros((len(rows), 1), jnp.uint8)
+        use_pen = pen_window is not None
+        pw = jnp.asarray(pen_window if use_pen
+                         else np.zeros((len(rows), 1), np.int32))
+        ids = sample_rows(
+            self._logits, jnp.asarray(np.asarray(rows, np.int32)), mask_bits,
+            pw, spv, jnp.asarray(np.asarray(pos, np.int32)), sp,
+            use_mask, use_pen)
+        return np.asarray(ids)
+
     def get_embeddings(self, pooling: str = "last") -> np.ndarray:
         """Final-norm hidden states of the last decode's output rows
         (parity: llama_get_embeddings + pooling types NONE/MEAN/LAST/CLS).

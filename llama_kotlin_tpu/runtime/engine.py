@@ -172,13 +172,12 @@ class Engine:
     _DEFAULT_ORDER = ("top_k", "tfs_z", "typical_p", "top_p", "min_p",
                       "temperature")
 
-    def _device_eligible(self, p) -> bool:
-        """Params the on-device sampler reproduces exactly (greedy, or the
-        default chain order with top_k/top_p/min_p/temp + penalties).
-        Grammar, mirostat, logit bias, CFG, tfs/typical/dynatemp stay on
-        the per-token host path."""
-        if (p.grammar is not None or p.mirostat != 0 or p.logit_bias
-                or p.cfg_scale != 1.0):
+    def _device_maskable(self, p) -> bool:
+        """Params the on-device sampler reproduces exactly MODULO grammar
+        (greedy, or the default chain order with top_k/top_p/min_p/temp +
+        penalties).  Mirostat, logit bias, CFG, tfs/typical/dynatemp stay
+        on the per-token host path."""
+        if p.mirostat != 0 or p.logit_bias or p.cfg_scale != 1.0:
             return False
         if p.temp <= 0.0:
             return True
@@ -189,6 +188,12 @@ class Engine:
         # only when top_k prefilters (the default chain order), or trivially
         # when both are off (full-vocab categorical)
         return p.top_k > 0 or (p.top_p >= 1.0 and p.min_p <= 0.0)
+
+    def _device_eligible(self, p) -> bool:
+        """_device_maskable AND no grammar: the multi-step chunked loop
+        can't advance a host pushdown automaton mid-chunk; grammar slots
+        use the per-token path with device-masked sampling instead."""
+        return p.grammar is None and self._device_maskable(p)
 
     def _chunk_plan(self) -> Optional[tuple[list[Slot], int, bool]]:
         """(active_slots, K, mixed) when the on-device multi-step loop
@@ -426,10 +431,10 @@ class Engine:
                      np.array(seqs, np.int32), np.array(outs, bool))
 
     def _consume_results(self, batch: Batch) -> None:
-        logits = self.ctx.get_logits() if batch.output.any() else None
-        rows = self.ctx._logits_rows if logits is not None else None
+        rows = self.ctx._logits_rows if batch.output.any() else None
         row_of = {int(r): i for i, r in enumerate(rows)} if rows is not None else {}
         row = 0
+        emits: list[tuple[Slot, int]] = []  # (slot, logits row index)
         for slot in self.slots:
             n = getattr(slot, "_batch_n", 0)
             if n == 0:
@@ -448,8 +453,86 @@ class Engine:
             out_row = first + n - 1
             if out_row not in row_of:
                 continue
-            tok = self._sample(slot, logits[row_of[out_row]])
+            emits.append((slot, row_of[out_row]))
+        if not emits:
+            return
+        toks = self._sample_rows_masked_device(emits)
+        if toks is not None:
+            for (slot, _), tok in zip(emits, toks):
+                tok = int(tok)
+                slot.sampler.accept(tok, tokenizer=self.tokenizer)
+                slot.tokens.append(tok)
+                self.metrics["tokens_predicted"] += 1
+                self._emit(slot, tok)
+            return
+        logits = self.ctx.get_logits()
+        for slot, li in emits:
+            tok = self._sample(slot, logits[li])
             self._emit(slot, tok)
+
+    def _sample_rows_masked_device(self, emits) -> Optional[np.ndarray]:
+        """Constrained-decode fast path: when EVERY sampled slot this step
+        is device-reproducible (modulo grammar) and at least one carries a
+        grammar, sample ON DEVICE with the host grammar masks uploaded as
+        vocab/8-byte bitsets — only the token ids come back, instead of the
+        [n, vocab] f32 logits download the host chain needs (~128 KB/row
+        through the axon tunnel; the measured constrained-decode cliff,
+        SURVEY §7.3).  Returns None to take the host path."""
+        sls = [s for s, _ in emits]
+        if not any(s.sampler is not None and s.sampler.grammar is not None
+                   for s in sls):
+            return None  # no grammar in the batch: keep the host RNG path
+        ps = [s.request.params for s in sls]
+        if any(s.sampler is None or s.request.n_probs > 0 for s in sls) \
+                or not all(self._device_maskable(p) for p in ps):
+            return None
+        pen0 = (ps[0].penalty_last_n, ps[0].penalty_repeat, ps[0].penalty_freq,
+                ps[0].penalty_present)
+        if any((p.penalty_last_n, p.penalty_repeat, p.penalty_freq,
+                p.penalty_present) != pen0 for p in ps):
+            return None  # mixed penalty configs: scalar sp can't express
+        import jax.numpy as jnp
+
+        from llama_kotlin_tpu.runtime.generate import SampleParams
+
+        V = self.ctx.cfg.vocab_size
+        p0 = ps[0]
+        pen_on = p0.penalty_last_n > 0 and (
+            p0.penalty_repeat != 1.0 or p0.penalty_freq != 0.0
+            or p0.penalty_present != 0.0)
+        w_cap = min(max([q.top_k for q in ps if q.temp > 0.0] or [1]), V)
+        sp = SampleParams(
+            temp=1.0, top_k=w_cap, seed=0,
+            penalty_last_n=p0.penalty_last_n if pen_on else 0,
+            penalty_repeat=p0.penalty_repeat, penalty_freq=p0.penalty_freq,
+            penalty_present=p0.penalty_present, nl_token=-1)
+        spv = {
+            "temp": jnp.asarray([max(q.temp, 0.0) for q in ps], jnp.float32),
+            "top_k": jnp.asarray([min(q.top_k, V) for q in ps], jnp.int32),
+            "top_p": jnp.asarray([q.top_p for q in ps], jnp.float32),
+            "min_p": jnp.asarray([q.min_p for q in ps], jnp.float32),
+            "seed": jnp.asarray([q.seed & 0x7FFFFFFF for q in ps], jnp.int32),
+        }
+        masks = np.ones((len(sls), V), bool)
+        eos = getattr(getattr(self.tokenizer, "vocab", None), "eos_id", -1)
+        for i, s in enumerate(sls):
+            if s.sampler.grammar is not None:
+                # memo-warm from the overlap precompute (step()); falls
+                # through to the pushdown sweep on a cold state
+                masks[i] = s.sampler.grammar.allowed_mask(
+                    self.tokenizer, V, eos_id=eos)[:V]
+        pen_window = None
+        if sp.use_penalties:
+            Ln = sp.penalty_last_n
+            pen_window = np.full((len(sls), Ln), -1, np.int32)
+            for i, s in enumerate(sls):
+                hist = s.tokens[-Ln:]
+                pen_window[i, Ln - len(hist):] = hist
+        # sampling position of the token that produced these logits
+        pos = [s.n_past - 1 for s in sls]
+        return self.ctx.sample_rows_device(
+            [li for _, li in emits], sp, spv, pos, masks=masks,
+            pen_window=pen_window)
 
     def _sample(self, slot: Slot, logits: np.ndarray) -> int:
         tok = slot.sampler.sample(logits, tokenizer=self.tokenizer)

@@ -133,6 +133,51 @@ def _sample(logits: jnp.ndarray, sp: SampleParams, key,
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("sp", "use_mask", "use_pen"))
+def sample_rows(
+    logits: jnp.ndarray,  # [R, V] (device-resident, last decode's rows)
+    row_ids: jnp.ndarray,  # [n] indices into R
+    mask_bits: jnp.ndarray,  # [n, ceil(V/8)] u8 little-bit-order; dummy if !use_mask
+    pen_window: jnp.ndarray,  # [n, last_n] i32 (-1 = empty); dummy if !use_pen
+    spv: dict,  # per-row sampling arrays incl. "seed" (see _sample)
+    pos: jnp.ndarray,  # [n] absolute sampling positions (key folding)
+    sp: SampleParams,
+    use_mask: bool,
+    use_pen: bool,
+):
+    """Device-side sampling over rows of an existing logits array, with an
+    optional per-row vocab bitmask (grammar-legal tokens) applied first.
+
+    The per-token constrained-decode path otherwise downloads [n, V] f32
+    logits to the host every step (~128 KB/row at 32k vocab — the dominant
+    cost through a remote-device link); with the host grammar mask packed
+    to V/8 bytes and UPLOADED instead, only the sampled ids ([n] i32) cross
+    the link.  Masking happens before the candidate window so a token the
+    grammar forces is always reachable even outside the top-k.
+    Reference analogue: llama_sample_grammar applies the same legality
+    filter before the chain (common/sampling.cpp).
+    """
+    lg = logits[row_ids].astype(jnp.float32)  # [n, V]
+    V = lg.shape[-1]
+    if use_mask:
+        bits = (mask_bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        allow = bits.reshape(mask_bits.shape[0], -1)[:, :V] != 0
+        lg = jnp.where(allow, lg, NEG_INF)
+    counts = None
+    if use_pen:
+        n, Ln = pen_window.shape
+        rows = jnp.arange(n)
+        counts = jnp.zeros((n, V), jnp.float32)
+        valid = pen_window >= 0
+        counts = counts.at[rows[:, None], jnp.maximum(pen_window, 0)].add(
+            valid.astype(jnp.float32))
+    key0 = jax.random.PRNGKey(0)  # per-row seeds folded in _sample
+    return _sample(lg, sp, key0, counts, spv=spv, pos=pos)
+
+
+NEG_INF = -1e30
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "compute_dtype", "sp"),
          donate_argnames=("cache",))
 def generate_loop(

@@ -446,3 +446,66 @@ def test_chunked_decode_with_context_shift(tmp_path):
     t.join(timeout=30)
     assert ok and len(req.output_tokens) == 40
     assert req.stop_reason == "length"
+
+
+def test_grammar_masked_device_sampling(tmp_path, monkeypatch):
+    """Grammar-constrained requests sample ON DEVICE via uploaded vocab
+    bitmasks (ctx.sample_rows_device) instead of downloading [n, V]
+    logits; output conforms to the grammar and, at temp=0, matches the
+    host chain token-for-token."""
+    from llama_kotlin_tpu.models.loader import load_gguf_model
+    from llama_kotlin_tpu.runtime.context import LlamaContext
+    from llama_kotlin_tpu.runtime.engine import Engine, Request
+    from tests.fixtures import (
+        random_llama_weights,
+        tiny_llama_dims,
+        write_llama_gguf,
+    )
+    from tests.test_server import ToyTokenizer
+
+    rng = np.random.default_rng(29)
+    dims = tiny_llama_dims(vocab=160)
+    path = tmp_path / "m.gguf"
+    write_llama_gguf(path, random_llama_weights(dims, rng), dims)
+    cfg, params, f = load_gguf_model(path, compute_dtype=jnp.float32)
+    f.close()
+    # ab-alternating grammar over the toy tokenizer's chr(97 + t % 26)
+    grammar = 'root ::= ("ab")+'
+
+    def run(device_masked):
+        ctx = LlamaContext(cfg, params, n_cells=64, compute_dtype=jnp.float32)
+        engine = Engine(ctx, ToyTokenizer(dims["vocab"]), n_slots=1,
+                        n_batch=16)
+        calls = {"n": 0}
+        if device_masked:
+            orig = ctx.sample_rows_device
+
+            def counted(*a, **k):
+                calls["n"] += 1
+                return orig(*a, **k)
+
+            ctx.sample_rows_device = counted
+        else:
+            # force the host path by making the sampler look non-maskable
+            monkeypatch.setattr(Engine, "_device_maskable",
+                                lambda self, p: False)
+        req = Request(prompt_tokens=np.array([1, 5], np.int32),
+                      params=SamplingParams(temp=0.0, grammar=grammar),
+                      n_predict=8)
+        engine.submit(req)
+        stop = threading.Event()
+        t = threading.Thread(target=engine.run_loop, args=(stop,), daemon=True)
+        t.start()
+        ok = req.done.wait(timeout=300)
+        stop.set()
+        t.join(timeout=30)
+        assert ok
+        monkeypatch.undo()
+        return req.output_text, calls["n"]
+
+    text_dev, n_calls = run(device_masked=True)
+    assert n_calls > 0, "device-masked sampling path did not engage"
+    assert text_dev.startswith("ab")
+    assert set(text_dev) <= {"a", "b"}
+    text_host, _ = run(device_masked=False)
+    assert text_dev == text_host  # greedy parity with the host chain

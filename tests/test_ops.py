@@ -100,6 +100,56 @@ def test_flash_attention_matches_reference(rng, nt, cells, h, kv, d):
     assert nmse(out, ref) < 1e-9
 
 
+@pytest.mark.parametrize("nt,h,kv", [(1, 8, 8), (1, 8, 2), (8, 16, 16)])
+def test_flash_attention_layered_4d(rng, nt, h, kv):
+    """4D whole-cache operands + static layer index (the unrolled decode
+    path) match the per-layer reference, including nt=1 single-token
+    decode (full-dim blocks are legal at any nt)."""
+    from llama_kotlin_tpu.ops.attention import attention_reference
+    from llama_kotlin_tpu.ops.pallas.flash import flash_attention
+
+    L, cells, d = 3, 256, 64
+    q = jnp.asarray(rng.standard_normal((nt, h, d)), jnp.float32)
+    k4 = jnp.asarray(rng.standard_normal((L, kv, cells, d)), jnp.float32)
+    v4 = jnp.asarray(rng.standard_normal((L, kv, cells, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((nt, cells)) < 0.5)
+    scale = 1.0 / np.sqrt(d)
+    for li in (0, 2):
+        ref = attention_reference(q, k4[li], v4[li], mask, scale=scale)
+        out = flash_attention(q, k4, v4, mask, scale=scale, layer=li,
+                              interpret=True)
+        assert out is not None
+        assert nmse(out, ref) < 1e-9
+
+
+def test_flash_attention_layered_4d_quantized(rng):
+    """Layered + int8 quantized cache: the [L*KV, 1, cells] scale layout
+    selects the right layer's scales."""
+    from llama_kotlin_tpu.ops.attention import attention_reference
+    from llama_kotlin_tpu.ops.pallas.flash import flash_attention
+    from llama_kotlin_tpu.runtime.kv_cache import quantize_rows
+
+    L, kv, cells, d, nt, h = 2, 4, 256, 64, 1, 8
+    q = jnp.asarray(rng.standard_normal((nt, h, d)), jnp.float32)
+    kf = rng.standard_normal((L, kv, cells, d)).astype(np.float32)
+    vf = rng.standard_normal((L, kv, cells, d)).astype(np.float32)
+    kq, ks = quantize_rows(jnp.asarray(kf.reshape(L * kv, cells, d)))
+    vq, vs = quantize_rows(jnp.asarray(vf.reshape(L * kv, cells, d)))
+    k4 = kq.reshape(L, kv, cells, d)
+    v4 = vq.reshape(L, kv, cells, d)
+    ks4, vs4 = ks.reshape(L, kv, cells), vs.reshape(L, kv, cells)
+    mask = jnp.asarray(rng.random((nt, cells)) < 0.6)
+    for li in (0, 1):
+        kd = np.asarray(k4[li], np.float32) * np.asarray(ks4[li])[..., None]
+        vd = np.asarray(v4[li], np.float32) * np.asarray(vs4[li])[..., None]
+        ref = attention_reference(q, jnp.asarray(kd), jnp.asarray(vd), mask,
+                                  scale=0.125)
+        out = flash_attention(q, k4, v4, mask, scale=0.125, layer=li,
+                              k_scale=ks4, v_scale=vs4, interpret=True)
+        assert out is not None
+        assert nmse(out, ref) < 1e-4
+
+
 def test_flash_attention_softcap(rng):
     from llama_kotlin_tpu.ops.attention import attention_reference
     from llama_kotlin_tpu.ops.pallas.flash import flash_attention

@@ -66,7 +66,11 @@ def test_xbd_layout(rng):
 
 
 @pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_1])
-@pytest.mark.parametrize("shape", [(128, 1024), (256, 2048)])
+@pytest.mark.parametrize("shape", [(128, 1024), (256, 2048),
+                                   # chunk-UNALIGNED k (llama2-7b n_ff
+                                   # 11008 class): fold pads to ALIGN_W4
+                                   # with zero scales, kernel must accept
+                                   (128, 2816)])
 def test_qmm_w4_kernel_matches_reference(rng, qtype, shape):
     """Kernel (interpret mode) vs dequantized matmul on the SAME quantized
     activations — agreement to f32 accumulation order."""

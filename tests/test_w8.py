@@ -88,7 +88,10 @@ def test_sxv_w8_layout(rng, gs):
 
 @pytest.mark.parametrize("qtype", [GGMLQuantType.Q6_K, GGMLQuantType.Q5_K,
                                    GGMLQuantType.Q8_0])
-@pytest.mark.parametrize("shape", [(128, 1024), (256, 2048)])
+@pytest.mark.parametrize("shape", [(128, 1024), (256, 2048),
+                                   # chunk-UNALIGNED k: fold pads to
+                                   # ALIGN_W8 with zero scales
+                                   (128, 2816)])
 def test_qmm_w8_kernel_matches_reference(rng, qtype, shape):
     """Kernel (interpret mode) vs dequantized matmul on the SAME quantized
     activations — agreement to f32 accumulation order.  Q5_K exercises the
