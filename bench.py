@@ -79,8 +79,14 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     # weights are generated ON the device (synthetic_params_device): the
     # axon tunnel moves ~6 MB/s h2d (measured round 3), so a host-built 8B
     # model would cost ~13 min of pure transfer before the bench starts
+    # weight profile mirrors the reference headline configs: llama2-7b is
+    # the Q4_0 number (symmetric — our W4 sym layout serves it at Q4_0's
+    # own 4.5 bits/weight wire density); other presets default to Q4_K
+    qtype = {"llama2-7b": GGMLQuantType.Q4_0}.get(preset, GGMLQuantType.Q4_K)
+    qtype = getattr(GGMLQuantType,
+                    os.environ.get("BENCH_QTYPE", qtype.name).upper())
     params = synthetic_params_device(
-        cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
+        cfg, qtype, compute_dtype=jnp.bfloat16,
         fast_int8=(mode == "int8"),
         fast_w4a8={"w4a8": True, "exact": "w4x"}.get(mode, False),
         fuse=os.environ.get("BENCH_FUSE", "1") == "1")

@@ -47,18 +47,25 @@ def synthetic_q8flat(rng, n: int, k: int, scale: float = 0.02):
                    group_size=SPAN, code_offset=0, shape=(n, k))
 
 
-def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False):
+def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False,
+                 sym: bool = False):
     """Random W4 (W4A8 fast-mode, quant/fold.py layout) weight: plane-packed
     4-bit codes + per-32-group bf16 scales/mins + transposed scale planes.
-    precise=True builds the W4X f32-scale layout (dual-plane activations)."""
+    precise=True builds the W4X f32-scale layout (dual-plane activations);
+    sym=True mirrors a symmetric source (Q4_0 profile: m_adj = 8*s on lo
+    groups, no madj_t plane — 4.5 bits/weight serving reads)."""
     from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, w4_from_parts
 
     k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
     G = k_pad // GROUP
     packed = rng.integers(0, 256, (n, k_pad // 2), dtype=np.uint8)
     s_eff = (rng.random((n, G), np.float32) * scale / 8.0).astype(np.float32)
-    m_adj = (rng.random((n, G), np.float32) * scale * 0.5).astype(np.float32)
-    return w4_from_parts(packed, s_eff, m_adj, (n, k), precise=precise)
+    if sym:
+        is_lo = (np.arange(G) % 8) < 4
+        m_adj = np.where(is_lo, 8.0 * s_eff, 0.0).astype(np.float32)
+    else:
+        m_adj = (rng.random((n, G), np.float32) * scale * 0.5).astype(np.float32)
+    return w4_from_parts(packed, s_eff, m_adj, (n, k), precise=precise, sym=sym)
 
 
 def synthetic_qtensor(rng, n: int, k: int, qtype: GGMLQuantType, scale: float = 0.02):
@@ -103,7 +110,7 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _w4_gen(n: int, k: int, scale: float, precise: bool):
+def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False):
     import jax
 
     from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, _plane_group_perm
@@ -119,7 +126,11 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool):
         kp, ks, km = jax.random.split(key, 3)
         packed = jax.random.bits(kp, (n, k_pad // 2), jnp.uint8)
         s_eff = jax.random.uniform(ks, (n, G), jnp.float32) * (scale / 8.0)
-        m_adj = jax.random.uniform(km, (n, G), jnp.float32) * (scale * 0.5)
+        if sym:  # Q4_0 profile: lo-nibble bias only, derivable from scw_lo
+            is_lo = (jnp.arange(G) % 8) < 4
+            m_adj = jnp.where(is_lo, 8.0 * s_eff, 0.0)
+        else:
+            m_adj = jax.random.uniform(km, (n, G), jnp.float32) * (scale * 0.5)
         s_st = s_eff.astype(sdt)
         sT = s_st.astype(jnp.float32).T  # [G, n]
         scw_lo = sT[perm_lo].astype(sdt)
@@ -132,13 +143,14 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool):
 
 
 def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
-                        precise: bool = False):
+                        precise: bool = False, sym: bool = False):
     """Device-side synthetic_w4: identical layout, but the codes/scales are
     generated ON the accelerator (jax.random under jit) instead of being
     built in numpy and pushed through the host link.  Through the axon
     tunnel (~6 MB/s h2d, measured round 3) a host-built 8B model costs
     ~13 min of transfer; device-side it's seconds."""
-    packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(n, k, scale, precise)(key)
+    packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(
+        n, k, scale, precise, sym)(key)
     from llama_kotlin_tpu.quant.fold import GROUP
     from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
     from llama_kotlin_tpu.quant.qtensor import QTensor
@@ -147,7 +159,9 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
         codes=packed, g_scale=s_st, g_min=m_adj, sb_scale=None, sb_min=None,
         qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
         shape=(n, k), hi_signed=True,
-        aux={"scw_lo": scw_lo, "scw_hi": scw_hi, "madj_t": madj_t,
+        aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
+             **({"sym": jnp.ones((), jnp.bool_)} if sym
+                else {"madj_t": madj_t}),
              **({"precise": jnp.ones((), jnp.bool_)} if precise else {})},
     )
 
@@ -251,7 +265,8 @@ def _rand_weight_device(key, n, k, qtype: Optional[GGMLQuantType], dtype,
     if qtype is None or not TYPE_TRAITS[qtype].is_quantized:
         return (jax.random.normal(key, (n, k), jnp.float32) * 0.02).astype(dtype)
     if fast_w4a8:
-        return synthetic_w4_device(key, n, k, precise=(fast_w4a8 == "w4x"))
+        return synthetic_w4_device(key, n, k, precise=(fast_w4a8 == "w4x"),
+                                   sym=(qtype == GGMLQuantType.Q4_0))
     if fast_int8:
         return synthetic_q8flat_device(key, n, k)
     return synthetic_qtensor_device(key, n, k, qtype)
@@ -329,7 +344,8 @@ def _rand_weight(rng, n, k, qtype: Optional[GGMLQuantType], dtype, fast_int8=Fal
         return jax.device_put(jnp.asarray(x, dtype=dtype))
     if fast_w4a8:
         return jax.tree.map(jnp.asarray,
-                            synthetic_w4(rng, n, k, precise=(fast_w4a8 == "w4x")))
+                            synthetic_w4(rng, n, k, precise=(fast_w4a8 == "w4x"),
+                                         sym=(qtype == GGMLQuantType.Q4_0)))
     if fast_int8:
         return jax.tree.map(jnp.asarray, synthetic_q8flat(rng, n, k))
     return jax.tree.map(jnp.asarray, synthetic_qtensor(rng, n, k, qtype))

@@ -94,15 +94,13 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
         qadj = jnp.concatenate([q[:, :d2], q[:, d2:] * (1.0 / 16.0)], axis=-1)
         s = jax.lax.dot_general(
             qadj, ku, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)
         s = s - 8.0 * jnp.sum(q[:, :d2], axis=-1, keepdims=True)
         s = s * scale * ks_ref[hh, 0][None, :]
     else:
         k = kt().astype(jnp.float32)  # [Ct, D]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [R, Ct]
         if quantized:  # fold per-cell K scales into the score columns
             s = s * ks_ref[hh, 0][None, :]
@@ -130,8 +128,7 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
         pt = p * vs_ref[hh, 0][None, :]
         pv = jax.lax.dot_general(
             pt, vu, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # [R, Dv]
+            preferred_element_type=jnp.float32)  # [R, Dv]
         dv2 = vb.shape[-1]
         psum = jnp.sum(pt, axis=-1, keepdims=True)
         pv = jnp.concatenate(
@@ -141,8 +138,7 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
         if quantized:  # fold per-cell V scales into the probability columns
             p = p * vs_ref[hh, 0][None, :]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [R, D]
     acc_ref[rs] = acc_ref[rs] * alpha[:, :vd] + pv
 

@@ -174,20 +174,34 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
         x8, sx = quantize_activations(x2)  # int8 [bp, k_pad], f32 [bp, S]
     xlo, xhi = build_xbd(x8, k_pad)
     sxv = jnp.asarray(build_sxv(sx, k_pad))
-    # sx-scaled per-group activation sums (exact in f32), transposed to
-    # [G, nb] for the in-kernel min term (see qmm_w4's madj stream)
-    G = k_pad // 32
     nb = x8.shape[0]
-    xg = x8.reshape(nb, G, 32).astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
-    xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
-    in_kernel_min = w.aux is not None and "madj_t" in w.aux
-    y = qmm_w4(xlo, xhi, sxv, w, interpret=interpret,
-               xg_t=xg.T if in_kernel_min else None)
+    sym = "sym" in w.aux
+    if sym:
+        # symmetric layout (Q4_0 class): the min term is 8 * sum over LO
+        # groups of xg*s — the kernel derives it from its resident scw_lo
+        # block, so xg rides in PLANE-column order for the lo plane only
+        kcw = k_pad // 2
+        xr = x8.reshape(nb, k_pad // SPAN, 2, SPAN // 2)
+        lo = xr[:, :, 0].reshape(nb, kcw)
+        xg = lo.reshape(nb, kcw // 32, 32).astype(jnp.int32).sum(
+            axis=-1).astype(jnp.float32)
+        xg = xg * jnp.repeat(sx, (SPAN // 2) // 32, axis=-1)
+        y = qmm_w4(xlo, xhi, sxv, w, interpret=interpret, xg_t=xg.T)
+    else:
+        # sx-scaled per-group activation sums (exact in f32), transposed
+        # to [G, nb] for the in-kernel min term (madj_t stream)
+        G = k_pad // 32
+        xg = x8.reshape(nb, G, 32).astype(jnp.int32).sum(
+            axis=-1).astype(jnp.float32)
+        xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
+        in_kernel_min = "madj_t" in w.aux
+        y = qmm_w4(xlo, xhi, sxv, w, interpret=interpret,
+                   xg_t=xg.T if in_kernel_min else None)
+        if y is not None and not in_kernel_min:  # legacy fold
+            y = y - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
+                            preferred_element_type=jnp.float32)
     if y is None:
         return None
-    if not in_kernel_min:  # legacy fold without the transposed min plane
-        y = y - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
-                        preferred_element_type=jnp.float32)
     if precise:
         y = y[:bp] + y[bp:]
     return y[:b_real].reshape(*lead_shape, n)
@@ -224,7 +238,8 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
     b = rows // NG
     scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
     with_min = xg_t is not None
-    if with_min and "madj_t" not in w.aux:
+    sym = "sym" in w.aux
+    if with_min and not sym and "madj_t" not in w.aux:
         return None
 
     # k-blocks OUTER, n-blocks inner: the activation block's index only
@@ -241,7 +256,10 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
 
     def kernel(xlo_ref, xhi_ref, sxv_ref, codes_ref, sclo_ref, schi_ref,
                *rest):
-        if with_min:
+        madj_ref = None
+        if with_min and sym:
+            xgt_ref, out_ref = rest
+        elif with_min:
             xgt_ref, madj_ref, out_ref = rest
         else:
             (out_ref,) = rest
@@ -271,9 +289,13 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
                        ) * sxc
             acc = acc + contrib.reshape(NG, b, bn).sum(axis=0)
         if with_min:
-            # min term streamed per grid step: [Gblk, b]^T @ [Gblk, bn]
+            # min term streamed per grid step: [Gblk, b]^T @ [Gblk, bn].
+            # sym: madj == 8*scw_lo (Q4_0's lo-nibble bias), so the dot
+            # reuses the resident scale block — zero extra HBM reads
+            mw = (sclo_ref[...] * 8.0 if sym else madj_ref[...]
+                  ).astype(jnp.float32)
             acc = acc - jax.lax.dot_general(
-                xgt_ref[...], madj_ref[...].astype(jnp.float32),
+                xgt_ref[...], mw,
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
         out_ref[...] += acc
@@ -288,13 +310,20 @@ def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,
     ]
     operands = [x8_bd_lo, x8_bd_hi, sxv, w.codes, scw_lo, scw_hi]
     if with_min:
-        # per-block group rows: bkc plane cols = 2*bkc elements = bkc/16
-        # groups across BOTH planes (sequential order in madj_t)
-        in_specs += [
-            pl.BlockSpec((bkc // 16, b), (lambda j, i: (j, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
-        ]
-        operands += [xg_t, w.aux["madj_t"]]
+        if sym:
+            # xg in lo-plane-column order: bkc/32 group rows per k-block
+            in_specs += [
+                pl.BlockSpec((bkc // 32, b), (lambda j, i: (j, 0)), memory_space=pltpu.VMEM),
+            ]
+            operands += [xg_t]
+        else:
+            # per-block group rows: bkc plane cols = 2*bkc elements =
+            # bkc/16 groups across BOTH planes (sequential in madj_t)
+            in_specs += [
+                pl.BlockSpec((bkc // 16, b), (lambda j, i: (j, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+            ]
+            operands += [xg_t, w.aux["madj_t"]]
     out = pl.pallas_call(
         kernel,
         grid=grid,

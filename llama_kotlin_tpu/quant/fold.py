@@ -110,6 +110,12 @@ def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
     g_idx = np.arange(G)
     is_lo = (g_idx % 8) < 4
     m_adj = m_eff + np.where(is_lo, off, off - 8.0).astype(np.float32) * s_eff
+    # symmetric wire formats (Q4_0: offset 8, no mins) leave
+    # m_adj = 8*s_eff on lo groups / 0 on hi — derivable in-kernel from
+    # the scw_lo block already resident for the main term, so the madj_t
+    # plane (0.5 bit/weight of HBM reads) is dropped entirely: the W4
+    # serving layout then reads 4.5 bits/weight, Q4_0's own wire density
+    sym = off == 8.0 and not np.any(m_eff)
 
     # pack: byte j of span s = q_lo | ((q_hi - 8) & 0xF) << 4
     el = codes.reshape(n, k_pad // SPAN, 2, SPAN // 2)
@@ -117,11 +123,12 @@ def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
     hi = ((el[:, :, 1] - 8) & 0xF).astype(np.uint8)
     packed = (lo | (hi << 4)).reshape(n, k_pad // 2)
     return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype,
-                         precise=precise)
+                         precise=precise, sym=sym)
 
 
 def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
-                  shape: tuple[int, int], qtype=None, precise: bool = False) -> QTensor:
+                  shape: tuple[int, int], qtype=None, precise: bool = False,
+                  sym: bool = False) -> QTensor:
     """Assemble a W4 QTensor from plane-packed codes [n, k_pad/2] u8,
     effective per-32-group scales s_eff [n, G] f32, and pre-adjusted mins
     m_adj [n, G] f32 (see module docstring for m_adj semantics).
@@ -142,7 +149,15 @@ def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
     # device trace: that dot's ~0.5 bit/weight of reads competed with the
     # kernel DMAs instead of overlapping them)
     m_st = m_adj.astype(sdt)
-    madj_t = np.ascontiguousarray(np.asarray(m_st, np.float32).T).astype(sdt)
+    aux = {"scw_lo": scw_lo, "scw_hi": scw_hi}
+    if sym:
+        # min term derivable from scw_lo (8*s on lo groups): flag only
+        aux["sym"] = np.ones((), np.bool_)
+    else:
+        aux["madj_t"] = np.ascontiguousarray(
+            np.asarray(m_st, np.float32).T).astype(sdt)
+    if precise:
+        aux["precise"] = np.ones((), np.bool_)
 
     return QTensor(
         codes=packed, g_scale=s_st, g_min=m_st,
@@ -150,8 +165,7 @@ def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
         qtype=qtype if qtype is not None else GGMLQuantType.Q4_K,
         bits=4, group_size=GROUP,
         code_offset=0, shape=shape, hi_signed=True,
-        aux={"scw_lo": scw_lo, "scw_hi": scw_hi, "madj_t": madj_t,
-             **({"precise": np.ones((), np.bool_)} if precise else {})},
+        aux=aux,
     )
 
 

@@ -134,7 +134,10 @@ class LlamaContext:
             )
             return logits, cache, embd
 
-        _step_jit = jax.jit(_step, static_argnums=(0,), donate_argnums=(6,))
+        from llama_kotlin_tpu.utils.profiling import compiler_opts
+
+        _step_jit = jax.jit(_step, static_argnums=(0,), donate_argnums=(6,),
+                            compiler_options=compiler_opts())
         self._step = lambda *a: _step_jit(self.cfg, *a)
 
         def _step_embd(cfg_, params, embd, pos, seq, slots, cache, cell_pos,
@@ -147,7 +150,8 @@ class LlamaContext:
             )
             return logits, cache, e
 
-        _step_embd_jit = jax.jit(_step_embd, static_argnums=(0,), donate_argnums=(6,))
+        _step_embd_jit = jax.jit(_step_embd, static_argnums=(0,), donate_argnums=(6,),
+                                 compiler_options=compiler_opts())
         self._step_embd = lambda *a: _step_embd_jit(self.cfg, *a)
         self._embd: Optional[jax.Array] = None
 

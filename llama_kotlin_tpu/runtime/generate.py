@@ -178,8 +178,11 @@ def sample_rows(
 NEG_INF = -1e30
 
 
+from llama_kotlin_tpu.utils.profiling import compiler_opts as _copts
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "compute_dtype", "sp"),
-         donate_argnames=("cache",))
+         donate_argnames=("cache",), compiler_options=_copts())
 def generate_loop(
     params: dict,
     cfg: ModelConfig,

@@ -85,3 +85,16 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax or read-only fs: run without the cache
+
+
+def compiler_opts():
+    """XLA compiler options for the hot jits, from LKTPU_XLA_OPTS
+    ("key=value,key=value").  The axon PJRT backend parses and applies
+    these server-side (verified round 3: invalid names/values fail the
+    remote compile), which is the only way to reach TPU compiler knobs —
+    client-side XLA_FLAGS only knows the CPU flag set.  Returns None when
+    unset so jit signatures stay cache-stable by default."""
+    s = os.environ.get("LKTPU_XLA_OPTS", "")
+    if not s:
+        return None
+    return dict(kv.split("=", 1) for kv in s.split(","))

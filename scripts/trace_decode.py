@@ -74,6 +74,8 @@ def run_traced(preset: str, mode: str, steps: int, out_dir: str) -> None:
     dt = time.time() - t0
     print(f"warm loop: {steps} steps in {dt*1e3:.1f} ms "
           f"= {steps/dt:.1f} t/s", flush=True)
+    if out_dir == "none":  # timing-only A/B mode
+        return
     jax.profiler.start_trace(out_dir)
     run_loop(steps)
     jax.profiler.stop_trace()
@@ -129,7 +131,8 @@ def main() -> None:
     args = ap.parse_args()
     if not args.analyze_only:
         run_traced(args.preset, args.mode, args.steps, args.out)
-    analyze(args.out, args.steps)
+    if args.out != "none":
+        analyze(args.out, args.steps)
 
 
 if __name__ == "__main__":

@@ -65,7 +65,8 @@ def test_xbd_layout(rng):
         assert all(not xlo[rr * b:(rr + 1) * b, c:c + 32].any() for rr in dead)
 
 
-@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_1])
+@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_1,
+                                   GGMLQuantType.Q4_0])  # Q4_0 = sym path
 @pytest.mark.parametrize("shape", [(128, 1024), (256, 2048),
                                    # chunk-UNALIGNED k (llama2-7b n_ff
                                    # 11008 class): fold pads to ALIGN_W4
