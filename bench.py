@@ -208,6 +208,13 @@ def child_main() -> None:
     """Run one bench attempt in-process and print its JSON line."""
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         _force_cpu()
+    elif "LKTPU_XLA_OPTS" not in os.environ:
+        # round-3 device sweep winner (scripts/trace_decode.py A/B): more
+        # scoped VMEM for the Mosaic pipelines + an optimistic async-copy
+        # bandwidth model tightens weight-prefetch scheduling (+5-8%)
+        os.environ["LKTPU_XLA_OPTS"] = (
+            "xla_tpu_scoped_vmem_limit_kib=98304,"
+            "xla_tpu_async_copy_bandwidth_scaling_factor=2.0")
     from llama_kotlin_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()  # tunnel compiles cost minutes each; pay once

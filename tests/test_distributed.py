@@ -45,7 +45,54 @@ WORKER = textwrap.dedent("""
     total = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(garr)
     expect = (1.0 + 2.0) * 2 * 8
     assert float(total) == expect, (float(total), expect)
-    print(f"proc {pid}: distributed OK", flush=True)
+
+    # full TP decode step with the tp axis SPANNING the two processes:
+    # row-parallel psums cross the process boundary, and the sharded
+    # logits must match an unsharded single-device reference
+    from llama_kotlin_tpu.models import llama as llama_model
+    from llama_kotlin_tpu.models.config import ModelConfig
+    from llama_kotlin_tpu.models.synthetic import synthetic_params
+    from llama_kotlin_tpu.parallel.sharding import shard_cache, shard_params
+    from llama_kotlin_tpu.quant.formats import GGMLQuantType
+    from llama_kotlin_tpu.runtime.kv_cache import KVCache
+
+    tp = 2
+    mesh_tp = Mesh(np.array(devs).reshape(2, 2).T, ("dp", "tp"))  # tp crosses procs
+    cfg = ModelConfig(arch="llama", vocab_size=512 * tp, n_embd=256 * tp,
+                      n_layer=2, n_head=2 * tp, n_head_kv=tp, n_ff=256 * tp,
+                      n_ctx_train=128)
+    params = synthetic_params(cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16)
+
+    nt, n_cells = 8, 64
+    tokens = jnp.arange(nt, dtype=jnp.int32)
+    pos = jnp.arange(nt, dtype=jnp.int32)
+    seq = jnp.zeros(nt, jnp.int32)
+    slots = jnp.arange(nt, dtype=jnp.int32)
+    cell_pos = jnp.concatenate([pos, jnp.full(n_cells - nt, -1, jnp.int32)])
+    cell_seq = jnp.concatenate([jnp.ones(nt, jnp.int32),
+                                jnp.zeros(n_cells - nt, jnp.int32)])
+    out_ids = jnp.array([nt - 1], jnp.int32)
+
+    def run(params_in, cache_in, out_shardings=None):
+        f = lambda *a: llama_model.forward(
+            *a, compute_dtype=jnp.bfloat16)[0]
+        jf = jax.jit(f, out_shardings=out_shardings, static_argnums=(1,))
+        return jf(params_in, cfg, tokens, pos, seq, slots, cache_in,
+                  cell_pos, cell_seq, out_ids)
+
+    ref = np.asarray(run(
+        params, KVCache.create(cfg.n_layer, n_cells, cfg.n_head_kv,
+                               cfg.head_dim, dtype=jnp.bfloat16)))
+    sp = shard_params(params, cfg, mesh_tp)
+    sc = shard_cache(KVCache.create(cfg.n_layer, n_cells, cfg.n_head_kv,
+                                    cfg.head_dim, dtype=jnp.bfloat16),
+                     mesh_tp)
+    with mesh_tp:
+        got = run(sp, sc, out_shardings=NamedSharding(mesh_tp, P()))
+    got = np.asarray(got)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert err < 5e-2, f"TP-across-processes logits mismatch: {err}"
+    print(f"proc {pid}: distributed OK (tp decode err {err:.2e})", flush=True)
 """)
 
 
