@@ -48,6 +48,7 @@ Layout of operands (prepared by ops/qmatmul.py / quant/fold.py):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -105,6 +106,21 @@ def build_sxv(sx: jnp.ndarray, k_pad: int) -> jnp.ndarray:
     sb = np.broadcast_to(4 * t + r // 4, (nch, NG, b))
     ii = np.broadcast_to(i, (nch, NG, b))
     return sx[ii.reshape(-1), sb.reshape(-1)].reshape(nch, NG * b)
+
+
+def build_sxv_ir(sx: jnp.ndarray, k_pad: int) -> jnp.ndarray:
+    """build_sxv in (i, r) row order — the fused-x kernel's in-kernel
+    jnp.repeat(x8, NG, axis=0) produces batch-major rows, so its per-chunk
+    activation scales follow: [k_pad/1024, b*16], row (i*NG + r) ->
+    sx[i, 4*t + r//4]."""
+    b = sx.shape[0]
+    nch = k_pad // (2 * CHUNK)
+    t = np.arange(nch)[:, None, None]          # [nch,1,1]
+    i = np.arange(b)[None, :, None]            # [1,b,1]
+    r = np.arange(NG)[None, None, :]           # [1,1,NG]
+    sb = np.broadcast_to(4 * t + r // 4, (nch, b, NG))
+    ii = np.broadcast_to(i, (nch, b, NG))
+    return sx[ii.reshape(-1), sb.reshape(-1)].reshape(nch, b * NG)
 
 
 def quantize_activations_2p(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -172,10 +188,26 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
         x8, sx = quantize_activations_2p(x2)  # [2bp, k_pad], [2bp, S]
     else:
         x8, sx = quantize_activations(x2)  # int8 [bp, k_pad], f32 [bp, S]
-    xlo, xhi = build_xbd(x8, k_pad)
-    sxv = jnp.asarray(build_sxv(sx, k_pad))
     nb = x8.shape[0]
     sym = "sym" in w.aux
+    # fused-x kernel (LKTPU_W4_FX=1 opt-in): raw f32 activations in,
+    # quantize + plane split + block-diagonal build on VMEM tiles.
+    # Device-measured SLOWER than the standard path (74.6 vs 93.8 t/s
+    # 32-step loop, round 3): the grid is k-outer/n-inner, so the
+    # in-kernel activation prep repeats per n-block and the redundant VPU
+    # work exceeds the saved XLA-chain latency.  Kept for measurement.
+    use_fx = not precise and os.environ.get("LKTPU_W4_FX", "0") == "1"
+    if use_fx:
+        sxv = jnp.asarray(build_sxv_ir(sx, k_pad))
+    else:
+        xlo, xhi = build_xbd(x8, k_pad)
+        sxv = jnp.asarray(build_sxv(sx, k_pad))
+
+    def main_term(xg_t):
+        if use_fx:
+            return qmm_w4_fx(x2, sxv, w, interpret=interpret, xg_t=xg_t)
+        return qmm_w4(xlo, xhi, sxv, w, interpret=interpret, xg_t=xg_t)
+
     if sym:
         # symmetric layout (Q4_0 class): the min term is 8 * sum over LO
         # groups of xg*s — the kernel derives it from its resident scw_lo
@@ -186,7 +218,7 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
         xg = lo.reshape(nb, kcw // 32, 32).astype(jnp.int32).sum(
             axis=-1).astype(jnp.float32)
         xg = xg * jnp.repeat(sx, (SPAN // 2) // 32, axis=-1)
-        y = qmm_w4(xlo, xhi, sxv, w, interpret=interpret, xg_t=xg.T)
+        y = main_term(xg.T)
     else:
         # sx-scaled per-group activation sums (exact in f32), transposed
         # to [G, nb] for the in-kernel min term (madj_t stream)
@@ -195,8 +227,7 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
             axis=-1).astype(jnp.float32)
         xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
         in_kernel_min = "madj_t" in w.aux
-        y = qmm_w4(xlo, xhi, sxv, w, interpret=interpret,
-                   xg_t=xg.T if in_kernel_min else None)
+        y = main_term(xg.T if in_kernel_min else None)
         if y is not None and not in_kernel_min:  # legacy fold
             y = y - jnp.dot(xg, w.g_min.astype(jnp.float32).T,
                             preferred_element_type=jnp.float32)
@@ -212,6 +243,146 @@ def qmm_w4_or_none(x, w, **kw):
         return qmm_w4_matmul(x, w, **kw)
     except Exception:
         return None
+
+
+def qmm_w4_fx(x_pad: jnp.ndarray, sxv_ir: jnp.ndarray, w: QTensor, *,
+              interpret: bool = False,
+              xg_t: Optional[jnp.ndarray] = None) -> Optional[jnp.ndarray]:
+    """Fused-activation variant of qmm_w4: takes the RAW padded f32
+    activations [nb, k_pad] and performs the per-superblock int8
+    quantization, nibble-plane split, and block-diagonal layout INSIDE the
+    kernel on VMEM-resident tiles.
+
+    The standard path materialises x8 + two [16*nb, k/2] block-diagonal
+    int8 arrays through three XLA fusions per matmul, each a staged
+    VMEM operand on the decode critical path (round-3 trace: the
+    dependency chain norm -> quantize -> bd-build -> stage -> kernel adds
+    serial latency per matmul; 4 matmuls/layer x 32 layers).  Here the
+    chain is norm -> stage x -> kernel.  The quantization is the exact
+    quantize_activations formula (amax/127, round-half-even, clip), so
+    results are bit-identical to the standard path.
+
+    In-kernel layout uses BATCH-MAJOR block-diagonal rows (i*NG + r) via
+    jnp.repeat(x8, NG, axis=0) — both repeat and the [nb*NG, bn] ->
+    [nb, NG, bn] reshape are device-proven Mosaic patterns; sxv_ir is the
+    matching (i, r)-ordered scale layout (build_sxv_ir)."""
+    if not w.hi_signed or w.aux is None:
+        return None
+    n, k = w.shape
+    kc = w.codes.shape[-1]  # k_pad / 2
+    plan = _plan(n, kc)
+    if plan is None:
+        return None
+    bn, bkc = plan
+    nb = x_pad.shape[0]
+    scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
+    with_min = xg_t is not None
+    sym = "sym" in w.aux
+    if with_min and not sym and "madj_t" not in w.aux:
+        return None
+
+    grid = (kc // bkc, n // bn)
+    nch_blk = bkc // CHUNK
+    nch = kc // CHUNK
+    nsb = (2 * bkc) // SPAN  # superblocks per k-block
+
+    def kernel(x_ref, sxv_ref, codes_ref, sclo_ref, schi_ref, *rest):
+        madj_ref = None
+        if with_min and sym:
+            xgt_ref, out_ref = rest
+        elif with_min:
+            xgt_ref, madj_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        xb = x_ref[...]  # [nb, 2*bkc] f32
+        lo_parts, hi_parts = [], []
+        for s in range(nsb):
+            xs = xb[:, s * SPAN:(s + 1) * SPAN]
+            amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+            d = amax / 127.0
+            safe = jnp.where(d > 0, d, 1.0)
+            q = jnp.clip(jnp.round(xs / safe), -127, 127).astype(jnp.int8)
+            lo_parts.append(q[:, :SPAN // 2])
+            hi_parts.append(q[:, SPAN // 2:])
+        x8_lo = jnp.concatenate(lo_parts, axis=-1)  # [nb, bkc]
+        x8_hi = jnp.concatenate(hi_parts, axis=-1)
+        # batch-major block-diagonal rows (i*NG + r)
+        rep_lo = jnp.repeat(x8_lo, NG, axis=0)  # [nb*NG, bkc]
+        rep_hi = jnp.repeat(x8_hi, NG, axis=0)
+        col_blk = (jax.lax.broadcasted_iota(
+            jnp.int32, (nb * NG, bkc), 1) // 32) % NG
+        row_r = jax.lax.broadcasted_iota(
+            jnp.int32, (nb * NG, bkc), 0) % NG
+        keep = col_blk == row_r
+        bd_lo = jnp.where(keep, rep_lo, jnp.int8(0))
+        bd_hi = jnp.where(keep, rep_hi, jnp.int8(0))
+
+        cw = codes_ref[...]  # [bn, bkc] u8
+        lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
+        hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+        ch0 = pl.program_id(0) * nch_blk
+        acc = jnp.zeros_like(out_ref)
+        for t in range(nch_blk):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            p_lo = jax.lax.dot_general(
+                bd_lo[:, sl], lo_w[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [nb*16, bn], rows (i, r)
+            p_hi = jax.lax.dot_general(
+                bd_hi[:, sl], hi_w[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (nb, 1))
+            sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (nb, 1))
+            sxc = sxv_ref[ch0 + t, :][:, None]  # [nb*16, 1] (i, r) order
+            contrib = (p_lo.astype(jnp.float32) * sc_lo.astype(jnp.float32)
+                       + p_hi.astype(jnp.float32) * sc_hi.astype(jnp.float32)
+                       ) * sxc
+            acc = acc + contrib.reshape(nb, NG, bn).sum(axis=1)
+        if with_min:
+            mw = (sclo_ref[...] * 8.0 if sym else madj_ref[...]
+                  ).astype(jnp.float32)
+            acc = acc - jax.lax.dot_general(
+                xgt_ref[...], mw,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        out_ref[...] += acc
+
+    in_specs = [
+        pl.BlockSpec((nb, 2 * bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nch, nb * NG), (lambda j, i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bkc), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_pad, sxv_ir, w.codes, scw_lo, scw_hi]
+    if with_min:
+        if sym:
+            in_specs += [
+                pl.BlockSpec((bkc // 32, nb), (lambda j, i: (j, 0)), memory_space=pltpu.VMEM),
+            ]
+            operands += [xg_t]
+        else:
+            in_specs += [
+                pl.BlockSpec((bkc // 16, nb), (lambda j, i: (j, 0)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+            ]
+            operands += [xg_t, w.aux["madj_t"]]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nb, bn), (lambda j, i: (0, i)), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, n), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(*operands)
+    return out
 
 
 def qmm_w4(x8_bd_lo: jnp.ndarray, x8_bd_hi: jnp.ndarray, sxv: jnp.ndarray,

@@ -176,3 +176,19 @@ def test_qmm_fused_prefill_on_w4_layout(rng, precise):
     err = np.abs(np.asarray(got) - reff).max()
     scale = np.abs(reff).max()
     assert err / scale < 2e-2
+
+
+@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_0])
+def test_qmm_w4_fx_matches_standard(rng, qtype, monkeypatch):
+    """Fused-x kernel (in-kernel quantize + plane split + block-diagonal
+    build) is bit-compatible with the standard path."""
+    monkeypatch.setenv("LKTPU_W4_FX", "1")
+    n, k = 256, 2048
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    w4 = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(wf, qtype)))
+    x = jnp.asarray(rng.standard_normal((2, k)) * 0.7, jnp.float32)
+    got_fx = np.asarray(qmm_w4_matmul(x, w4, interpret=True))
+    monkeypatch.setenv("LKTPU_W4_FX", "0")
+    got_std = np.asarray(qmm_w4_matmul(x, w4, interpret=True))
+    # (i,r)- vs (r,i)-ordered partial sums differ in f32 association
+    np.testing.assert_allclose(got_fx, got_std, rtol=1e-5, atol=1e-5)
