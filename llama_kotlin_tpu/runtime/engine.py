@@ -189,12 +189,6 @@ class Engine:
         # when both are off (full-vocab categorical)
         return p.top_k > 0 or (p.top_p >= 1.0 and p.min_p <= 0.0)
 
-    def _device_eligible(self, p) -> bool:
-        """_device_maskable AND no grammar: the multi-step chunked loop
-        can't advance a host pushdown automaton mid-chunk; grammar slots
-        use the per-token path with device-masked sampling instead."""
-        return p.grammar is None and self._device_maskable(p)
-
     def _chunk_plan(self) -> Optional[tuple[list[Slot], int, bool]]:
         """(active_slots, K, mixed) when the on-device multi-step loop
         applies: every generating slot is device-eligible and all share one
@@ -217,8 +211,17 @@ class Engine:
         mixed = False
         for s in active:
             p = s.request.params
-            if not self._device_eligible(p):
+            if not self._device_maskable(p):
                 return None
+            if p.grammar is not None:
+                # optimistic grammar chunking (the reference's sample-then-
+                # validate strategy, common/sampling.cpp, lifted across K
+                # steps): decode the chunk unconstrained, host-validate the
+                # tokens, roll the slot back at the first grammar
+                # rejection.  The adaptive per-slot chunk size converges to
+                # full chunks when the model complies with the grammar and
+                # to ~per-token when it fights it.
+                K = min(K, max(1, getattr(s, "_gk", 2)))
             pen = (p.penalty_last_n, p.penalty_repeat, p.penalty_freq,
                    p.penalty_present)
             # seed is part of the per-slot config: differing seeds route
@@ -333,16 +336,45 @@ class Engine:
         )
         self.ctx.cache = cache
         out = np.asarray(out_tokens)  # [K, B]
+        eos = getattr(getattr(self.tokenizer, "vocab", None), "eos_id", -1)
+        rejected: set[int] = set()
         for k in range(K):
             for b, slot in enumerate(active):
+                if slot.id in rejected:
+                    continue
                 tok = int(out[k, b])
                 slot.n_past += 1
                 slot.tokens.append(tok)
                 if slot.request is None:
                     continue  # finished mid-chunk; overshoot tokens stay cached
+                g = slot.sampler.grammar
+                if g is not None and not g.token_allowed(
+                        tok, self.tokenizer, eos_id=eos):
+                    # optimistic-chunk rejection: restore the exact
+                    # per-token state after the last ACCEPTED output (k
+                    # tokens) — drop this step's bookkeeping and every
+                    # cache cell from the next input position on; the next
+                    # per-token step re-decodes the last accepted token and
+                    # resamples under the uploaded grammar mask
+                    slot.tokens.pop()
+                    slot.n_past -= 1
+                    self.ctx.seq_rm(slot.seq_id, slot.n_past, -1)
+                    # shrink optimism to the largest power of two that held
+                    # (every distinct K compiles its own device loop, so
+                    # _gk stays on the {1,2,4,...,chunk_steps} grid)
+                    slot._gk = 1 << max(0, (k).bit_length() - 1) if k else 1
+                    rejected.add(slot.id)
+                    continue
                 slot.sampler.accept(tok, tokenizer=self.tokenizer)
                 self.metrics["tokens_predicted"] += 1
                 self._emit(slot, tok)
+        for slot in active:
+            if (slot.request is not None and slot.sampler is not None
+                    and slot.sampler.grammar is not None
+                    and slot.id not in rejected):
+                # clean chunk: grow the optimistic window
+                slot._gk = min(self.chunk_steps,
+                               max(2, getattr(slot, "_gk", 2) * 2))
         self.metrics["n_decode_steps"] += 1
         return True
 
@@ -462,6 +494,11 @@ class Engine:
                 tok = int(tok)
                 slot.sampler.accept(tok, tokenizer=self.tokenizer)
                 slot.tokens.append(tok)
+                if slot.sampler.grammar is not None:
+                    # grammar token landed: regrow the optimistic chunk
+                    # (power-of-two grid — each K compiles its own loop)
+                    slot._gk = min(self.chunk_steps,
+                                   max(2, getattr(slot, "_gk", 1) * 2))
                 self.metrics["tokens_predicted"] += 1
                 self._emit(slot, tok)
             return
@@ -538,6 +575,9 @@ class Engine:
         tok = slot.sampler.sample(logits, tokenizer=self.tokenizer)
         slot.sampler.accept(tok, tokenizer=self.tokenizer)
         slot.tokens.append(tok)
+        if slot.sampler.grammar is not None:
+            slot._gk = min(self.chunk_steps,
+                           max(2, getattr(slot, "_gk", 1) * 2))
         self.metrics["tokens_predicted"] += 1
         req = slot.request
         if req is not None and req.n_probs > 0:
