@@ -109,9 +109,12 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     build_s = time.time() - t0
 
     unrolled = os.environ.get("BENCH_UNROLLED", "1") == "1"
+    # BENCH_KV=q8_0|q4_0 benches the quantized-KV serving modes (-ctk);
+    # default bf16 matches the reference llama-bench's f16-KV headline
+    kv = os.environ.get("BENCH_KV", "")
     ctx = LlamaContext(cfg, params, n_cells=1024, compute_dtype=jnp.bfloat16,
                        buckets=(8, 16, 32, 64, 128, 256, 512),
-                       prefer_unrolled=unrolled)
+                       prefer_unrolled=unrolled, kv_quant=kv or False)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, prefill).astype(np.int32)
 
@@ -182,7 +185,8 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
         except Exception:
             pp_tps = None  # cache too small for the pp prompt etc.
     return {
-        "metric": f"decode_tps_{preset}_{mode}" + (f"_b{batch}" if batch > 1 else ""),
+        "metric": f"decode_tps_{preset}_{mode}"
+        + (f"_kv{kv}" if kv else "") + (f"_b{batch}" if batch > 1 else ""),
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_TPS, 3),
