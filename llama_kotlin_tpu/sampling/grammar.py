@@ -15,6 +15,7 @@ the full candidate set and resample — keeps the hot path fast.
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -254,19 +255,66 @@ def parse_gbnf(text: str) -> tuple[dict[int, list[El]], int]:
     return _Parser(text).parse()
 
 
+# -- cross-request shared tables ---------------------------------------------
+# The interned pushdown states, (state, cp) transition memo, and per-tokenizer
+# piece/mask caches are pure functions of (grammar text, tokenizer) — nothing
+# in them is request state.  Keying them by the grammar TEXT makes a server
+# serving one JSON schema pay novel-state mask construction once per process,
+# not once per request (the reference rebuilds llama_grammar per request,
+# llama-grammar.cpp llama_grammar_init, and re-pays its per-candidate sweeps;
+# here the sweeps memoize globally).  Frame ids (rule_id, pos) are
+# deterministic from the text, so interned states are portable across
+# instances parsed from the same text.
+
+
+class _SharedTables:
+    def __init__(self, text: str):
+        self.rules, self.root = parse_gbnf(text)
+        self.intern: dict[tuple, int] = {}
+        self.states: list[tuple] = []
+        self.tmemo: dict = {}
+        # tokenizer -> (piece_cache, piece_text, mask_memo); weak-keyed so a
+        # dropped tokenizer doesn't pin its vocab decode tables
+        self.by_tok: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def tok_tables(self, tokenizer) -> tuple[dict, dict, dict]:
+        try:
+            t = self.by_tok.get(tokenizer)
+            if t is None:
+                t = ({}, {}, {})
+                self.by_tok[tokenizer] = t
+            return t
+        except TypeError:  # non-weakref-able tokenizer: per-call tables
+            return ({}, {}, {})
+
+
+_SHARED: dict[str, _SharedTables] = {}
+_SHARED_CAP = 64
+
+
+def shared_tables(text: str) -> _SharedTables:
+    t = _SHARED.get(text)
+    if t is None:
+        if len(_SHARED) >= _SHARED_CAP:
+            _SHARED.clear()
+        t = _SHARED[text] = _SharedTables(text)
+    return t
+
+
 # -- pushdown acceptance -----------------------------------------------------
 
 
 class Grammar:
     """Stack machine over parsed rules (cf. llama_grammar)."""
 
-    def __init__(self, rules: dict[int, list[El]], root: int):
+    def __init__(self, rules: dict[int, list[El]], root: int,
+                 shared: Optional[_SharedTables] = None):
         self.rules = rules
         self.root = root
         self.stacks: list[tuple] = []
-        self._intern: dict[tuple, int] = {}
-        self._states: list[tuple] = []
-        self._tmemo: dict = {}
+        self._intern = shared.intern if shared is not None else {}
+        self._states = shared.states if shared is not None else []
+        self._tmemo = shared.tmemo if shared is not None else {}
         self.reset()
 
     def reset(self) -> None:
@@ -441,17 +489,33 @@ class GrammarSampler:
     _MASK_MEMO_CAP = 256
 
     def __init__(self, gbnf_text: str):
-        rules, root = parse_gbnf(gbnf_text)
-        self.grammar = Grammar(rules, root)
-        self._piece_cache: dict[int, str] = {}
+        self._shared = shared_tables(gbnf_text)
+        self.grammar = Grammar(self._shared.rules, self._shared.root,
+                               shared=self._shared)
+        # tokenizer-dependent caches bind lazily on first use (shared across
+        # requests via _SharedTables.tok_tables); these placeholders serve
+        # callers that never pass a tokenizer
+        self._piece_cache: dict[int, bytes] = {}
         self._piece_text: dict[int, tuple] = {}  # tid -> (text, rest), partial==b""
         self.partial = b""
         # full-vocab allowed masks memoized by grammar state: states repeat
         # heavily during generation (e.g. "inside a JSON string"), and the
         # mask depends only on the state — so the O(vocab) pushdown sweep
-        # runs once per distinct state, and can be precomputed while the
-        # device computes the next logits (SURVEY §7.3 overlap)
+        # runs once per distinct state, can be precomputed while the device
+        # computes the next logits (SURVEY §7.3 overlap), and persists
+        # ACROSS requests (same grammar text + tokenizer = same masks)
         self._mask_memo: dict = {}
+        self._bound_tok = None
+
+    def _bind_tokenizer(self, tokenizer) -> None:
+        """Point the piece/mask caches at the process-global tables for
+        (grammar text, tokenizer) so repeat requests skip every novel-state
+        sweep already paid by an earlier request."""
+        if tokenizer is self._bound_tok:
+            return
+        pc, pt, mm = self._shared.tok_tables(tokenizer)
+        self._piece_cache, self._piece_text, self._mask_memo = pc, pt, mm
+        self._bound_tok = tokenizer
 
     def reset(self) -> None:
         self.grammar.reset()
@@ -465,6 +529,7 @@ class GrammarSampler:
         """bool [vocab_size] of grammar-legal next tokens from the CURRENT
         state.  Memoized by state; logits-independent, so callers can
         compute it concurrently with the next decode step."""
+        self._bind_tokenizer(tokenizer)
         key = (self.state_key(), eos_id)
         m = self._mask_memo.get(key)
         if m is None or m.size < vocab_size:
@@ -547,6 +612,7 @@ class GrammarSampler:
         return data.decode("utf-8", errors="replace"), b""
 
     def token_allowed(self, tid: int, tokenizer, eos_id: int = -1) -> bool:
+        self._bind_tokenizer(tokenizer)
         if tid == eos_id:
             return not self.partial and self.grammar.can_end
         piece = self._piece(tid, tokenizer)
@@ -574,6 +640,7 @@ class GrammarSampler:
         c.sorted = False
 
     def accept_token(self, tid: int, tokenizer, eos_id: int = -1) -> None:
+        self._bind_tokenizer(tokenizer)
         if tid == eos_id:
             return  # EOS carries no text; allowed iff can_end (filter)
         piece = self._piece(tid, tokenizer)
