@@ -1,19 +1,22 @@
 """Round benchmark: single-chip decode throughput on the flagship config.
 
-Builds a synthetic llama2-7B-shaped W4-served model (random codes/scales —
+Builds a synthetic llama3-8B-shaped W4-served model (random codes/scales —
 the memory traffic and compute profile match real weights) and measures
-single-sequence decode tokens/sec (tg), the north-star metric from
-BASELINE.json.
+single-sequence decode tokens/sec (tg) — "tokens/sec/chip at 8B Q4_K", the
+north-star metric from BASELINE.json.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
 
 vs_baseline divides by the closest published reference figure: llama.cpp
 CUDA 7B Q4_0 tg128 = 132.19 t/s (reference examples/llama-bench/README.md:77)
-— the reference repo publishes no TPU numbers.  The default preset is the
-SAME model config as that figure (llama2-7b; our W4 serving layout reads
-5.0 bits/weight vs Q4_0's 4.5-bit wire format, so the comparison slightly
-favours the reference).  BENCH_PRESET=llama3-8b measures the GQA flagship.
+— the reference repo publishes no TPU numbers, and its A100 has 1555 GB/s
+of HBM to v5e's 819, so holding the 7B bar at 8B scale is strictly harder
+than the reference's own headline.  BENCH_PRESET=llama2-7b measures that
+exact 7B Q4_0 config (our W4 sym layout serves it at Q4_0's own 4.5
+bits/weight wire density).  The line also carries w_gbps — the effective
+weight-stream bandwidth (tps x weight bytes/token) — so progress toward
+the 819 GB/s speed-of-light is tracked per round.
 
 Robustness design (round-1 postmortem: the axon PJRT plugin can HANG
 indefinitely at backend init when the TPU tunnel is down, and the env var
@@ -168,6 +171,25 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     dt = time.time() - t0
     tps = steps * batch / dt
 
+    # effective weight-stream bandwidth: every weight byte except the
+    # embedding table (row-gathered) is read once per decode step
+    from llama_kotlin_tpu.quant.qtensor import QTensor
+
+    w_bytes = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            params, is_leaf=lambda x: isinstance(x, QTensor)):
+        if path and getattr(path[0], "key", None) == "tok_embd":
+            continue
+        if isinstance(leaf, QTensor):
+            w_bytes += leaf.nbytes()
+            if leaf.aux:
+                w_bytes += sum(a.size * a.dtype.itemsize
+                               for a in leaf.aux.values()
+                               if getattr(a, "ndim", 0) >= 2)
+        elif hasattr(leaf, "nbytes"):
+            w_bytes += leaf.nbytes
+    w_gbps = tps * w_bytes / 1e9
+
     # prefill throughput (pp1024-class, reference llama-bench's pp metric):
     # warm-timed full-prompt decode on a cleared context
     pp = int(os.environ.get("BENCH_PP", "1024"))
@@ -194,6 +216,9 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
         # stars) surfaced at top level so the driver records them per round
         "ttft_ms": round(ttft_warm_s * 1e3, 1),
         "pp_tps": pp_tps,
+        # effective weight-stream GB/s (vs v5e speed-of-light 819)
+        "w_gbps": round(w_gbps, 1),
+        "w_bytes_per_tok": w_bytes,
         "detail": {
             "backend": jax.default_backend(),
             "build_s": round(build_s, 1),
@@ -222,7 +247,7 @@ def child_main() -> None:
     from llama_kotlin_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()  # tunnel compiles cost minutes each; pay once
-    preset = os.environ.get("BENCH_PRESET", "llama2-7b")
+    preset = os.environ.get("BENCH_PRESET", "llama3-8b")
     steps = int(os.environ.get("BENCH_STEPS", "128"))  # tg128 semantics
     prefill = int(os.environ.get("BENCH_PREFILL", "64"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))

@@ -26,7 +26,7 @@ from llama_kotlin_tpu.models.config import ModelConfig
 from llama_kotlin_tpu.ops.activations import ACTIVATIONS
 from llama_kotlin_tpu.ops.attention import alibi_slopes, attention, visibility_mask
 from llama_kotlin_tpu.ops.norms import layer_norm, rms_norm
-from llama_kotlin_tpu.ops.qmatmul import qmatmul, take_rows
+from llama_kotlin_tpu.ops.qmatmul import qmatmul, qmm_ffn, take_rows
 from llama_kotlin_tpu.ops.rope import apply_rope
 from llama_kotlin_tpu.runtime.kv_cache import KVCache
 
@@ -365,13 +365,19 @@ def forward(
                 and lp.get("ffn_norm_exps") is None):
             down = moe_ffn(lp, x).astype(h.dtype)
         elif cfg.ffn_gated and lp.get("ffn_gateup_fused") is not None:
-            # serving fold: gate|up in one kernel launch (concat_qtensors)
-            y = qmatmul(x, lp["ffn_gateup_fused"], compute_dtype=compute_dtype)
-            gate, up = y[:, :cfg.n_ff], y[:, cfg.n_ff:]
-            ffn = act(gate) * up
-            record(f"blk.{li}.ffn_down", ffn)
-            down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"],
-                           compute_dtype=compute_dtype)
+            # fused-FFN megakernel: gate|up|down in ONE launch when the W4
+            # layouts qualify (decode batches; ops/pallas/qmm_w4_ffn.py)
+            down = None if collect_stats else qmm_ffn(
+                x, lp["ffn_gateup_fused"], lp["ffn_down"], act=cfg.act)
+            if down is None:
+                # serving fold: gate|up in one launch (concat_qtensors)
+                y = qmatmul(x, lp["ffn_gateup_fused"],
+                            compute_dtype=compute_dtype)
+                gate, up = y[:, :cfg.n_ff], y[:, cfg.n_ff:]
+                ffn = act(gate) * up
+                record(f"blk.{li}.ffn_down", ffn)
+                down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"],
+                               compute_dtype=compute_dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
             gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
             if lp.get("ffn_gate_scale") is not None:  # bitnet

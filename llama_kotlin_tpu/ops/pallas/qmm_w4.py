@@ -64,12 +64,21 @@ NG = CHUNK // 32  # groups per chunk = block-diagonal row blocks
 
 
 def _plan(n: int, kc: int) -> Optional[tuple[int, int]]:
-    """(bn, bkc): output rows and plane columns per grid step."""
+    """(bn, bkc): output rows and plane columns per grid step.
+
+    Tunable via LKTPU_W4_BN / LKTPU_W4_BKC (comma-separated preference
+    lists): the per-grid-step VPU chain (scale repeats, partial rescales,
+    group-fold) has a fixed issue cost, so larger blocks amortize it —
+    round-4 device sweeps pick the defaults."""
     if kc % CHUNK != 0:
         return None
-    for bkc in (2048, 1024, 512):
-        if kc % bkc == 0:
-            for bn in (512, 256, 128):
+    bns = tuple(int(v) for v in os.environ.get(
+        "LKTPU_W4_BN", "512,256,128").split(","))
+    bkcs = tuple(int(v) for v in os.environ.get(
+        "LKTPU_W4_BKC", "2048,1024,512").split(","))
+    for bkc in bkcs:
+        if kc % bkc == 0 and bkc % CHUNK == 0:
+            for bn in bns:
                 if n % bn == 0:
                     return bn, bkc
     return None

@@ -1,0 +1,342 @@
+"""Fused W4 FFN megakernel: gate + up + down in ONE Pallas launch.
+
+The gated FFN holds ~80% of a llama-family layer's weight bytes
+(2F·E for gate|up plus E·F for down).  Serving it as two block-diagonal
+kernel launches (gate|up fused, then down) pays, per layer per token:
+
+  * two pipeline ramps (~10-15 us each, round-3 device traces);
+  * an XLA glue chain between them on the decode critical path —
+    h = act(g)*u staged out to HBM/S(1), re-quantized per-superblock,
+    rebuilt into two [16b, F/2] block-diagonal int8 arrays, re-staged
+    (round-3 trace: XLA stages every Pallas operand in S(1); the
+    norm→quantize→bd-build→stage chain serializes against the next
+    kernel's weight prefetch).
+
+This kernel streams ALL THREE weight matrices through one grid sweep over
+F-blocks: per block it computes the gate/up partial outputs from the
+VMEM-resident block-diagonal activations, applies the activation function,
+quantizes h per-256-superblock IN KERNEL (bit-identical to
+ops/pallas/qmm_int8.quantize_activations on the bf16-rounded h, matching
+the unfused path's `ffn.astype(compute_dtype)`), builds h's block-diagonal
+planes on VMEM tiles, and immediately contracts them against the down
+block's columns — h never leaves VMEM.  This is legal because the gated
+FFN is elementwise in F: down = Σ_f act(x@Wg_f^T)·(x@Wu_f^T) @ Wd_f^T,
+so F-blocks contribute independent rank-bf updates to the [b, E] output.
+
+Reference analogue: the CPU hot loop runs gate/up/down as three
+ggml_vec_dot_q4_K_q8_K sweeps with an intermediate quantize_row_q8_K
+(ggml/src/ggml-quants.c) — the same math, here restructured so the MXU
+sees one uninterrupted weight stream per layer.
+
+Weight layouts are the standard W4 fold (quant/fold.py): the gate|up
+fused tensor [2F, E] (rows 0..F-1 = gate, F..2F-1 = up) and the down
+tensor [E, F].  Eligibility requires F == down.k_pad (true whenever
+F % 1024 == 0, e.g. llama3-8b's 14336; other shapes fall back to the
+two-launch path).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
+from llama_kotlin_tpu.ops.pallas.qmm_w4 import (CHUNK, NG, build_sxv,
+                                                build_xbd)
+
+_F32 = jnp.float32
+
+
+def _act_f32(name: str, x):
+    if name == "silu":
+        return x * (1.0 / (1.0 + jnp.exp(-x)))
+    if name == "gelu":  # ggml tanh approximation (ops/activations.py)
+        c = 0.79788456080286535587989211986876
+        return 0.5 * x * (1.0 + jnp.tanh(c * x * (1.0 + 0.044715 * x * x)))
+    raise ValueError(name)
+
+
+def _plan_bf(f_pad: int) -> Optional[int]:
+    """F-columns per grid step: spans whole superblocks (h quantization),
+    whole 512-plane-column chunks (down dot), and divides F_pad."""
+    for bf in (2048, 1024):
+        if f_pad % bf == 0:
+            return bf
+    return None
+
+
+def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
+                      act: str = "silu", interpret: bool = False,
+                      max_rows: int = 32) -> Optional[jnp.ndarray]:
+    """x [..., E] f32 -> act(x@gate^T) * (x@up^T) @ down^T as [..., E] f32,
+    or None if the shapes/layouts don't qualify (caller falls back to the
+    separate gate|up and down launches)."""
+    from llama_kotlin_tpu.ops.pallas.qmm_int8 import quantize_activations
+
+    if act not in ("silu", "gelu"):
+        return None
+    for w in (gu, dn):
+        if (not w.hi_signed or w.aux is None or "precise" in w.aux
+                or w.is_stacked or w.tp_axis is not None):
+            return None
+    n_gu, e_gu = gu.shape
+    e_dn, f_dn = dn.shape
+    if e_gu != e_dn:
+        return None
+    E = e_gu
+    kc_e = gu.codes.shape[-1]
+    if kc_e * 2 != E or (kc_e % CHUNK) != 0:
+        return None  # E must be chunk-aligned with no fold padding
+    f_pad = dn.k_pad
+    if gu.codes.shape[0] != 2 * f_pad:
+        return None  # gate/up halves must tile F_pad exactly (F%1024==0)
+    bf = _plan_bf(f_pad)
+    if bf is None:
+        return None
+    lead_shape = x.shape[:-1]
+    b_real = int(np.prod(lead_shape)) if lead_shape else 1
+    if x.shape[-1] != E or b_real > max_rows:
+        return None
+    bp = max(2, int(2 ** math.ceil(math.log2(max(b_real, 1)))))
+    x2 = x.reshape(b_real, E).astype(jnp.float32)
+    if bp != b_real:
+        x2 = jnp.pad(x2, ((0, bp - b_real), (0, 0)))
+    x8, sx = quantize_activations(x2)
+    xlo, xhi = build_xbd(x8, E)
+    sxv = jnp.asarray(build_sxv(sx, E))
+    gu_sym = "sym" in gu.aux
+    dn_sym = "sym" in dn.aux
+    if not gu_sym and "madj_t" not in gu.aux:
+        return None
+    if not dn_sym and "madj_t" not in dn.aux:
+        return None
+    # gate/up min-term activation group sums (same construction as
+    # qmm_w4_matmul): sym = lo-plane-column order against scw_lo*8,
+    # asym = sequential order against madj_t
+    if gu_sym:
+        xr = x8.reshape(bp, E // SPAN, 2, SPAN // 2)
+        lo = xr[:, :, 0].reshape(bp, E // 2)
+        xg = lo.reshape(bp, E // 64, 32).astype(jnp.int32).sum(
+            axis=-1).astype(jnp.float32)
+        xg = xg * jnp.repeat(sx, (SPAN // 2) // 32, axis=-1)
+    else:
+        xg = x8.reshape(bp, E // 32, 32).astype(jnp.int32).sum(
+            axis=-1).astype(jnp.float32)
+        xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
+    y = qmm_w4_ffn(xlo, xhi, sxv, xg.T, gu, dn, bf=bf, act=act,
+                   interpret=interpret)
+    if y is None:
+        return None
+    return y[:b_real].reshape(*lead_shape, E)
+
+
+def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
+               xg_t: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
+               act: str, interpret: bool = False) -> Optional[jnp.ndarray]:
+    E = gu.shape[1]
+    f_pad = dn.k_pad
+    rows = xlo.shape[0]
+    bp = rows // NG
+    kc_e = E // 2
+    nch_e = kc_e // CHUNK   # chunks sweeping k=E (gate/up dots)
+    nch_f = (bf // 2) // CHUNK  # chunks sweeping the block's h columns
+    nsb = bf // SPAN        # h superblocks per block
+    fb = f_pad // bf        # block count = grid size; up rows start at fb
+    gu_sym = "sym" in gu.aux
+    dn_sym = "sym" in dn.aux
+
+    def kernel(xlo_ref, xhi_ref, sxv_ref, xgt_ref, gc_ref, uc_ref,
+               gslo_ref, uslo_ref, gshi_ref, ushi_ref, *rest):
+        rest = list(rest)
+        gmadj_ref = umadj_ref = None
+        if not gu_sym:
+            gmadj_ref, umadj_ref = rest.pop(0), rest.pop(0)
+        dnc_ref, dnslo_ref, dnshi_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+        dnmadj_ref = None if dn_sym else rest.pop(0)
+        (out_ref,) = rest
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        xlo_v, xhi_v = xlo_ref[...], xhi_ref[...]
+
+        def gu_half(codes_ref, sclo_ref, schi_ref, madj_ref):
+            acc = jnp.zeros((bp, bf), _F32)
+            for t in range(nch_e):
+                sl = slice(t * CHUNK, (t + 1) * CHUNK)
+                # per-chunk nibble unpack: whole-block unpacks kept ~30 MB
+                # of int8 planes live and blew the Mosaic vmem stack
+                cw = codes_ref[:, sl]  # [bf, 512] u8
+                lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
+                hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+                p_lo = jax.lax.dot_general(
+                    xlo_v[:, sl], lo_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # [16bp, bf], (r, i)
+                p_hi = jax.lax.dot_general(
+                    xhi_v[:, sl], hi_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                sc_lo = jnp.repeat(sclo_ref[t * NG:(t + 1) * NG, :], bp, axis=0)
+                sc_hi = jnp.repeat(schi_ref[t * NG:(t + 1) * NG, :], bp, axis=0)
+                sxc = sxv_ref[t, :][:, None]
+                contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
+                           + p_hi.astype(_F32) * sc_hi.astype(_F32)) * sxc
+                acc = acc + contrib.reshape(NG, bp, bf).sum(axis=0)
+            mw = (sclo_ref[...] * 8.0 if gu_sym else madj_ref[...]).astype(_F32)
+            return acc - jax.lax.dot_general(
+                xgt_ref[...], mw, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        g = gu_half(gc_ref, gslo_ref, gshi_ref, gmadj_ref)
+        u = gu_half(uc_ref, uslo_ref, ushi_ref, umadj_ref)
+        # bf16 round matches the unfused path's ffn.astype(compute_dtype)
+        # before the down matmul's activation quantization
+        h = (_act_f32(act, g) * u).astype(jnp.bfloat16).astype(_F32)
+
+        # ---- in-kernel Q8 of h (bitwise quantize_activations semantics)
+        lo_parts, hi_parts, d_parts, q_parts = [], [], [], []
+        for s in range(nsb):
+            xs = h[:, s * SPAN:(s + 1) * SPAN]
+            amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+            d = amax / 127.0
+            safe = jnp.where(d > 0, d, 1.0)
+            q = jnp.clip(jnp.round(xs / safe), -127, 127).astype(jnp.int8)
+            lo_parts.append(q[:, :SPAN // 2])
+            hi_parts.append(q[:, SPAN // 2:])
+            d_parts.append(d)
+            q_parts.append(q)
+        h8_lo = jnp.concatenate(lo_parts, axis=-1)     # [bp, bf/2] i8
+        h8_hi = jnp.concatenate(hi_parts, axis=-1)
+
+        # block-diagonal h planes, batch-major rows (i*NG + r) — the
+        # device-proven fx-kernel pattern (ops/pallas/qmm_w4.py)
+        def bd(p):
+            rep = jnp.repeat(p, NG, axis=0)  # [bp*NG, bf/2]
+            col_blk = (jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, bf // 2), 1) // 32) % NG
+            row_r = jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, bf // 2), 0) % NG
+            return jnp.where(col_blk == row_r, rep, jnp.int8(0))
+
+        bd_lo, bd_hi = bd(h8_lo), bd(h8_hi)
+
+        acc = jnp.zeros_like(out_ref)
+        for t in range(nch_f):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            dn_cw = dnc_ref[:, sl]  # [E, 512] u8 (per-chunk, see gu_half)
+            dlo_w = pltpu.bitcast(dn_cw & jnp.uint8(0x0F), jnp.int8)
+            dhi_w = pltpu.bitcast(dn_cw & jnp.uint8(0xF0), jnp.int8)
+            p_lo = jax.lax.dot_general(
+                bd_lo[:, sl], dlo_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [bp*NG, E], (i, r)
+            p_hi = jax.lax.dot_general(
+                bd_hi[:, sl], dhi_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sc_lo = jnp.tile(dnslo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+            sc_hi = jnp.tile(dnshi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+            contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
+                       + p_hi.astype(_F32) * sc_hi.astype(_F32))
+            # chunk t covers superblocks 4t..4t+3; row (i, r) -> sb 4t+r//4
+            # — the scale applies as a [bp, NG, 1] broadcast after the 3-D
+            # reshape (a [bp, NG] -> [bp*NG, 1] column reshape is a shape
+            # cast Mosaic rejects; static concat of d columns is not)
+            sxc = jnp.concatenate(
+                [d_parts[4 * t + q] for q in range(4) for _ in range(4)],
+                axis=1)[:, :, None]  # [bp, NG, 1]
+            acc = acc + (contrib.reshape(bp, NG, E) * sxc).sum(axis=1)
+
+        # ---- down min term from h's group sums (element order): a dot
+        # against a 0/1 group-membership matrix keeps the reduction on the
+        # MXU (per-32 strided reshapes are lane-hostile)
+        h8_el = jnp.concatenate(q_parts, axis=-1)  # [bp, bf] element order
+        if dn_sym:
+            gmat = (jax.lax.broadcasted_iota(jnp.int32, (bf // 2, bf // 64), 0)
+                    // 32 == jax.lax.broadcasted_iota(
+                        jnp.int32, (bf // 2, bf // 64), 1)).astype(jnp.int8)
+            gs = jax.lax.dot_general(
+                h8_lo, gmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(_F32)
+            # lo-plane group g sits in span g//4: static concat (see sxc)
+            xg_h = gs * jnp.concatenate(
+                [d_parts[s] for s in range(nsb) for _ in range(4)], axis=1)
+            acc = acc - 8.0 * jax.lax.dot_general(
+                xg_h, dnslo_ref[...].astype(_F32), (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            gmat = (jax.lax.broadcasted_iota(jnp.int32, (bf, bf // 32), 0)
+                    // 32 == jax.lax.broadcasted_iota(
+                        jnp.int32, (bf, bf // 32), 1)).astype(jnp.int8)
+            gs = jax.lax.dot_general(
+                h8_el, gmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(_F32)
+            # element-order group g sits in span g//8: static concat
+            xg_h = gs * jnp.concatenate(
+                [d_parts[s] for s in range(nsb) for _ in range(8)], axis=1)
+            acc = acc - jax.lax.dot_general(
+                xg_h, dnmadj_ref[...].astype(_F32), (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+        out_ref[...] += acc
+
+    in_specs = [
+        pl.BlockSpec((rows, kc_e), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, kc_e), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nch_e, rows), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec(xg_t.shape, (lambda f: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bf, kc_e), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bf, kc_e), (lambda f: (fb + f, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+    ]
+    operands = [xlo, xhi, sxv, xg_t, gu.codes, gu.codes,
+                gu.aux["scw_lo"], gu.aux["scw_lo"],
+                gu.aux["scw_hi"], gu.aux["scw_hi"]]
+    if not gu_sym:
+        in_specs += [
+            pl.BlockSpec((E // 32, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 32, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+        ]
+        operands += [gu.aux["madj_t"], gu.aux["madj_t"]]
+    in_specs += [
+        pl.BlockSpec((E, bf // 2), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bf // 64, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bf // 64, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+    ]
+    operands += [dn.codes, dn.aux["scw_lo"], dn.aux["scw_hi"]]
+    if not dn_sym:
+        in_specs += [
+            pl.BlockSpec((bf // 32, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+        ]
+        operands += [dn.aux["madj_t"]]
+    return pl.pallas_call(
+        kernel,
+        grid=(fb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bp, E), (lambda f: (0, 0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, E), _F32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # 3 weight streams double-buffered (~26 MB of windows) plus the
+            # in-kernel h planes: the 16 MB default scoped-vmem is too small
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(*operands)
+
+
+def qmm_w4_ffn_or_none(x, gu, dn, **kw):
+    try:
+        return qmm_w4_ffn_matmul(x, gu, dn, **kw)
+    except Exception:
+        return None

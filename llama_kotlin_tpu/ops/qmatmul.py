@@ -200,6 +200,27 @@ def _tp_qmatmul(x: jnp.ndarray, w: QTensor, *, compute_dtype) -> Optional[jnp.nd
     return fn(x, w)
 
 
+def qmm_ffn(x: jnp.ndarray, gu: Weight, dn: Weight,
+            act: str = "silu") -> Optional[jnp.ndarray]:
+    """Fused gated-FFN fast path: act(x@gate^T)*(x@up^T) @ down^T in ONE
+    Pallas launch (ops/pallas/qmm_w4_ffn.py) — gate|up|down weights stream
+    through a single pipelined grid and the intermediate h never leaves
+    VMEM.  Returns None when ineligible (caller uses the two-launch path;
+    numerics match it bit-for-bit, see the kernel docstring)."""
+    if not (isinstance(gu, QTensor) and isinstance(dn, QTensor)):
+        return None
+    if gu.tp_axis is not None or dn.tp_axis is not None:
+        return None  # sharded serving: per-shard fusion via _tp_qmatmul TBD
+    if os.environ.get("LKTPU_FFN_FUSED", "1") == "0":
+        return None  # A/B knob: fall back to the two-launch path
+    if not _use_pallas():
+        return None
+    from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_or_none
+
+    return qmm_w4_ffn_or_none(x, gu, dn, act=act,
+                              interpret=_interpret_forced())
+
+
 def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,
             allow_pallas: bool = True) -> jnp.ndarray:
     """x [..., k] @ w[n, k]^T -> [..., n].

@@ -80,7 +80,8 @@ def main():
     ap.add_argument("-p", "--n-prompt", type=int, nargs="*", default=[512])
     ap.add_argument("-n", "--n-gen", type=int, nargs="*", default=[128])
     ap.add_argument("-r", "--reps", type=int, default=3)
-    ap.add_argument("-o", "--output", choices=["md", "json", "csv"], default="md")
+    ap.add_argument("-o", "--output", choices=["md", "json", "csv", "sql"],
+                    default="md")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a device trace of the bench runs into "
                          "this directory (also honours LKTPU_TRACE_DIR)")
@@ -138,6 +139,15 @@ def main():
         print("model,test,avg_tps,stddev")
         for r in rows:
             print(f"{r['model']},{r['test']},{r['avg']:.2f},{r['stddev']:.2f}")
+    elif args.output == "sql":
+        # sqlite-loadable dump (reference llama-bench's -o sql,
+        # examples/llama-bench/README.md): CREATE TABLE + one INSERT/row
+        print("CREATE TABLE IF NOT EXISTS test (\n"
+              "  model TEXT, test TEXT, avg_ts REAL, stddev_ts REAL\n);")
+        for r in rows:
+            m = r["model"].replace("'", "''")
+            print(f"INSERT INTO test VALUES ('{m}', '{r['test']}', "
+                  f"{r['avg']:.2f}, {r['stddev']:.2f});")
     else:
         print(fmt_md(rows))
 

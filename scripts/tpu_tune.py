@@ -47,6 +47,36 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
 
     n, k = shape
     rng = np.random.default_rng(0)
+    if mode == "ffn":
+        # fused gate|up|down megakernel: shape = (E, F)
+        from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_matmul
+        from llama_kotlin_tpu.quant.qtensor import QTensor
+
+        E, F = shape
+        gu = jax.tree.map(jnp.asarray, synthetic_w4(rng, 2 * F, E))
+        dn = jax.tree.map(jnp.asarray, synthetic_w4(rng, E, F))
+        x = jnp.asarray(rng.standard_normal((b, E)), jnp.float32)
+
+        def make_run(r):
+            @jax.jit
+            def run(x):
+                def body(i, acc):
+                    y = qmm_w4_ffn_matmul(x + acc[:, :1], gu, dn)
+                    return acc + y[:, :1] * 1e-30
+                return jax.lax.fori_loop(0, r, body,
+                                         jnp.zeros((b, 1), jnp.float32))
+            return run
+
+        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                     for w_ in (gu, dn) for a in jax.tree.leaves(w_))
+        reps = min(100_000, max(100, int(1.2e12 / nbytes)))
+        run = make_run(reps)
+        jax.block_until_ready(run(x))
+        t0 = time.time()
+        jax.block_until_ready(run(x))
+        dt = (time.time() - t0) / reps
+        return {"kind": "kernel", "mode": mode, "shape": list(shape), "b": b,
+                "ms": round(dt * 1e3, 4), "GBps": round(nbytes / dt / 1e9, 1)}
     if mode in ("w4", "w4x"):
         w = synthetic_w4(rng, n, k, precise=(mode == "w4x"))
     elif mode == "w8":

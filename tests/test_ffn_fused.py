@@ -1,0 +1,67 @@
+"""Fused W4 FFN megakernel parity (ops/pallas/qmm_w4_ffn.py).
+
+The fused gate|up|down kernel must reproduce the two-launch path
+(qmm_w4_matmul on gate|up, bf16 round, qmm_w4_matmul on down) bit-for-bit:
+same in-kernel Q8 quantization formula, same scale/min algebra, same f32
+accumulation order per chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llama_kotlin_tpu.models.synthetic import synthetic_w4
+from llama_kotlin_tpu.ops.pallas.qmm_w4 import qmm_w4_matmul
+from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_matmul
+from llama_kotlin_tpu.ops.activations import ACTIVATIONS
+
+E, F = 2048, 4096
+
+
+def _fold_pair(rng, sym):
+    gu = jax.tree.map(jnp.asarray, synthetic_w4(rng, 2 * F, E, sym=sym))
+    dn = jax.tree.map(jnp.asarray, synthetic_w4(rng, E, F, sym=sym))
+    return gu, dn
+
+
+def _ref_two_launch(x, gu, dn, act="silu"):
+    y = qmm_w4_matmul(x, gu, interpret=True)
+    gate, up = y[:, :F], y[:, F:]
+    h = (ACTIVATIONS[act](gate) * up).astype(jnp.bfloat16)
+    return qmm_w4_matmul(h, dn, interpret=True)
+
+
+@pytest.mark.parametrize("sym", [False, True])
+@pytest.mark.parametrize("b", [1, 3])
+def test_ffn_fused_matches_two_launch(sym, b):
+    rng = np.random.default_rng(0 if sym else 1)
+    gu, dn = _fold_pair(rng, sym)
+    x = jnp.asarray(rng.standard_normal((b, E)), jnp.float32)
+    ref = _ref_two_launch(x, gu, dn)
+    out = qmm_w4_ffn_matmul(x, gu, dn, act="silu", interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ffn_fused_gelu():
+    rng = np.random.default_rng(2)
+    gu, dn = _fold_pair(rng, False)
+    x = jnp.asarray(rng.standard_normal((2, E)), jnp.float32)
+    ref = _ref_two_launch(x, gu, dn, act="gelu")
+    out = qmm_w4_ffn_matmul(x, gu, dn, act="gelu", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ffn_fused_ineligible_shapes():
+    rng = np.random.default_rng(3)
+    # F=2816 pads to 3072 != gate/up rows -> megakernel declines
+    gu = jax.tree.map(jnp.asarray, synthetic_w4(rng, 2 * 2816, E))
+    dn = jax.tree.map(jnp.asarray, synthetic_w4(rng, E, 2816))
+    x = jnp.asarray(rng.standard_normal((2, E)), jnp.float32)
+    assert qmm_w4_ffn_matmul(x, gu, dn, interpret=True) is None
