@@ -193,6 +193,14 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
     x2 = x.reshape(b_real, k).astype(jnp.float32)
     if bp != b_real or k_pad != k:
         x2 = jnp.pad(x2, ((0, bp - b_real), (0, k_pad - k)))
+    # fx2 (default; LKTPU_W4_FX=0 reverts): ALL activation prep in-kernel,
+    # scratch-cached at the first n-block of each k-block — no
+    # quantize/bd/xg XLA chain at all.  Round-4 device A/B (llama3-8b
+    # tg128): 99.7 -> 120.2 t/s from this alone
+    if not precise and os.environ.get("LKTPU_W4_FX", "2") == "2":
+        y = qmm_w4_fx2(x2, w, interpret=interpret)
+        if y is not None:
+            return y[:b_real].reshape(*lead_shape, n)
     if precise:
         x8, sx = quantize_activations_2p(x2)  # [2bp, k_pad], [2bp, S]
     else:
@@ -252,6 +260,159 @@ def qmm_w4_or_none(x, w, **kw):
         return qmm_w4_matmul(x, w, **kw)
     except Exception:
         return None
+
+
+def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
+               interpret: bool = False) -> Optional[jnp.ndarray]:
+    """Scratch-cached fused-activation W4 matmul: RAW padded f32
+    activations in; per-superblock Q8 quantization, nibble-plane split,
+    block-diagonal build, AND the min-term group sums all happen in-kernel
+    at the FIRST n-block of each k-block, cached in VMEM scratch and reused
+    across the n-sweep.
+
+    This fixes the diagnosed fx loss (the k-outer/n-inner grid repeated the
+    activation prep per n-block, ops/pallas/qmm_w4.py round-3 note) and
+    removes the entire per-matmul XLA glue chain — quantize fusions,
+    two [16b, k/2] block-diagonal selects, group-sum reductions, and their
+    S(1) staging — from the decode critical path: the prep now runs inside
+    the weight-streaming pipeline where it overlaps the next block's DMA.
+    Numerics match qmm_w4_matmul to f32 reduce-association tolerance
+    (same quantize formula and min-term algebra; the NG-fold sum runs
+    over a different axis)."""
+    if not w.hi_signed or w.aux is None or "precise" in w.aux:
+        return None
+    n, k = w.shape
+    kc = w.codes.shape[-1]
+    plan = _plan(n, kc)
+    if plan is None:
+        return None
+    bn, bkc = plan
+    bp = x_pad.shape[0]
+    if x_pad.shape[1] != 2 * kc:
+        return None
+    scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
+    sym = "sym" in w.aux
+    if not sym and "madj_t" not in w.aux:
+        return None
+
+    grid = (kc // bkc, n // bn)
+    nch_blk = bkc // CHUNK
+    nsb = (2 * bkc) // SPAN  # superblocks per k-block
+    gcols = bkc // 32 if sym else bkc // 16  # xg groups per k-block
+
+    def kernel(x_ref, codes_ref, sclo_ref, schi_ref, *rest):
+        rest = list(rest)
+        madj_ref = None if sym else rest.pop(0)
+        out_ref, bdlo_scr, bdhi_scr, sx_scr, xg_scr = rest
+
+        @pl.when(pl.program_id(1) == 0)
+        def _prep():
+            # once per k-block: quantize + plane split + bd build + xg
+            xb = x_ref[...]  # [bp, 2*bkc] f32
+            lo_parts, hi_parts, d_parts, q_parts = [], [], [], []
+            for s in range(nsb):
+                xs = xb[:, s * SPAN:(s + 1) * SPAN]
+                amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+                d = amax / 127.0
+                safe = jnp.where(d > 0, d, 1.0)
+                q = jnp.clip(jnp.round(xs / safe), -127, 127).astype(jnp.int8)
+                lo_parts.append(q[:, :SPAN // 2])
+                hi_parts.append(q[:, SPAN // 2:])
+                d_parts.append(d)
+                q_parts.append(q)
+            x8_lo = jnp.concatenate(lo_parts, axis=-1)  # [bp, bkc]
+            x8_hi = jnp.concatenate(hi_parts, axis=-1)
+            sx_scr[...] = jnp.concatenate(d_parts, axis=-1)  # [bp, nsb]
+
+            col_blk = (jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, bkc), 1) // 32) % NG
+            row_r = jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, bkc), 0) % NG
+            keep = col_blk == row_r
+            bdlo_scr[...] = jnp.where(keep, jnp.repeat(x8_lo, NG, axis=0),
+                                      jnp.int8(0))
+            bdhi_scr[...] = jnp.where(keep, jnp.repeat(x8_hi, NG, axis=0),
+                                      jnp.int8(0))
+
+            # sx-scaled group sums for the min term, via a 0/1 membership
+            # matmul (per-32 strided reshapes are lane-hostile on TPU)
+            if sym:  # lo-plane-column group order against scw_lo*8
+                src, rep = x8_lo, 4
+            else:    # sequential element-group order against madj_t
+                src, rep = jnp.concatenate(q_parts, axis=-1), 8
+            gm = (jax.lax.broadcasted_iota(
+                jnp.int32, (src.shape[1], gcols), 0) // 32
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (src.shape[1], gcols), 1)).astype(jnp.int8)
+            gs = jax.lax.dot_general(
+                src, gm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            xg_scr[...] = gs * jnp.concatenate(
+                [d_parts[s] for s in range(nsb) for _ in range(rep)], axis=-1)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        acc = jnp.zeros_like(out_ref)
+        for t in range(nch_blk):
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            cw = codes_ref[:, sl]  # [bn, 512] u8
+            lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
+            hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+            p_lo = jax.lax.dot_general(
+                bdlo_scr[:, sl], lo_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [bp*NG, bn], (i, r)
+            p_hi = jax.lax.dot_general(
+                bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+            sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+            contrib = (p_lo.astype(jnp.float32) * sc_lo.astype(jnp.float32)
+                       + p_hi.astype(jnp.float32) * sc_hi.astype(jnp.float32))
+            # chunk t covers local superblocks 4t..4t+3; row (i,r) -> 4t+r//4
+            sxc = jnp.concatenate(
+                [sx_scr[:, 4 * t + q:4 * t + q + 1]
+                 for q in range(4) for _ in range(4)], axis=1)[:, :, None]
+            acc = acc + (contrib.reshape(bp, NG, bn) * sxc).sum(axis=1)
+        mw = (sclo_ref[...] * 8.0 if sym else madj_ref[...]).astype(jnp.float32)
+        acc = acc - jax.lax.dot_general(
+            xg_scr[...], mw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[...] += acc
+
+    in_specs = [
+        pl.BlockSpec((bp, 2 * bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bkc), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_pad, w.codes, scw_lo, scw_hi]
+    if not sym:
+        in_specs += [
+            pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+        ]
+        operands += [w.aux["madj_t"]]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bp, bn), (lambda j, i: (0, i)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bp * NG, bkc), jnp.int8),
+            pltpu.VMEM((bp * NG, bkc), jnp.int8),
+            pltpu.VMEM((bp, nsb), jnp.float32),
+            pltpu.VMEM((bp, gcols), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(*operands)
+    return out
 
 
 def qmm_w4_fx(x_pad: jnp.ndarray, sxv_ir: jnp.ndarray, w: QTensor, *,

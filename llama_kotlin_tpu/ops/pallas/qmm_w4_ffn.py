@@ -12,16 +12,19 @@ kernel launches (gate|up fused, then down) pays, per layer per token:
     norm→quantize→bd-build→stage chain serializes against the next
     kernel's weight prefetch).
 
-This kernel streams ALL THREE weight matrices through one grid sweep over
-F-blocks: per block it computes the gate/up partial outputs from the
-VMEM-resident block-diagonal activations, applies the activation function,
-quantizes h per-256-superblock IN KERNEL (bit-identical to
-ops/pallas/qmm_int8.quantize_activations on the bf16-rounded h, matching
-the unfused path's `ffn.astype(compute_dtype)`), builds h's block-diagonal
-planes on VMEM tiles, and immediately contracts them against the down
-block's columns — h never leaves VMEM.  This is legal because the gated
-FFN is elementwise in F: down = Σ_f act(x@Wg_f^T)·(x@Wu_f^T) @ Wd_f^T,
-so F-blocks contribute independent rank-bf updates to the [b, E] output.
+This kernel takes the RAW f32 activations and streams ALL THREE weight
+matrices through one grid sweep over F-blocks: at the first block it
+quantizes x per-256-superblock, builds the block-diagonal planes and the
+min-term group sums into VMEM scratch (reused across the sweep); per block
+it computes the gate/up partial outputs, applies the activation, quantizes
+h IN KERNEL (bit-identical to ops/pallas/qmm_int8.quantize_activations on
+the bf16-rounded h, matching the unfused path's
+`ffn.astype(compute_dtype)`), builds h's block-diagonal planes on VMEM
+tiles, and immediately contracts them against the down block's columns —
+neither x's Q8 form nor h ever exists outside the kernel.  This is legal
+because the gated FFN is elementwise in F: down =
+Σ_f act(x@Wg_f^T)·(x@Wu_f^T) @ Wd_f^T, so F-blocks contribute independent
+rank-bf updates to the [b, E] output.
 
 Reference analogue: the CPU hot loop runs gate/up/down as three
 ggml_vec_dot_q4_K_q8_K sweeps with an intermediate quantize_row_q8_K
@@ -47,8 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
-from llama_kotlin_tpu.ops.pallas.qmm_w4 import (CHUNK, NG, build_sxv,
-                                                build_xbd)
+from llama_kotlin_tpu.ops.pallas.qmm_w4 import CHUNK, NG
 
 _F32 = jnp.float32
 
@@ -77,8 +79,6 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
     """x [..., E] f32 -> act(x@gate^T) * (x@up^T) @ down^T as [..., E] f32,
     or None if the shapes/layouts don't qualify (caller falls back to the
     separate gate|up and down launches)."""
-    from llama_kotlin_tpu.ops.pallas.qmm_int8 import quantize_activations
-
     if act not in ("silu", "gelu"):
         return None
     for w in (gu, dn):
@@ -99,6 +99,12 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
     bf = _plan_bf(f_pad)
     if bf is None:
         return None
+    gu_sym = "sym" in gu.aux
+    dn_sym = "sym" in dn.aux
+    if not gu_sym and "madj_t" not in gu.aux:
+        return None
+    if not dn_sym and "madj_t" not in dn.aux:
+        return None
     lead_shape = x.shape[:-1]
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
     if x.shape[-1] != E or b_real > max_rows:
@@ -107,65 +113,78 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
     x2 = x.reshape(b_real, E).astype(jnp.float32)
     if bp != b_real:
         x2 = jnp.pad(x2, ((0, bp - b_real), (0, 0)))
-    x8, sx = quantize_activations(x2)
-    xlo, xhi = build_xbd(x8, E)
-    sxv = jnp.asarray(build_sxv(sx, E))
-    gu_sym = "sym" in gu.aux
-    dn_sym = "sym" in dn.aux
-    if not gu_sym and "madj_t" not in gu.aux:
-        return None
-    if not dn_sym and "madj_t" not in dn.aux:
-        return None
-    # gate/up min-term activation group sums (same construction as
-    # qmm_w4_matmul): sym = lo-plane-column order against scw_lo*8,
-    # asym = sequential order against madj_t
-    if gu_sym:
-        xr = x8.reshape(bp, E // SPAN, 2, SPAN // 2)
-        lo = xr[:, :, 0].reshape(bp, E // 2)
-        xg = lo.reshape(bp, E // 64, 32).astype(jnp.int32).sum(
-            axis=-1).astype(jnp.float32)
-        xg = xg * jnp.repeat(sx, (SPAN // 2) // 32, axis=-1)
-    else:
-        xg = x8.reshape(bp, E // 32, 32).astype(jnp.int32).sum(
-            axis=-1).astype(jnp.float32)
-        xg = xg * jnp.repeat(sx, SPAN // 32, axis=-1)
-    y = qmm_w4_ffn(xlo, xhi, sxv, xg.T, gu, dn, bf=bf, act=act,
-                   interpret=interpret)
+    y = qmm_w4_ffn(x2, gu, dn, bf=bf, act=act, interpret=interpret)
     if y is None:
         return None
     return y[:b_real].reshape(*lead_shape, E)
 
 
-def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
-               xg_t: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
+def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                act: str, interpret: bool = False) -> Optional[jnp.ndarray]:
     E = gu.shape[1]
     f_pad = dn.k_pad
-    rows = xlo.shape[0]
-    bp = rows // NG
+    bp = x_pad.shape[0]
     kc_e = E // 2
     nch_e = kc_e // CHUNK   # chunks sweeping k=E (gate/up dots)
     nch_f = (bf // 2) // CHUNK  # chunks sweeping the block's h columns
+    nsb_e = E // SPAN       # x superblocks
     nsb = bf // SPAN        # h superblocks per block
     fb = f_pad // bf        # block count = grid size; up rows start at fb
     gu_sym = "sym" in gu.aux
     dn_sym = "sym" in dn.aux
+    gx_cols = kc_e // 32 if gu_sym else E // 32  # x group sums for gu min
 
-    def kernel(xlo_ref, xhi_ref, sxv_ref, xgt_ref, gc_ref, uc_ref,
-               gslo_ref, uslo_ref, gshi_ref, ushi_ref, *rest):
+    def kernel(x_ref, gc_ref, uc_ref, gslo_ref, uslo_ref, gshi_ref,
+               ushi_ref, *rest):
         rest = list(rest)
         gmadj_ref = umadj_ref = None
         if not gu_sym:
             gmadj_ref, umadj_ref = rest.pop(0), rest.pop(0)
         dnc_ref, dnslo_ref, dnshi_ref = rest.pop(0), rest.pop(0), rest.pop(0)
         dnmadj_ref = None if dn_sym else rest.pop(0)
-        (out_ref,) = rest
+        out_ref, bdlo_scr, bdhi_scr, sx_scr, xg_scr = rest
 
         @pl.when(pl.program_id(0) == 0)
-        def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
-
-        xlo_v, xhi_v = xlo_ref[...], xhi_ref[...]
+        def _prep():
+            # once per layer call: quantize x, build bd planes + group sums
+            xb = x_ref[...]  # [bp, E] f32
+            lo_parts, hi_parts, d_parts, q_parts = [], [], [], []
+            for s in range(nsb_e):
+                xs = xb[:, s * SPAN:(s + 1) * SPAN]
+                amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+                d = amax / 127.0
+                safe = jnp.where(d > 0, d, 1.0)
+                q = jnp.clip(jnp.round(xs / safe), -127, 127).astype(jnp.int8)
+                lo_parts.append(q[:, :SPAN // 2])
+                hi_parts.append(q[:, SPAN // 2:])
+                d_parts.append(d)
+                q_parts.append(q)
+            x8_lo = jnp.concatenate(lo_parts, axis=-1)  # [bp, E/2]
+            x8_hi = jnp.concatenate(hi_parts, axis=-1)
+            sx_scr[...] = jnp.concatenate(d_parts, axis=-1)  # [bp, nsb_e]
+            col_blk = (jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, kc_e), 1) // 32) % NG
+            row_r = jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, kc_e), 0) % NG
+            keep = col_blk == row_r
+            bdlo_scr[...] = jnp.where(keep, jnp.repeat(x8_lo, NG, axis=0),
+                                      jnp.int8(0))
+            bdhi_scr[...] = jnp.where(keep, jnp.repeat(x8_hi, NG, axis=0),
+                                      jnp.int8(0))
+            if gu_sym:  # lo-plane-column group order against scw_lo*8
+                src, rep = x8_lo, 4
+            else:       # sequential element-group order against madj_t
+                src, rep = jnp.concatenate(q_parts, axis=-1), 8
+            gm = (jax.lax.broadcasted_iota(
+                jnp.int32, (src.shape[1], gx_cols), 0) // 32
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (src.shape[1], gx_cols), 1)).astype(jnp.int8)
+            gs = jax.lax.dot_general(
+                src, gm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(_F32)
+            xg_scr[...] = gs * jnp.concatenate(
+                [d_parts[s] for s in range(nsb_e) for _ in range(rep)],
+                axis=-1)
 
         def gu_half(codes_ref, sclo_ref, schi_ref, madj_ref):
             acc = jnp.zeros((bp, bf), _F32)
@@ -177,22 +196,30 @@ def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
                 lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
                 hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
                 p_lo = jax.lax.dot_general(
-                    xlo_v[:, sl], lo_w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)  # [16bp, bf], (r, i)
+                    bdlo_scr[:, sl], lo_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # [bp*NG, bf], (i, r)
                 p_hi = jax.lax.dot_general(
-                    xhi_v[:, sl], hi_w, (((1,), (1,)), ((), ())),
+                    bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                sc_lo = jnp.repeat(sclo_ref[t * NG:(t + 1) * NG, :], bp, axis=0)
-                sc_hi = jnp.repeat(schi_ref[t * NG:(t + 1) * NG, :], bp, axis=0)
-                sxc = sxv_ref[t, :][:, None]
+                sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+                sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
                 contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
-                           + p_hi.astype(_F32) * sc_hi.astype(_F32)) * sxc
-                acc = acc + contrib.reshape(NG, bp, bf).sum(axis=0)
+                           + p_hi.astype(_F32) * sc_hi.astype(_F32))
+                # chunk t covers x superblocks 4t..4t+3; row (i,r) -> 4t+r//4
+                sxc = jnp.concatenate(
+                    [sx_scr[:, 4 * t + q:4 * t + q + 1]
+                     for q in range(4) for _ in range(4)],
+                    axis=1)[:, :, None]  # [bp, NG, 1]
+                acc = acc + (contrib.reshape(bp, NG, bf) * sxc).sum(axis=1)
             mw = (sclo_ref[...] * 8.0 if gu_sym else madj_ref[...]).astype(_F32)
             return acc - jax.lax.dot_general(
-                xgt_ref[...], mw, (((0,), (0,)), ((), ())),
+                xg_scr[...], mw, (((1,), (0,)), ((), ())),
                 preferred_element_type=_F32,
                 precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
         g = gu_half(gc_ref, gslo_ref, gshi_ref, gmadj_ref)
         u = gu_half(uc_ref, uslo_ref, ushi_ref, umadj_ref)
@@ -255,7 +282,6 @@ def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
         # ---- down min term from h's group sums (element order): a dot
         # against a 0/1 group-membership matrix keeps the reduction on the
         # MXU (per-32 strided reshapes are lane-hostile)
-        h8_el = jnp.concatenate(q_parts, axis=-1)  # [bp, bf] element order
         if dn_sym:
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (bf // 2, bf // 64), 0)
                     // 32 == jax.lax.broadcasted_iota(
@@ -271,6 +297,7 @@ def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
                 preferred_element_type=_F32,
                 precision=jax.lax.Precision.HIGHEST)
         else:
+            h8_el = jnp.concatenate(q_parts, axis=-1)  # [bp, bf] element order
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (bf, bf // 32), 0)
                     // 32 == jax.lax.broadcasted_iota(
                         jnp.int32, (bf, bf // 32), 1)).astype(jnp.int8)
@@ -287,10 +314,7 @@ def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
         out_ref[...] += acc
 
     in_specs = [
-        pl.BlockSpec((rows, kc_e), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows, kc_e), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nch_e, rows), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec(xg_t.shape, (lambda f: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, E), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((bf, kc_e), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((bf, kc_e), (lambda f: (fb + f, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
@@ -298,7 +322,7 @@ def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
         pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
         pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
     ]
-    operands = [xlo, xhi, sxv, xg_t, gu.codes, gu.codes,
+    operands = [x_pad, gu.codes, gu.codes,
                 gu.aux["scw_lo"], gu.aux["scw_lo"],
                 gu.aux["scw_hi"], gu.aux["scw_hi"]]
     if not gu_sym:
@@ -325,6 +349,12 @@ def qmm_w4_ffn(xlo: jnp.ndarray, xhi: jnp.ndarray, sxv: jnp.ndarray,
         out_specs=pl.BlockSpec((bp, E), (lambda f: (0, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, E), _F32),
+        scratch_shapes=[
+            pltpu.VMEM((bp * NG, kc_e), jnp.int8),
+            pltpu.VMEM((bp * NG, kc_e), jnp.int8),
+            pltpu.VMEM((bp, nsb_e), jnp.float32),
+            pltpu.VMEM((bp, gx_cols), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -432,7 +432,8 @@ def dequantize_q8_k(data: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _make_q_symmetric(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
+def _make_q_symmetric(x: np.ndarray, nmax: int,
+                      w: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Weighted scale search for symmetric quant groups (x ~ scale * L).
 
     In the spirit of ggml make_qx_quants(rmse_type=1): candidate inverse
@@ -440,9 +441,14 @@ def _make_q_symmetric(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]
     maximising sum(w*x*l)^2 / sum(w*l*l) with w = x^2; return the
     least-squares scale for the winning assignment.
 
+    `w` overrides the default x^2 weights (imatrix-weighted quantization:
+    callers pass qw * sqrt(sigma2 + x^2), the reference's quant_weights
+    form in make_qx_quants).
+
     x: [..., g] groups. Returns (L int32 in [-nmax, nmax-1], scale [...]).
     """
-    w = x * x
+    if w is None:
+        w = x * x
     smax = _signed_extreme(x)  # [...,1]
     amax = np.abs(smax)
     best_score = np.full(x.shape[:-1] + (1,), -1.0, np.float32)
@@ -467,18 +473,21 @@ def _make_q_symmetric(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]
 
 
 def _make_q_asymmetric(
-    x: np.ndarray, nmax: int, n_iter: int = 8
+    x: np.ndarray, nmax: int, n_iter: int = 8, w: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Weighted ALS for asymmetric groups (x ~ scale*L - min, min >= 0).
 
     In the spirit of make_qkx2_quants: start from the range, then alternate
     assignment and weighted least-squares refit of (scale, min), keeping the
     best squared-error solution. Weights sqrt(|x| + mean|x|) like the
-    reference's sw weights.
+    reference's sw weights; `w` overrides them for imatrix-weighted
+    quantization (qw * sqrt(sigma2 + x^2), the reference's quant_weights
+    form in make_qkx2_quants).
 
     Returns (L uint in [0,nmax], scale [...], minus_min [...] >= 0).
     """
-    w = np.sqrt(np.abs(x) + np.abs(x).mean(axis=-1, keepdims=True))
+    if w is None:
+        w = np.sqrt(np.abs(x) + np.abs(x).mean(axis=-1, keepdims=True))
     mn = np.minimum(x.min(axis=-1, keepdims=True), 0.0)
     mx = x.max(axis=-1, keepdims=True)
     scale = (mx - mn) / nmax
@@ -517,11 +526,25 @@ def _make_q_asymmetric(
     return best_L, best_scale[..., 0], -best_min[..., 0]
 
 
-def quantize_q2_k(x: np.ndarray) -> np.ndarray:
+
+def _qw_weights(x2d: np.ndarray, qw: np.ndarray | None, gshape):
+    """imatrix weights in group layout: qw * sqrt(sigma2 + x^2) with
+    sigma2 = 2*mean(x^2) per superblock (the reference quant_weights form
+    used by make_qx_quants / make_qkx2_quants when an imatrix is given);
+    None when no imatrix."""
+    if qw is None:
+        return None
+    qw2 = np.asarray(qw, np.float32).reshape(x2d.shape)
+    sigma2 = 2.0 * (x2d * x2d).mean(axis=-1, keepdims=True)
+    w = qw2 * np.sqrt(sigma2 + x2d * x2d)
+    return w.reshape(gshape)
+
+
+def quantize_q2_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = x.shape[0]
     g = x.reshape(nb, 16, 16)  # 16 groups of 16
-    L, scales, mins = _make_q_asymmetric(g, 3)
+    L, scales, mins = _make_q_asymmetric(g, 3, w=_qw_weights(x, qw, g.shape))
     max_s = scales.max(axis=1, keepdims=True)
     max_m = mins.max(axis=1, keepdims=True)
     inv_s = np.where(max_s > 0, 15.0 / np.where(max_s == 0, 1, max_s), 0.0)
@@ -560,11 +583,11 @@ def quantize_q2_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def quantize_q3_k(x: np.ndarray) -> np.ndarray:
+def quantize_q3_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = x.shape[0]
     g = x.reshape(nb, 16, 16)
-    L, scales = _make_q_symmetric(g, 4)  # L in [-4,3]
+    L, scales = _make_q_symmetric(g, 4, w=_qw_weights(x, qw, g.shape))  # L in [-4,3]
     smax = _signed_extreme(scales, axis=1)  # [nb,1]
     safe = np.where(np.abs(smax) < 1e-30, 1.0, smax)
     iscale = -32.0 / safe
@@ -592,12 +615,12 @@ def quantize_q3_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def _encode_k45(x: np.ndarray, nmax: int) -> tuple:
+def _encode_k45(x: np.ndarray, nmax: int, qw: np.ndarray | None = None) -> tuple:
     """Shared scale path for Q4_K (nmax=15) / Q5_K (nmax=31): 8 groups of 32,
     6-bit super-quantized scales/mins."""
     nb = x.shape[0]
     g = x.reshape(nb, 8, 32)
-    L, scales, mins = _make_q_asymmetric(g, nmax)
+    L, scales, mins = _make_q_asymmetric(g, nmax, w=_qw_weights(x, qw, g.shape))
     max_s = scales.max(axis=1, keepdims=True)
     max_m = mins.max(axis=1, keepdims=True)
     inv_s = np.where(max_s > 0, 63.0 / np.where(max_s == 0, 1, max_s), 0.0)
@@ -614,10 +637,10 @@ def _encode_k45(x: np.ndarray, nmax: int) -> tuple:
     return L, ls, lm, d, dmin
 
 
-def quantize_q4_k(x: np.ndarray) -> np.ndarray:
+def quantize_q4_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = x.shape[0]
-    L, ls, lm, d, dmin = _encode_k45(x, 15)
+    L, ls, lm, d, dmin = _encode_k45(x, 15, qw)
     out = np.empty((nb, 144), np.uint8)
     out[:, 0:2] = _to_f16_bytes(d).reshape(-1, 2)
     out[:, 2:4] = _to_f16_bytes(dmin).reshape(-1, 2)
@@ -630,10 +653,10 @@ def quantize_q4_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def quantize_q5_k(x: np.ndarray) -> np.ndarray:
+def quantize_q5_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = x.shape[0]
-    L, ls, lm, d, dmin = _encode_k45(x, 31)
+    L, ls, lm, d, dmin = _encode_k45(x, 31, qw)
     out = np.empty((nb, 176), np.uint8)
     out[:, 0:2] = _to_f16_bytes(d).reshape(-1, 2)
     out[:, 2:4] = _to_f16_bytes(dmin).reshape(-1, 2)
@@ -650,11 +673,11 @@ def quantize_q5_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def quantize_q6_k(x: np.ndarray) -> np.ndarray:
+def quantize_q6_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     x = x.reshape(-1, QK_K).astype(np.float32)
     nb = x.shape[0]
     g = x.reshape(nb, 16, 16)
-    L, scales = _make_q_symmetric(g, 32)  # L in [-32,31]
+    L, scales = _make_q_symmetric(g, 32, w=_qw_weights(x, qw, g.shape))  # L in [-32,31]
     smax = _signed_extreme(scales, axis=1)
     safe = np.where(np.abs(smax) < 1e-30, 1.0, smax)
     iscale = -128.0 / safe
@@ -824,8 +847,26 @@ def _native_iq4(x: np.ndarray, qtype: GGMLQuantType):
     return out if got == bytes_per else None
 
 
-def quantize(x: np.ndarray, qtype: GGMLQuantType) -> np.ndarray:
-    """Encode float32 data to the wire format, returning a flat uint8 array."""
+_QW_QUANT_NAMES = ("quantize_q2_k", "quantize_q3_k", "quantize_q4_k",
+                   "quantize_q5_k", "quantize_q6_k")
+
+
+def quantize(x: np.ndarray, qtype: GGMLQuantType,
+             qw: np.ndarray | None = None) -> np.ndarray:
+    """Encode float32 data to the wire format, returning a flat uint8 array.
+
+    qw: optional per-column importance weights (imatrix, tools/imatrix.py)
+    for the K-quant encoders — the reference's quant_weights argument
+    (ggml_quantize_chunk).  Weighted encoding takes the numpy path (the
+    native encoders are unweighted)."""
+    if qw is not None and qtype in _QUANT \
+            and _QUANT[qtype].__name__ in _QW_QUANT_NAMES:
+        xf = np.ascontiguousarray(x, np.float32)
+        # per-column weights broadcast over rows (reference quant_weights
+        # are per-column of the 2-D tensor)
+        qw_full = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(qw, np.float32), xf.shape), np.float32)
+        return _QUANT[qtype](xf, qw=qw_full)
     if qtype in _NATIVE_KQ_TAG:
         out = _native_kquant(x, qtype)
         if out is not None:

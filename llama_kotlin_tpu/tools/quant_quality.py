@@ -58,7 +58,7 @@ def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
         ladder=None, seed: int = 0, n_embd: int = 256, n_layer: int = 4,
         n_head: int = 4, n_ff: int = 512, batch: int = 8,
         with_kld: bool = True, keep_files: bool = False,
-        eval_tokens: int = 65536) -> dict:
+        eval_tokens: int = 65536, use_imatrix: bool = False) -> dict:
     import jax.numpy as jnp
 
     from llama_kotlin_tpu.models.config import ModelConfig
@@ -101,12 +101,26 @@ def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
         return float(ppl_val), logits
 
     base, base_logits = score(f32_path)
+    imatrix = None
+    if use_imatrix:
+        # the reference's imatrix flow end-to-end: calibrate on the TRAIN
+        # split through the serving forward, weight the quantizers with it
+        # (examples/imatrix -> quantize --imatrix)
+        from llama_kotlin_tpu.tools.imatrix import collect_imatrix
+
+        cfg_l, params_l, f = load_gguf_model(f32_path,
+                                             compute_dtype=jnp.float32)
+        f.close()
+        imatrix = collect_imatrix(cfg_l, params_l,
+                                  train_toks[:64 * n_ctx], n_ctx=n_ctx,
+                                  compute_dtype=jnp.float32)
+        sys.stderr.write(f"imatrix: {len(imatrix)} entries collected\n")
     rows = {"f32": {"ppl": round(base, 4), "delta": 0.0,
                     "final_train_loss": round(losses[-1], 4),
                     "n_params": n_params}}
     for ft in (ladder or LADDER):
         qp = out_dir / f"{ft.lower()}.gguf"
-        quantize_model(str(f32_path), str(qp), ft)
+        quantize_model(str(f32_path), str(qp), ft, imatrix=imatrix)
         p, logits = score(qp)
         rows[ft] = {"ppl": round(p, 4), "delta": round(p - base, 4)}
         if with_kld:
@@ -146,6 +160,9 @@ def main(argv=None):
     ap.add_argument("--corpus-suffixes", default=".py",
                     help="comma-separated suffixes for corpus files")
     ap.add_argument("--no-kld", action="store_true")
+    ap.add_argument("--imatrix", action="store_true",
+                    help="collect an importance matrix on the train split "
+                         "and weight the quantizers with it")
     args = ap.parse_args(argv)
     if args.text:
         text = Path(args.text).read_bytes()
@@ -157,7 +174,8 @@ def main(argv=None):
     rows = run(args.steps, text, Path(args.out_dir), n_ctx=args.n_ctx,
                ladder=args.ladder.split(","), n_embd=args.n_embd,
                n_layer=args.n_layer, n_head=args.n_head, n_ff=args.n_ff,
-               batch=args.batch, with_kld=not args.no_kld)
+               batch=args.batch, with_kld=not args.no_kld,
+               use_imatrix=args.imatrix)
     print(json.dumps(rows, indent=1))
     return rows
 

@@ -71,6 +71,21 @@ def tensor_get_type(name: str, default: GGMLQuantType, ftype: str,
     return default
 
 
+def _imatrix_key(tensor_name: str) -> str | None:
+    """GGUF tensor name -> imatrix collection key (models/llama.py record
+    sites tag each linear's INPUT, so siblings sharing an input share an
+    entry — attn q/k/v map to attn_qkv, gate/up to ffn_gate_up)."""
+    if not tensor_name.startswith("blk.") or not tensor_name.endswith(".weight"):
+        return None
+    stem = tensor_name[:-len(".weight")]
+    blk, idx, kind = stem.split(".", 2)
+    kind = {"attn_q": "attn_qkv", "attn_k": "attn_qkv", "attn_v": "attn_qkv",
+            "attn_qkv": "attn_qkv", "attn_output": "attn_output",
+            "ffn_gate": "ffn_gate_up", "ffn_up": "ffn_gate_up",
+            "ffn_down": "ffn_down"}.get(kind)
+    return None if kind is None else f"blk.{idx}.{kind}"
+
+
 def quantize_model(in_path: str, out_path: str, ftype: str,
                    imatrix: dict | None = None, progress=None) -> dict:
     target = FTYPES[ftype.upper()]
@@ -99,7 +114,13 @@ def quantize_model(in_path: str, out_path: str, ftype: str,
             if np_shape[-1] % TYPE_TRAITS[out_type].block_size != 0:
                 out_type = GGMLQuantType.F16  # unquantizable row size
         data = src.tensor_float(name)
-        wire = numpy_ref.quantize(data, out_type)  # always uint8 wire bytes
+        qw = None
+        if imatrix is not None and TYPE_TRAITS[out_type].is_quantized:
+            key = _imatrix_key(name)
+            ent = imatrix.get(key) if key else None
+            if ent is not None and np.asarray(ent).size == np_shape[-1]:
+                qw = np.asarray(ent, np.float32)
+        wire = numpy_ref.quantize(data, out_type, qw=qw)  # uint8 wire bytes
         w.add_tensor(name, wire, ggml_type=out_type, raw_shape=info.shape)
         stats["out_bytes"] += wire.size
         stats["tensors"] += 1
@@ -115,13 +136,17 @@ def main():
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("ftype", choices=sorted(FTYPES), type=str.upper)
+    ap.add_argument("--imatrix", help="importance matrix npz "
+                                      "(tools/imatrix.py output)")
     args = ap.parse_args()
     t0 = time.time()
 
     def progress(i, n, name, out_type):
         sys.stderr.write(f"[{i}/{n}] {name} -> {TYPE_TRAITS[out_type].name}\n")
 
-    stats = quantize_model(args.input, args.output, args.ftype, progress=progress)
+    im = dict(np.load(args.imatrix)) if args.imatrix else None
+    stats = quantize_model(args.input, args.output, args.ftype,
+                           imatrix=im, progress=progress)
     mb = 1024 * 1024
     print(f"quantized {stats['tensors']} tensors: "
           f"{stats['in_bytes']/mb:.1f} MiB -> {stats['out_bytes']/mb:.1f} MiB "

@@ -65,3 +65,24 @@ def test_ffn_fused_ineligible_shapes():
     dn = jax.tree.map(jnp.asarray, synthetic_w4(rng, E, 2816))
     x = jnp.asarray(rng.standard_normal((2, E)), jnp.float32)
     assert qmm_w4_ffn_matmul(x, gu, dn, interpret=True) is None
+
+
+def test_fx2_matches_standard(monkeypatch):
+    """qmm_w4_fx2 (all-prep-in-kernel, scratch-cached) matches the
+    standard prep-outside path to f32 reduce-association tolerance (the
+    NG-fold sum runs over a different axis), sym and asym."""
+    from llama_kotlin_tpu.ops.pallas.qmm_w4 import qmm_w4_matmul
+
+    rng = np.random.default_rng(5)
+    for sym in (False, True):
+        for n, k in ((1024, 2048), (512, 4096)):
+            w = jax.tree.map(jnp.asarray, synthetic_w4(rng, n, k, sym=sym))
+            for b in (1, 2, 5):
+                x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+                monkeypatch.delenv("LKTPU_W4_FX", raising=False)
+                ref = qmm_w4_matmul(x, w, interpret=True)
+                monkeypatch.setenv("LKTPU_W4_FX", "2")
+                out = qmm_w4_matmul(x, w, interpret=True)
+                monkeypatch.delenv("LKTPU_W4_FX", raising=False)
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                           rtol=2e-6, atol=2e-6)
