@@ -181,11 +181,17 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
         if path and getattr(path[0], "key", None) == "tok_embd":
             continue
         if isinstance(leaf, QTensor):
-            w_bytes += leaf.nbytes()
             if leaf.aux:
+                # fast-mode serving streams codes + the transposed aux
+                # planes ONLY; g_scale/g_min stay resident for the prefill/
+                # dequant paths but never cross HBM on the decode loop —
+                # counting them inflated w_gbps ~17% (round-4 finding)
+                w_bytes += leaf.codes.size * leaf.codes.dtype.itemsize
                 w_bytes += sum(a.size * a.dtype.itemsize
                                for a in leaf.aux.values()
                                if getattr(a, "ndim", 0) >= 2)
+            else:
+                w_bytes += leaf.nbytes()
         elif hasattr(leaf, "nbytes"):
             w_bytes += leaf.nbytes
     w_gbps = tps * w_bytes / 1e9

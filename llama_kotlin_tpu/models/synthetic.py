@@ -22,6 +22,8 @@ PRESETS = {
     "tinyllama-1.1b": (2048, 22, 32, 4, 5632, 32000),
     "llama2-7b": (4096, 32, 32, 32, 11008, 32000),
     "llama3-8b": (4096, 32, 32, 8, 14336, 128256),
+    # BASELINE.json configs[3]: Mistral-7B long-context (32k) GQA
+    "mistral-7b": (4096, 32, 32, 8, 14336, 32000),
     "llama3-70b": (8192, 80, 64, 8, 28672, 128256),
     "test-tiny": (256, 4, 8, 4, 512, 512),
 }

@@ -41,6 +41,7 @@ two-launch path).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -66,8 +67,13 @@ def _act_f32(name: str, x):
 
 def _plan_bf(f_pad: int) -> Optional[int]:
     """F-columns per grid step: spans whole superblocks (h quantization),
-    whole 512-plane-column chunks (down dot), and divides F_pad."""
-    for bf in (2048, 1024):
+    whole 512-plane-column chunks (down dot), and divides F_pad.
+    LKTPU_FFN_BF overrides the preference order (device sweeps)."""
+    # 1024 beats 2048 on device (round-4 sweep: 0.156 vs 0.162 ms on the
+    # 8B FFN at b=2): 14 grid steps halve the pipeline-ramp share
+    pref = tuple(int(v) for v in os.environ.get(
+        "LKTPU_FFN_BF", "1024,2048").split(","))
+    for bf in pref:
         if f_pad % bf == 0:
             return bf
     return None
@@ -360,7 +366,8 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
             dimension_semantics=("arbitrary",),
             # 3 weight streams double-buffered (~26 MB of windows) plus the
             # in-kernel h planes: the 16 MB default scoped-vmem is too small
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=int(os.environ.get(
+                "LKTPU_FFN_VMEM_MB", "96")) * 1024 * 1024,
         ),
     )(*operands)
 

@@ -148,7 +148,11 @@ def _tp_qmatmul(x: jnp.ndarray, w: QTensor, *, compute_dtype) -> Optional[jnp.nd
     if mesh is None:
         return None
     tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
-    if tp <= 1:
+    if tp <= 1 and not (tp == 1 and os.environ.get("LKTPU_TP_PROVE1") == "1"):
+        # LKTPU_TP_PROVE1: run the shard_map wrapper over a 1-device mesh —
+        # no-op numerically, but proves Mosaic compiles the kernels under
+        # shard_map on real hardware and measures the dispatch overhead
+        # (scripts/tp_onchip.py; real multi-chip is unavailable here)
         return None
     axis = w.tp_axis
     n, k = w.shape

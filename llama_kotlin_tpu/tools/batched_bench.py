@@ -67,21 +67,53 @@ def main(argv=None):
     from llama_kotlin_tpu.runtime.context import LlamaContext
 
     ap = argparse.ArgumentParser(description="batched pp/tg benchmark")
-    ap.add_argument("--model", "-m", required=True)
+    ap.add_argument("--model", "-m",
+                    help="GGUF path (or use --synthetic PRESET)")
+    ap.add_argument("--synthetic",
+                    help="synthetic preset (e.g. llama3-8b) with on-device "
+                         "random Q4_K weights — device benching at 8B scale "
+                         "without a model file (zero-egress environment)")
+    ap.add_argument("--mode", default="w4a8",
+                    choices=["w4a8", "exact", "int8", "dequant"],
+                    help="serving mode for --synthetic weights")
     ap.add_argument("-npp", type=int, nargs="+", default=[128, 256])
     ap.add_argument("-ntg", type=int, nargs="+", default=[32])
     ap.add_argument("-npl", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--n-ctx", "-c", type=int, default=4096)
+    ap.add_argument("--warm", action="store_true",
+                    help="run each combo twice and report the warm pass "
+                         "(excludes XLA compile — required for honest "
+                         "device numbers)")
     ap.add_argument("-o", "--output", default="md", choices=["md", "json"])
     args = ap.parse_args(argv)
-    cfg, params, f = load_gguf_model(args.model)
-    f.close()
+    if args.synthetic:
+        import jax
+        import jax.numpy as jnp
+
+        from llama_kotlin_tpu.models.synthetic import (preset_config,
+                                                       synthetic_params_device)
+        from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+        cfg = preset_config(args.synthetic)
+        params = synthetic_params_device(
+            cfg, GGMLQuantType.Q4_K, compute_dtype=jnp.bfloat16,
+            fast_int8=(args.mode == "int8"),
+            fast_w4a8={"w4a8": True, "exact": "w4x"}.get(args.mode, False),
+            fuse=True)
+        jax.block_until_ready(jax.tree.leaves(params))
+    else:
+        if not args.model:
+            ap.error("one of --model / --synthetic is required")
+        cfg, params, f = load_gguf_model(args.model)
+        f.close()
     ctx = LlamaContext(cfg, params, n_cells=args.n_ctx,
                        n_seq_max=max(32, max(args.npl)))
     rows = []
     for pp in args.npp:
         for tg in args.ntg:
             for pl in args.npl:
+                if args.warm:
+                    bench_combo(ctx, pp, tg, pl)  # compile pass
                 rows.append(bench_combo(ctx, pp, tg, pl))
                 print(f"done pp={pp} tg={tg} pl={pl}", file=sys.stderr)
     if args.output == "json":

@@ -58,7 +58,8 @@ def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
         ladder=None, seed: int = 0, n_embd: int = 256, n_layer: int = 4,
         n_head: int = 4, n_ff: int = 512, batch: int = 8,
         with_kld: bool = True, keep_files: bool = False,
-        eval_tokens: int = 65536, use_imatrix: bool = False) -> dict:
+        eval_tokens: int = 65536, use_imatrix: bool = False,
+        reuse_f32: bool = False, train_only: bool = False) -> dict:
     import jax.numpy as jnp
 
     from llama_kotlin_tpu.models.config import ModelConfig
@@ -81,14 +82,24 @@ def run(steps: int, text: bytes, out_dir: Path, n_ctx: int = 128,
                       n_ff=n_ff, n_ctx_train=n_ctx)
     n_params = (n_layer * (4 * n_embd * n_embd + 3 * n_ff * n_embd)
                 + 2 * 256 * n_embd)
-    sys.stderr.write(f"training ~{n_params/1e6:.1f}M-param model, "
-                     f"{steps} steps x {batch}x{n_ctx} tokens\n")
-    params, losses = train(
-        cfg, train_toks, steps=steps, batch=batch, seq_len=n_ctx, lr=1e-3,
-        seed=seed,
-        log=lambda i, l: sys.stderr.write(f"step {i}: loss {l:.3f}\n"))
     f32_path = out_dir / "f32.gguf"
-    save_checkpoint_gguf(params, cfg, f32_path)
+    losses = [float("nan")]
+    if reuse_f32 and f32_path.exists():
+        # train/score split: the 100M-class run trains on the TPU (minutes)
+        # and scores the ladder on CPU later, reusing this checkpoint
+        sys.stderr.write(f"reusing {f32_path}\n")
+    else:
+        sys.stderr.write(f"training ~{n_params/1e6:.1f}M-param model, "
+                         f"{steps} steps x {batch}x{n_ctx} tokens\n")
+        params, losses = train(
+            cfg, train_toks, steps=steps, batch=batch, seq_len=n_ctx, lr=1e-3,
+            seed=seed,
+            log=lambda i, l: sys.stderr.write(f"step {i}: loss {l:.3f}\n"))
+        save_checkpoint_gguf(params, cfg, f32_path)
+    if train_only:
+        return {"f32": {"path": str(f32_path),
+                        "final_train_loss": round(losses[-1], 4),
+                        "n_params": n_params}}
 
     def score(path):
         """(ppl, per-chunk logits) through the standard serving path."""
@@ -163,6 +174,10 @@ def main(argv=None):
     ap.add_argument("--imatrix", action="store_true",
                     help="collect an importance matrix on the train split "
                          "and weight the quantizers with it")
+    ap.add_argument("--train-only", action="store_true",
+                    help="train + save f32.gguf and exit (run on TPU)")
+    ap.add_argument("--reuse-f32", action="store_true",
+                    help="reuse out-dir/f32.gguf if present (score on CPU)")
     args = ap.parse_args(argv)
     if args.text:
         text = Path(args.text).read_bytes()
@@ -175,7 +190,8 @@ def main(argv=None):
                ladder=args.ladder.split(","), n_embd=args.n_embd,
                n_layer=args.n_layer, n_head=args.n_head, n_ff=args.n_ff,
                batch=args.batch, with_kld=not args.no_kld,
-               use_imatrix=args.imatrix)
+               use_imatrix=args.imatrix, reuse_f32=args.reuse_f32,
+               train_only=args.train_only)
     print(json.dumps(rows, indent=1))
     return rows
 

@@ -36,6 +36,24 @@ def record(row: dict) -> None:
     print(json.dumps(row), flush=True)
 
 
+def _streamed_bytes(w) -> int:
+    """Bytes a fast-mode kernel actually reads per call: codes + the
+    transposed aux planes.  g_scale/g_min stay HBM-resident for the
+    dequant/prefill paths but are never streamed by the W4/W8 decode
+    kernels — counting them inflated kernel GB/s ~17% (round-4 finding)."""
+    import numpy as _np
+
+    if getattr(w, "aux", None):
+        total = int(_np.prod(w.codes.shape)) * w.codes.dtype.itemsize
+        return total + sum(int(_np.prod(a.shape)) * a.dtype.itemsize
+                           for a in w.aux.values()
+                           if getattr(a, "ndim", 0) >= 2)
+    import jax as _jax
+
+    return sum(int(_np.prod(a.shape)) * a.dtype.itemsize
+               for a in _jax.tree.leaves(w))
+
+
 def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
     """One kernel microbench: R chained calls under one jit, wall-clocked
     as a block (amortizes dispatch; total runtime is multi-second)."""
@@ -58,6 +76,13 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
         x = jnp.asarray(rng.standard_normal((b, E)), jnp.float32)
 
         def make_run(r):
+            # weights stay CLOSURE CONSTANTS on purpose: passed as jit
+            # arguments they are loop-invariant, and XLA hoists their VMEM
+            # staging out of the fori_loop — the kernel then streams from
+            # VMEM, not HBM, and the "bandwidth" reads 3+ TB/s (round-4
+            # measurement).  Constants defeat the hoist.  Cost: shapes
+            # > ~100 MB exceed the axon remote-compile body limit
+            # (HTTP 413) — microbench those via e2e traces instead.
             @jax.jit
             def run(x):
                 def body(i, acc):
@@ -67,8 +92,7 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
                                          jnp.zeros((b, 1), jnp.float32))
             return run
 
-        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                     for w_ in (gu, dn) for a in jax.tree.leaves(w_))
+        nbytes = sum(_streamed_bytes(w_) for w_ in (gu, dn))
         reps = min(100_000, max(100, int(1.2e12 / nbytes)))
         run = make_run(reps)
         jax.block_until_ready(run(x))
@@ -78,7 +102,12 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
         return {"kind": "kernel", "mode": mode, "shape": list(shape), "b": b,
                 "ms": round(dt * 1e3, 4), "GBps": round(nbytes / dt / 1e9, 1)}
     if mode in ("w4", "w4x"):
-        w = synthetic_w4(rng, n, k, precise=(mode == "w4x"))
+        # device-side generation: the tunnel moves ~6 MB/s h2d, so a
+        # host-built lm_head-class tensor costs ~1 min of pure transfer
+        from llama_kotlin_tpu.models.synthetic import synthetic_w4_device
+
+        w = synthetic_w4_device(jax.random.PRNGKey(0), n, k,
+                                precise=(mode == "w4x"))
     elif mode == "w8":
         from llama_kotlin_tpu.quant.fold import fold_to_w8
         from llama_kotlin_tpu.quant.repack import repack_float
@@ -95,6 +124,7 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
     x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
 
     def make_run(r):
+        # weights as closure constants, NOT jit arguments (see ffn note)
         @jax.jit
         def run(x):
             def body(i, acc):
@@ -140,8 +170,7 @@ def bench_kernel(shape, mode: str, reps: int, b: int = 8) -> dict:
     from llama_kotlin_tpu.quant.qtensor import QTensor
 
     if isinstance(w, QTensor):
-        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                     for a in jax.tree.leaves(w))
+        nbytes = _streamed_bytes(w)
     else:
         nbytes = n * k
     return {"kind": "kernel", "mode": mode, "shape": list(shape), "b": b,
