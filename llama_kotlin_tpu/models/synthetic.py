@@ -50,17 +50,49 @@ def synthetic_q8flat(rng, n: int, k: int, scale: float = 0.02):
 
 
 def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False,
-                 sym: bool = False):
+                 sym: bool = False, compact: Optional[bool] = None):
     """Random W4 (W4A8 fast-mode, quant/fold.py layout) weight: plane-packed
-    4-bit codes + per-32-group bf16 scales/mins + transposed scale planes.
+    4-bit codes + per-32-group scales/mins + transposed scale planes.
     precise=True builds the W4X f32-scale layout (dual-plane activations);
     sym=True mirrors a symmetric source (Q4_0 profile: m_adj = 8*s on lo
-    groups, no madj_t plane — 4.5 bits/weight serving reads)."""
-    from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, w4_from_parts
+    groups, no madj_t plane — 4.5 bits/weight serving reads).
+    compact (default: fold.py's env default for asym non-precise) mirrors a
+    Q4_K source's wire factorization: int8 6-bit scale/min codes +
+    per-superblock f32 d/dmin aux planes (4.625 bits/weight)."""
+    import os as _os
+
+    from llama_kotlin_tpu.quant.fold import (ALIGN_W4, GROUP,
+                                             _plane_group_perm, w4_from_parts)
+    from llama_kotlin_tpu.quant.qtensor import SPAN
 
     k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
     G = k_pad // GROUP
     packed = rng.integers(0, 256, (n, k_pad // 2), dtype=np.uint8)
+    if compact is None:
+        compact = (not precise and not sym
+                   and (k_pad // 2) % 1024 == 0
+                   and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1")
+    if compact and not sym and not precise:
+        S = k_pad // SPAN
+        sc6 = rng.integers(0, 64, (n, G), dtype=np.int8)
+        m6 = rng.integers(0, 64, (n, G), dtype=np.int8)
+        d_sb = (rng.random((n, S), np.float32) * scale / 500.0).astype(np.float32)
+        dmin_sb = (rng.random((n, S), np.float32) * scale / 500.0).astype(np.float32)
+        rep = SPAN // GROUP
+        s_eff = sc6.astype(np.float32) * np.repeat(d_sb, rep, axis=1)
+        m_eff = m6.astype(np.float32) * np.repeat(dmin_sb, rep, axis=1)
+        is_lo = (np.arange(G) % 8) < 4
+        m_adj = np.where(is_lo, m_eff, m_eff - 8.0 * s_eff).astype(np.float32)
+        perm_lo = _plane_group_perm(G, hi=False)
+        perm_hi = _plane_group_perm(G, hi=True)
+        parts = {
+            "q6_t": np.ascontiguousarray(np.stack(
+                [sc6.T[perm_lo], sc6.T[perm_hi],
+                 m6.T[perm_lo], m6.T[perm_hi]])),
+            "dd_t": np.ascontiguousarray(np.stack([d_sb.T, dmin_sb.T])),
+        }
+        return w4_from_parts(packed, s_eff, m_adj, (n, k),
+                             compact_parts=parts)
     s_eff = (rng.random((n, G), np.float32) * scale / 8.0).astype(np.float32)
     if sym:
         is_lo = (np.arange(G) % 8) < 4
@@ -112,21 +144,41 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False):
+def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False,
+            compact: bool = False):
     import jax
 
     from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, _plane_group_perm
+    from llama_kotlin_tpu.quant.qtensor import SPAN
 
     k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
     G = k_pad // GROUP
     perm_lo = _plane_group_perm(G, hi=False)
     perm_hi = _plane_group_perm(G, hi=True)
-    sdt = jnp.float32 if precise else jnp.bfloat16
+    sdt = jnp.float32 if (precise or compact) else jnp.bfloat16
 
     @jax.jit
     def gen(key):
-        kp, ks, km = jax.random.split(key, 3)
+        kp, ks, km, kd, ke = jax.random.split(key, 5)
         packed = jax.random.bits(kp, (n, k_pad // 2), jnp.uint8)
+        if compact:
+            # wire-factorized aux (quant/fold.py compact layout): 6-bit
+            # scale/min codes under per-superblock f32 d/dmin
+            S = k_pad // SPAN
+            rep = SPAN // GROUP
+            sc6 = jax.random.randint(ks, (n, G), 0, 64, jnp.int8)
+            m6 = jax.random.randint(km, (n, G), 0, 64, jnp.int8)
+            d_sb = jax.random.uniform(kd, (n, S), jnp.float32) * (scale / 500.0)
+            dmin_sb = jax.random.uniform(ke, (n, S), jnp.float32) * (scale / 500.0)
+            s_eff = sc6.astype(jnp.float32) * jnp.repeat(d_sb, rep, axis=1)
+            m_eff = m6.astype(jnp.float32) * jnp.repeat(dmin_sb, rep, axis=1)
+            is_lo = (jnp.arange(G) % 8) < 4
+            m_adj = jnp.where(is_lo, m_eff, m_eff - 8.0 * s_eff)
+            sc6T, m6T = sc6.T, m6.T
+            q6_t = jnp.stack([sc6T[perm_lo], sc6T[perm_hi],
+                              m6T[perm_lo], m6T[perm_hi]])
+            dd_t = jnp.stack([d_sb.T, dmin_sb.T])
+            return packed, s_eff, m_adj, q6_t, dd_t
         s_eff = jax.random.uniform(ks, (n, G), jnp.float32) * (scale / 8.0)
         if sym:  # Q4_0 profile: lo-nibble bias only, derivable from scw_lo
             is_lo = (jnp.arange(G) % 8) < 4
@@ -151,12 +203,29 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
     built in numpy and pushed through the host link.  Through the axon
     tunnel (~6 MB/s h2d, measured round 3) a host-built 8B model costs
     ~13 min of transfer; device-side it's seconds."""
-    packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(
-        n, k, scale, precise, sym)(key)
+    import os as _os
+
     from llama_kotlin_tpu.quant.fold import GROUP
     from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
     from llama_kotlin_tpu.quant.qtensor import QTensor
 
+    from llama_kotlin_tpu.quant.fold import ALIGN_W4 as _A4
+
+    _k_pad = (k + _A4 - 1) // _A4 * _A4
+    compact = (not precise and not sym and (_k_pad // 2) % 1024 == 0
+               and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1")
+    if compact:
+        packed, s_eff, m_adj, q6_t, dd_t = _w4_gen(
+            n, k, scale, precise, sym, True)(key)
+        return QTensor(
+            codes=packed, g_scale=s_eff, g_min=m_adj,
+            sb_scale=None, sb_min=None,
+            qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
+            shape=(n, k), hi_signed=True,
+            aux={"q6_t": q6_t, "dd_t": dd_t},
+        )
+    packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(
+        n, k, scale, precise, sym)(key)
     return QTensor(
         codes=packed, g_scale=s_st, g_min=m_adj, sb_scale=None, sb_min=None,
         qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,

@@ -201,6 +201,11 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
         y = qmm_w4_fx2(x2, w, interpret=interpret)
         if y is not None:
             return y[:b_real].reshape(*lead_shape, n)
+    if "q6_t" in w.aux:
+        # compact aux layout is served by fx2 only; other kernel variants
+        # need the bf16 scw/madj planes — decline so the caller falls to
+        # the exact XLA dequant path (g_scale/g_min carry the full planes)
+        return None
     if precise:
         x8, sx = quantize_activations_2p(x2)  # [2bp, k_pad], [2bp, S]
     else:
@@ -278,7 +283,16 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
     the weight-streaming pipeline where it overlaps the next block's DMA.
     Numerics match qmm_w4_matmul to f32 reduce-association tolerance
     (same quantize formula and min-term algebra; the NG-fold sum runs
-    over a different axis)."""
+    over a different axis).
+
+    COMPACT aux layout (quant/fold.py round 4): instead of bf16 scw/madj
+    product planes, the kernel streams the wire's own factorization —
+    int8 6-bit scale/min codes (plane order) + f32 per-superblock d/dmin —
+    and forms f32(d)*sc on the resident tiles (the reference's exact
+    dequant product).  4.625 vs 5.0 bits/weight of decode traffic; the hi
+    plane's -8*s_eff m_adj correction is derived from the already-resident
+    sc6_hi/d tiles, and the min-term group sums are laid out in plane
+    order ([lo-plane groups | hi-plane groups]) so everything stays 2-D."""
     if not w.hi_signed or w.aux is None or "precise" in w.aux:
         return None
     n, k = w.shape
@@ -290,20 +304,43 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
     bp = x_pad.shape[0]
     if x_pad.shape[1] != 2 * kc:
         return None
-    scw_lo, scw_hi = w.aux["scw_lo"], w.aux["scw_hi"]
     sym = "sym" in w.aux
-    if not sym and "madj_t" not in w.aux:
-        return None
+    compact = "q6_t" in w.aux
+    if compact:
+        # int8 scale-code blocks are [bkc//32, bn]: keep them at/above the
+        # (32, 128) int8 tile so Mosaic windows stay aligned
+        if bkc < 1024:
+            return None
+    else:
+        if not sym and "madj_t" not in w.aux:
+            return None
 
     grid = (kc // bkc, n // bn)
     nch_blk = bkc // CHUNK
     nsb = (2 * bkc) // SPAN  # superblocks per k-block
-    gcols = bkc // 32 if sym else bkc // 16  # xg groups per k-block
+    # xg group-sum columns per k-block: sym = lo-plane groups only;
+    # compact = [lo-plane | hi-plane] order; legacy asym = sequential
+    gcols = bkc // 32 if sym else bkc // 16
 
-    def kernel(x_ref, codes_ref, sclo_ref, schi_ref, *rest):
+    def kernel(x_ref, codes_ref, *rest):
         rest = list(rest)
-        madj_ref = None if sym else rest.pop(0)
+        madj_ref = sclo_ref = schi_ref = q6_ref = dd_ref = None
+        if compact:
+            q6_ref, dd_ref = rest.pop(0), rest.pop(0)
+        else:
+            sclo_ref, schi_ref = rest.pop(0), rest.pop(0)
+            if not sym:
+                madj_ref = rest.pop(0)
         out_ref, bdlo_scr, bdhi_scr, sx_scr, xg_scr = rest
+        if compact:
+            # hoisted ONCE per grid step: the effective scale tiles
+            # f32(d) * sc6 (the reference's own dequant product, exact in
+            # f32) and the repeated d/dmin rows for the min term
+            q6 = q6_ref[...]                      # [4, bkc//32, bn] i8
+            dd = dd_ref[...]                      # [2, nsb, bn] f32
+            d_all = jnp.repeat(dd[0], 4, axis=0)  # [bkc//32, bn]
+            sc_lo_all = q6[0].astype(jnp.float32) * d_all
+            sc_hi_all = q6[1].astype(jnp.float32) * (d_all * 0.0625)
 
         @pl.when(pl.program_id(1) == 0)
         def _prep():
@@ -319,7 +356,8 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
                 lo_parts.append(q[:, :SPAN // 2])
                 hi_parts.append(q[:, SPAN // 2:])
                 d_parts.append(d)
-                q_parts.append(q)
+                if not sym and not compact:
+                    q_parts.append(q)
             x8_lo = jnp.concatenate(lo_parts, axis=-1)  # [bp, bkc]
             x8_hi = jnp.concatenate(hi_parts, axis=-1)
             sx_scr[...] = jnp.concatenate(d_parts, axis=-1)  # [bp, nsb]
@@ -336,19 +374,42 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
 
             # sx-scaled group sums for the min term, via a 0/1 membership
             # matmul (per-32 strided reshapes are lane-hostile on TPU)
-            if sym:  # lo-plane-column group order against scw_lo*8
-                src, rep = x8_lo, 4
-            else:    # sequential element-group order against madj_t
-                src, rep = jnp.concatenate(q_parts, axis=-1), 8
-            gm = (jax.lax.broadcasted_iota(
-                jnp.int32, (src.shape[1], gcols), 0) // 32
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (src.shape[1], gcols), 1)).astype(jnp.int8)
-            gs = jax.lax.dot_general(
-                src, gm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            xg_scr[...] = gs * jnp.concatenate(
-                [d_parts[s] for s in range(nsb) for _ in range(rep)], axis=-1)
+            if compact:
+                # per-plane group sums in plane-column order (matches the
+                # sc6/m6 plane layout): column p of either half covers
+                # plane columns 32p..32p+31 of that nibble plane
+                half = gcols // 2
+                gm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (bkc, half), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (bkc, half), 1)).astype(jnp.int8)
+                gs_lo = jax.lax.dot_general(
+                    x8_lo, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                gs_hi = jax.lax.dot_general(
+                    x8_hi, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                # plane row p sits in superblock p//4
+                dcat = jnp.concatenate(
+                    [d_parts[s] for s in range(nsb) for _ in range(4)],
+                    axis=-1)  # [bp, half]
+                xg_scr[...] = jnp.concatenate(
+                    [gs_lo * dcat, gs_hi * dcat], axis=-1)
+            else:
+                if sym:  # lo-plane-column group order against scw_lo*8
+                    src, rep = x8_lo, 4
+                else:    # sequential element-group order against madj_t
+                    src, rep = jnp.concatenate(q_parts, axis=-1), 8
+                gm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (src.shape[1], gcols), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (src.shape[1], gcols), 1)).astype(jnp.int8)
+                gs = jax.lax.dot_general(
+                    src, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                xg_scr[...] = gs * jnp.concatenate(
+                    [d_parts[s] for s in range(nsb) for _ in range(rep)],
+                    axis=-1)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -366,8 +427,12 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
             p_hi = jax.lax.dot_general(
                 bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
-            sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+            if compact:
+                sc_lo = jnp.tile(sc_lo_all[t * NG:(t + 1) * NG, :], (bp, 1))
+                sc_hi = jnp.tile(sc_hi_all[t * NG:(t + 1) * NG, :], (bp, 1))
+            else:
+                sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+                sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
             contrib = (p_lo.astype(jnp.float32) * sc_lo.astype(jnp.float32)
                        + p_hi.astype(jnp.float32) * sc_hi.astype(jnp.float32))
             # chunk t covers local superblocks 4t..4t+3; row (i,r) -> 4t+r//4
@@ -375,25 +440,52 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
                 [sx_scr[:, 4 * t + q:4 * t + q + 1]
                  for q in range(4) for _ in range(4)], axis=1)[:, :, None]
             acc = acc + (contrib.reshape(bp, NG, bn) * sxc).sum(axis=1)
-        mw = (sclo_ref[...] * 8.0 if sym else madj_ref[...]).astype(jnp.float32)
-        acc = acc - jax.lax.dot_general(
-            xg_scr[...], mw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        if compact:
+            half = gcols // 2
+            dmin_all = jnp.repeat(dd[1], 4, axis=0)  # [half, bn] f32
+            mw_lo = dmin_all * q6[2].astype(jnp.float32)
+            # -8*s_eff = -128 * (d*sc6/16): reuse the resident hi scale
+            # tiles instead of rebuilding d*sc6 (exact: power-of-two)
+            mw_hi = (dmin_all * q6[3].astype(jnp.float32)
+                     - 128.0 * sc_hi_all)
+            acc = acc - jax.lax.dot_general(
+                xg_scr[:, :half], mw_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            acc = acc - jax.lax.dot_general(
+                xg_scr[:, half:], mw_hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            mw = (sclo_ref[...] * 8.0 if sym else madj_ref[...]).astype(jnp.float32)
+            acc = acc - jax.lax.dot_general(
+                xg_scr[...], mw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         out_ref[...] += acc
 
     in_specs = [
         pl.BlockSpec((bp, 2 * bkc), (lambda j, i: (0, j)), memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, bkc), (lambda j, i: (i, j)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
     ]
-    operands = [x_pad, w.codes, scw_lo, scw_hi]
-    if not sym:
+    operands = [x_pad, w.codes]
+    if compact:
         in_specs += [
-            pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bkc // 32, bn), (lambda j, i: (0, j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, nsb, bn), (lambda j, i: (0, j, i)), memory_space=pltpu.VMEM),
         ]
-        operands += [w.aux["madj_t"]]
+        operands += [w.aux["q6_t"], w.aux["dd_t"]]
+    else:
+        in_specs += [
+            pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 32, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+        ]
+        operands += [w.aux["scw_lo"], w.aux["scw_hi"]]
+        if not sym:
+            in_specs += [
+                pl.BlockSpec((bkc // 16, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
+            ]
+            operands += [w.aux["madj_t"]]
     out = pl.pallas_call(
         kernel,
         grid=grid,

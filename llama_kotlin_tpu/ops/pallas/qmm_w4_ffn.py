@@ -65,16 +65,19 @@ def _act_f32(name: str, x):
     raise ValueError(name)
 
 
-def _plan_bf(f_pad: int) -> Optional[int]:
+def _plan_bf(f_pad: int, compact: bool = False) -> Optional[int]:
     """F-columns per grid step: spans whole superblocks (h quantization),
     whole 512-plane-column chunks (down dot), and divides F_pad.
-    LKTPU_FFN_BF overrides the preference order (device sweeps)."""
+    LKTPU_FFN_BF overrides the preference order (device sweeps).
+    Compact-aux tensors need bf >= 2048 so the down tensor's int8 scale
+    blocks ([bf//64, E]) meet the (32, 128) int8 tile."""
     # 1024 beats 2048 on device (round-4 sweep: 0.156 vs 0.162 ms on the
     # 8B FFN at b=2): 14 grid steps halve the pipeline-ramp share
-    pref = tuple(int(v) for v in os.environ.get(
-        "LKTPU_FFN_BF", "1024,2048").split(","))
+    env = "LKTPU_FFN_BF_COMPACT" if compact else "LKTPU_FFN_BF"
+    default = "2048" if compact else "1024,2048"
+    pref = tuple(int(v) for v in os.environ.get(env, default).split(","))
     for bf in pref:
-        if f_pad % bf == 0:
+        if f_pad % bf == 0 and (not compact or bf >= 2048):
             return bf
     return None
 
@@ -102,15 +105,21 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
     f_pad = dn.k_pad
     if gu.codes.shape[0] != 2 * f_pad:
         return None  # gate/up halves must tile F_pad exactly (F%1024==0)
-    bf = _plan_bf(f_pad)
+    compact = "q6_t" in gu.aux
+    if compact != ("q6_t" in dn.aux):
+        return None  # mixed aux flavors: two-launch path handles each
+    if compact and (E // 64) < 32:
+        return None  # gate/up int8 scale blocks below the (32, 128) tile
+    bf = _plan_bf(f_pad, compact=compact)
     if bf is None:
         return None
     gu_sym = "sym" in gu.aux
     dn_sym = "sym" in dn.aux
-    if not gu_sym and "madj_t" not in gu.aux:
-        return None
-    if not dn_sym and "madj_t" not in dn.aux:
-        return None
+    if not compact:
+        if not gu_sym and "madj_t" not in gu.aux:
+            return None
+        if not dn_sym and "madj_t" not in dn.aux:
+            return None
     lead_shape = x.shape[:-1]
     b_real = int(np.prod(lead_shape)) if lead_shape else 1
     if x.shape[-1] != E or b_real > max_rows:
@@ -136,18 +145,34 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
     nsb_e = E // SPAN       # x superblocks
     nsb = bf // SPAN        # h superblocks per block
     fb = f_pad // bf        # block count = grid size; up rows start at fb
+    compact = "q6_t" in gu.aux
     gu_sym = "sym" in gu.aux
     dn_sym = "sym" in dn.aux
-    gx_cols = kc_e // 32 if gu_sym else E // 32  # x group sums for gu min
+    # x group sums for the gu min term: sym = lo-plane groups only;
+    # compact = [lo-plane | hi-plane] order; legacy asym = sequential
+    gx_cols = kc_e // 32 if gu_sym else E // 32
 
-    def kernel(x_ref, gc_ref, uc_ref, gslo_ref, uslo_ref, gshi_ref,
-               ushi_ref, *rest):
+    def kernel(x_ref, gc_ref, uc_ref, *rest):
         rest = list(rest)
-        gmadj_ref = umadj_ref = None
-        if not gu_sym:
-            gmadj_ref, umadj_ref = rest.pop(0), rest.pop(0)
-        dnc_ref, dnslo_ref, dnshi_ref = rest.pop(0), rest.pop(0), rest.pop(0)
-        dnmadj_ref = None if dn_sym else rest.pop(0)
+        gmadj_ref = umadj_ref = dnmadj_ref = None
+        gslo_ref = uslo_ref = gshi_ref = ushi_ref = None
+        dnslo_ref = dnshi_ref = None
+        gcm = ucm = dncm = None  # compact packed refs (q6_t, dd_t)
+        if compact:
+            gcm = (rest.pop(0), rest.pop(0))
+            ucm = (rest.pop(0), rest.pop(0))
+        else:
+            gslo_ref, uslo_ref = rest.pop(0), rest.pop(0)
+            gshi_ref, ushi_ref = rest.pop(0), rest.pop(0)
+            if not gu_sym:
+                gmadj_ref, umadj_ref = rest.pop(0), rest.pop(0)
+        dnc_ref = rest.pop(0)
+        if compact:
+            dncm = (rest.pop(0), rest.pop(0))
+        else:
+            dnslo_ref, dnshi_ref = rest.pop(0), rest.pop(0)
+            if not dn_sym:
+                dnmadj_ref = rest.pop(0)
         out_ref, bdlo_scr, bdhi_scr, sx_scr, xg_scr = rest
 
         @pl.when(pl.program_id(0) == 0)
@@ -164,7 +189,8 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 lo_parts.append(q[:, :SPAN // 2])
                 hi_parts.append(q[:, SPAN // 2:])
                 d_parts.append(d)
-                q_parts.append(q)
+                if not gu_sym and not compact:
+                    q_parts.append(q)
             x8_lo = jnp.concatenate(lo_parts, axis=-1)  # [bp, E/2]
             x8_hi = jnp.concatenate(hi_parts, axis=-1)
             sx_scr[...] = jnp.concatenate(d_parts, axis=-1)  # [bp, nsb_e]
@@ -177,22 +203,50 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                                       jnp.int8(0))
             bdhi_scr[...] = jnp.where(keep, jnp.repeat(x8_hi, NG, axis=0),
                                       jnp.int8(0))
-            if gu_sym:  # lo-plane-column group order against scw_lo*8
-                src, rep = x8_lo, 4
-            else:       # sequential element-group order against madj_t
-                src, rep = jnp.concatenate(q_parts, axis=-1), 8
-            gm = (jax.lax.broadcasted_iota(
-                jnp.int32, (src.shape[1], gx_cols), 0) // 32
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (src.shape[1], gx_cols), 1)).astype(jnp.int8)
-            gs = jax.lax.dot_general(
-                src, gm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(_F32)
-            xg_scr[...] = gs * jnp.concatenate(
-                [d_parts[s] for s in range(nsb_e) for _ in range(rep)],
-                axis=-1)
+            if compact:
+                # per-plane group sums in plane-column order (ops/pallas/
+                # qmm_w4.py compact layout): [lo | hi] halves
+                half = gx_cols // 2
+                gm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (kc_e, half), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (kc_e, half), 1)).astype(jnp.int8)
+                gs_lo = jax.lax.dot_general(
+                    x8_lo, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                gs_hi = jax.lax.dot_general(
+                    x8_hi, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                dcat = jnp.concatenate(
+                    [d_parts[s] for s in range(nsb_e) for _ in range(4)],
+                    axis=-1)  # [bp, half]
+                xg_scr[...] = jnp.concatenate(
+                    [gs_lo * dcat, gs_hi * dcat], axis=-1)
+            else:
+                if gu_sym:  # lo-plane-column group order against scw_lo*8
+                    src, rep = x8_lo, 4
+                else:       # sequential element-group order against madj_t
+                    src, rep = jnp.concatenate(q_parts, axis=-1), 8
+                gm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (src.shape[1], gx_cols), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (src.shape[1], gx_cols), 1)).astype(jnp.int8)
+                gs = jax.lax.dot_general(
+                    src, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                xg_scr[...] = gs * jnp.concatenate(
+                    [d_parts[s] for s in range(nsb_e) for _ in range(rep)],
+                    axis=-1)
 
-        def gu_half(codes_ref, sclo_ref, schi_ref, madj_ref):
+        def gu_half(codes_ref, sclo_ref, schi_ref, madj_ref, cm):
+            if compact:
+                # hoisted once per half: exact f32(d)*sc6 scale tiles +
+                # min-term planes (quant/fold.py compact layout)
+                q6 = cm[0][...]                       # [4, E//64, bf] i8
+                dd = cm[1][...]                       # [2, E//256, bf] f32
+                d_all = jnp.repeat(dd[0], 4, axis=0)  # [E//64, bf]
+                sc_lo_all = q6[0].astype(_F32) * d_all
+                sc_hi_all = q6[1].astype(_F32) * (d_all * 0.0625)
             acc = jnp.zeros((bp, bf), _F32)
             for t in range(nch_e):
                 sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -207,8 +261,12 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 p_hi = jax.lax.dot_general(
                     bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
-                sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+                if compact:
+                    sc_lo = jnp.tile(sc_lo_all[t * NG:(t + 1) * NG, :], (bp, 1))
+                    sc_hi = jnp.tile(sc_hi_all[t * NG:(t + 1) * NG, :], (bp, 1))
+                else:
+                    sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+                    sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
                 contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
                            + p_hi.astype(_F32) * sc_hi.astype(_F32))
                 # chunk t covers x superblocks 4t..4t+3; row (i,r) -> 4t+r//4
@@ -217,6 +275,21 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                      for q in range(4) for _ in range(4)],
                     axis=1)[:, :, None]  # [bp, NG, 1]
                 acc = acc + (contrib.reshape(bp, NG, bf) * sxc).sum(axis=1)
+            if compact:
+                half = gx_cols // 2
+                dmin_all = jnp.repeat(dd[1], 4, axis=0)
+                mw_lo = dmin_all * q6[2].astype(_F32)
+                # -8*s_eff = -128*(d*sc6/16): reuse the resident hi tiles
+                mw_hi = dmin_all * q6[3].astype(_F32) - 128.0 * sc_hi_all
+                return (acc
+                        - jax.lax.dot_general(
+                            xg_scr[:, :half], mw_lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        - jax.lax.dot_general(
+                            xg_scr[:, half:], mw_hi, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST))
             mw = (sclo_ref[...] * 8.0 if gu_sym else madj_ref[...]).astype(_F32)
             return acc - jax.lax.dot_general(
                 xg_scr[...], mw, (((1,), (0,)), ((), ())),
@@ -227,8 +300,8 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        g = gu_half(gc_ref, gslo_ref, gshi_ref, gmadj_ref)
-        u = gu_half(uc_ref, uslo_ref, ushi_ref, umadj_ref)
+        g = gu_half(gc_ref, gslo_ref, gshi_ref, gmadj_ref, gcm)
+        u = gu_half(uc_ref, uslo_ref, ushi_ref, umadj_ref, ucm)
         # bf16 round matches the unfused path's ffn.astype(compute_dtype)
         # before the down matmul's activation quantization
         h = (_act_f32(act, g) * u).astype(jnp.bfloat16).astype(_F32)
@@ -260,6 +333,12 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
 
         bd_lo, bd_hi = bd(h8_lo), bd(h8_hi)
 
+        if compact:
+            q6d = dncm[0][...]                       # [4, bf//64, E] i8
+            ddd = dncm[1][...]                       # [2, bf//256, E] f32
+            dD_all = jnp.repeat(ddd[0], 4, axis=0)   # [bf//64, E]
+            scd_lo_all = q6d[0].astype(_F32) * dD_all
+            scd_hi_all = q6d[1].astype(_F32) * (dD_all * 0.0625)
         acc = jnp.zeros_like(out_ref)
         for t in range(nch_f):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -272,8 +351,12 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
             p_hi = jax.lax.dot_general(
                 bd_hi[:, sl], dhi_w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            sc_lo = jnp.tile(dnslo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
-            sc_hi = jnp.tile(dnshi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+            if compact:
+                sc_lo = jnp.tile(scd_lo_all[t * NG:(t + 1) * NG, :], (bp, 1))
+                sc_hi = jnp.tile(scd_hi_all[t * NG:(t + 1) * NG, :], (bp, 1))
+            else:
+                sc_lo = jnp.tile(dnslo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+                sc_hi = jnp.tile(dnshi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
             contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
                        + p_hi.astype(_F32) * sc_hi.astype(_F32))
             # chunk t covers superblocks 4t..4t+3; row (i, r) -> sb 4t+r//4
@@ -288,7 +371,31 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
         # ---- down min term from h's group sums (element order): a dot
         # against a 0/1 group-membership matrix keeps the reduction on the
         # MXU (per-32 strided reshapes are lane-hostile)
-        if dn_sym:
+        if compact:
+            halfF = bf // 64
+            gmat = (jax.lax.broadcasted_iota(jnp.int32, (bf // 2, halfF), 0)
+                    // 32 == jax.lax.broadcasted_iota(
+                        jnp.int32, (bf // 2, halfF), 1)).astype(jnp.int8)
+            gs_lo = jax.lax.dot_general(
+                h8_lo, gmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(_F32)
+            gs_hi = jax.lax.dot_general(
+                h8_hi, gmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(_F32)
+            dcat_h = jnp.concatenate(
+                [d_parts[s] for s in range(nsb) for _ in range(4)], axis=1)
+            dminD_all = jnp.repeat(ddd[1], 4, axis=0)  # [halfF, E]
+            mw_lo = dminD_all * q6d[2].astype(_F32)
+            mw_hi = dminD_all * q6d[3].astype(_F32) - 128.0 * scd_hi_all
+            acc = acc - jax.lax.dot_general(
+                gs_lo * dcat_h, mw_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+            acc = acc - jax.lax.dot_general(
+                gs_hi * dcat_h, mw_hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+        elif dn_sym:
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (bf // 2, bf // 64), 0)
                     // 32 == jax.lax.broadcasted_iota(
                         jnp.int32, (bf // 2, bf // 64), 1)).astype(jnp.int8)
@@ -323,31 +430,51 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
         pl.BlockSpec((bp, E), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((bf, kc_e), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((bf, kc_e), (lambda f: (fb + f, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
     ]
-    operands = [x_pad, gu.codes, gu.codes,
-                gu.aux["scw_lo"], gu.aux["scw_lo"],
-                gu.aux["scw_hi"], gu.aux["scw_hi"]]
-    if not gu_sym:
+    operands = [x_pad, gu.codes, gu.codes]
+    if compact:
+        for fmap in ((lambda f: (0, 0, f)), (lambda f: (0, 0, fb + f))):
+            in_specs += [
+                pl.BlockSpec((4, E // 64, bf), fmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, E // SPAN, bf), fmap, memory_space=pltpu.VMEM),
+            ]
+            operands += [gu.aux["q6_t"], gu.aux["dd_t"]]
+    else:
         in_specs += [
-            pl.BlockSpec((E // 32, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E // 32, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
         ]
-        operands += [gu.aux["madj_t"], gu.aux["madj_t"]]
+        operands += [gu.aux["scw_lo"], gu.aux["scw_lo"],
+                     gu.aux["scw_hi"], gu.aux["scw_hi"]]
+        if not gu_sym:
+            in_specs += [
+                pl.BlockSpec((E // 32, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((E // 32, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+            ]
+            operands += [gu.aux["madj_t"], gu.aux["madj_t"]]
     in_specs += [
         pl.BlockSpec((E, bf // 2), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bf // 64, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bf // 64, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
     ]
-    operands += [dn.codes, dn.aux["scw_lo"], dn.aux["scw_hi"]]
-    if not dn_sym:
+    operands += [dn.codes]
+    if compact:
         in_specs += [
-            pl.BlockSpec((bf // 32, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bf // 64, E), (lambda f: (0, f, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bf // SPAN, E), (lambda f: (0, f, 0)), memory_space=pltpu.VMEM),
         ]
-        operands += [dn.aux["madj_t"]]
+        operands += [dn.aux["q6_t"], dn.aux["dd_t"]]
+    else:
+        in_specs += [
+            pl.BlockSpec((bf // 64, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf // 64, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+        ]
+        operands += [dn.aux["scw_lo"], dn.aux["scw_hi"]]
+        if not dn_sym:
+            in_specs += [
+                pl.BlockSpec((bf // 32, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
+            ]
+            operands += [dn.aux["madj_t"]]
     return pl.pallas_call(
         kernel,
         grid=(fb,),

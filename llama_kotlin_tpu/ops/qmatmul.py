@@ -93,15 +93,19 @@ def _pallas_dispatch(x: jnp.ndarray, w: QTensor, compute_dtype) -> Optional[jnp.
 def _w_specs(w: QTensor, axis: int):
     """PartitionSpec pytree matching `w` for shard_map: main arrays are
     [n, k/x] (spec follows `axis`); rank-2 aux planes are TRANSPOSED
-    ([G-ish, n], parallel/sharding._put) so their spec swaps; scalars
-    replicate."""
+    ([G-ish, n], parallel/sharding._put) so their spec swaps; rank-3
+    compact aux planes are [section, G-ish, n]; scalars replicate."""
     main = ("tp", None) if axis == 0 else (None, "tp")
     auxs = (None, "tp") if axis == 0 else ("tp", None)
+    aux3 = (None,) + auxs
 
     def spec_fn(path, a):
-        if getattr(a, "ndim", 0) != 2:
-            return P()
+        nd = getattr(a, "ndim", 0)
         is_aux = bool(path) and getattr(path[0], "name", None) == "aux"
+        if is_aux and nd == 3:
+            return P(*aux3)
+        if nd != 2:
+            return P()
         return P(*(auxs if is_aux else main))
 
     return jtu.tree_map_with_path(spec_fn, w)
@@ -112,9 +116,14 @@ def _localize_abstract(w: QTensor, tp: int, axis: int) -> QTensor:
     shapes, used to pre-check kernel eligibility via jax.eval_shape."""
 
     def loc(path, a):
-        if getattr(a, "ndim", 0) != 2:
-            return jax.ShapeDtypeStruct(getattr(a, "shape", ()), a.dtype)
+        nd = getattr(a, "ndim", 0)
         is_aux = bool(path) and getattr(path[0], "name", None) == "aux"
+        if is_aux and nd == 3:  # compact planes [section, G-ish, n]
+            s = list(a.shape)
+            s[2 - axis] //= tp
+            return jax.ShapeDtypeStruct(tuple(s), a.dtype)
+        if nd != 2:
+            return jax.ShapeDtypeStruct(getattr(a, "shape", ()), a.dtype)
         ax = (1 - axis) if is_aux else axis
         s = list(a.shape)
         s[ax] //= tp

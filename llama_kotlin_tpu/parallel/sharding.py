@@ -43,9 +43,13 @@ def _divisible(w: Any, axis: int, tp: int) -> bool:
     ok = all(a is None or a.shape[axis] % tp == 0 for a in arrays)
     if ok and w.aux:
         # rank-2 aux planes are TRANSPOSED ([G-ish, n]); _put gives them
-        # the swapped spec, so their (1 - axis) dim must divide too
+        # the swapped spec, so their (1 - axis) dim must divide too.
+        # Rank-3 compact planes are [section, G-ish, n] (split dim 2-axis).
         ok = all(a.shape[1 - axis] % tp == 0
                  for a in w.aux.values() if getattr(a, "ndim", 0) == 2)
+        ok = ok and all(a.shape[2 - axis] % tp == 0
+                        for a in w.aux.values()
+                        if getattr(a, "ndim", 0) == 3)
     return ok
 
 
@@ -70,18 +74,31 @@ def _put(w: Any, mesh: Mesh, spec: P) -> Any:
     sh = NamedSharding(mesh, spec)
     if isinstance(w, QTensor):
         tp_axis = _tp_axis_of(w, spec)
+        if (tp_axis == 1 and w.aux is not None and "q6_t" in w.aux
+                and (w.codes.shape[-1] // mesh.shape["tp"]) % 1024 != 0):
+            # compact-aux planes need a bkc >= 1024 per-shard kernel plan;
+            # this row split is finer — rebuild exact f32 legacy planes so
+            # the per-shard fast path (which plans down to bkc=512) stays
+            # live with identical numerics (quant/fold.decompact_w4)
+            from llama_kotlin_tpu.quant.fold import decompact_w4
+
+            w = decompact_w4(w)
         if w.aux is None:
             out = jax.tree.map(lambda a: jax.device_put(a, sh), w)
             return _dc_replace(out, tp_axis=tp_axis)
         # fast-mode (W4/W8) tensors carry TRANSPOSED aux scale planes
         # ([G, n] vs the main arrays' [n, k/x]) plus rank-0 markers: the
-        # main spec's axes swap for rank-2 aux, scalars replicate
+        # main spec's axes swap for rank-2 aux; rank-3 compact planes
+        # ([section, G, n]) keep the leading axis whole; scalars replicate
         axes = tuple(spec) + (None,) * (2 - len(tuple(spec)))
         aux_sh2 = NamedSharding(mesh, P(axes[1], axes[0]))
+        aux_sh3 = NamedSharding(mesh, P(None, axes[1], axes[0]))
         rep = NamedSharding(mesh, P())
 
         def put_aux(a):
-            return jax.device_put(a, aux_sh2 if getattr(a, "ndim", 0) == 2 else rep)
+            nd = getattr(a, "ndim", 0)
+            return jax.device_put(
+                a, aux_sh3 if nd == 3 else (aux_sh2 if nd == 2 else rep))
 
         main = _dc_replace(w, aux=None)
         main = jax.tree.map(lambda a: jax.device_put(a, sh), main)

@@ -28,10 +28,38 @@ multiplies (see ops/pallas/qmm_w4.py for the kernel design):
 
 HBM bytes read per weight: 4 bits codes + 0.5 bit scw + 0.5 bit m_adj
 = 5.0 bits (vs 8 for the W8A8 Q8F path and 4.5 for the wire format).
+
+COMPACT aux layout (K-quant sources, round 4): when the source scales are
+themselves small integer codes under f16 superblock scales (Q4_K: 6-bit
+sc/m + f16 d/dmin per 256), the folded bf16 product planes above waste
+bandwidth — the wire stores 6+6 bits per 32-group where the folded form
+streams 16+16.  The compact layout keeps the WIRE factorization and lets
+the kernel compute f32(d) * sc on the resident tiles (exactly the
+reference's own dequant product, ggml-quants.c dequantize_row_q4_K):
+
+- aux['q6_t']: int8 [4, G/2, n] — sections (leading, untiled axis):
+  0 = sc6_lo, 1 = sc6_hi (6-bit scale codes, plane-column order),
+  2 = m6_lo,  3 = m6_hi  (6-bit min codes, same order).  ONE packed
+  operand instead of four: each extra BlockSpec window costs a DMA
+  descriptor per grid step, and the first compact cut (6 separate
+  planes) measured ~5% slower per kernel call than legacy despite
+  fewer bytes.
+- aux['dd_t']: f32 [2, k_pad/256, n] — section 0 = d, 1 = dmin
+  (f32 so the trailing [nsb, bn] tile meets (8, 128) at every plan;
+  f16 wire values are exact in f32)
+
+and the hi plane's -8*s_eff m_adj correction is derived in-kernel from the
+already-resident sc6_hi/d tiles.  HBM bytes/weight: 4 + 0.125*2 (sc6)
++ 0.125*2 (m6) + 0.125 (d+dmin) = 4.625 bits — 7.5% less decode traffic
+than the bf16-plane layout, with BETTER numerics (scale products exact in
+f32 instead of bf16-rounded).  g_scale/g_min keep the full f32 effective
+planes for the dequant/prefill paths (HBM-resident, never streamed per
+decode token).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -68,7 +96,8 @@ def _plane_group_perm(n_groups: int, hi: bool) -> np.ndarray:
     return 8 * (idx // 4) + idx % 4 + (4 if hi else 0)
 
 
-def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
+def fold_to_w4(qt: QTensor, precise: bool = False,
+               compact: Optional[bool] = None) -> QTensor:
     """Any 4-bit-coded, group-32 QTensor (Q4_0/Q4_1/Q4_K) -> W4 layout.
 
     Bit-exact with the source's dequantization up to the bf16 rounding of
@@ -84,6 +113,11 @@ def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
     dual-plane int8 activations (~15.8 effective bits vs bf16's 8; see
     ops/pallas/qmm_w4.py quantize_activations_2p).  HBM cost: 4 bits codes
     + 1 bit scw + 1 bit m_adj = 6.0 bits/weight.
+
+    compact (default on, LKTPU_W4_COMPACT=0 disables): keep the wire's
+    int-code x superblock-scale factorization as the streamed kernel
+    planes (4.625 bits/weight, see module docstring) when the source has
+    one (Q4_K-class: integer g_scale/g_min under sb scales).
     """
     if qt.bits != 4 or qt.group_size != GROUP:
         raise ValueError(f"fold_to_w4 needs 4-bit group-32 codes, got "
@@ -98,11 +132,34 @@ def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
                     for a in effective_scales(qt))
     if m_eff is None:
         m_eff = np.zeros_like(s_eff)
+    if compact is None:
+        compact = os.environ.get("LKTPU_W4_COMPACT", "1") == "1"
+    k_pad_a = -(-qt.k_pad // ALIGN_W4) * ALIGN_W4
+    compact = bool(
+        compact and not precise and qt.code_offset == 0
+        and qt.sb_scale is not None and qt.sb_min is not None
+        and qt.g_min is not None
+        and not np.issubdtype(np.asarray(qt.g_scale).dtype, np.floating)
+        and not np.issubdtype(np.asarray(qt.g_min).dtype, np.floating)
+        # kernel gate: compact needs a bkc >= 1024 plan so the int8
+        # scale-code blocks meet the (32, 128) tile (qmm_w4_fx2)
+        and (k_pad_a // 2) % 1024 == 0)
+    sc6 = m6 = d_sb = dmin_sb = None
+    if compact:
+        sc6 = np.asarray(qt.g_scale, np.int8)    # [n, G0] 6-bit codes
+        m6 = np.asarray(qt.g_min, np.int8)
+        d_sb = np.asarray(qt.sb_scale, np.float32)   # [n, S0]
+        dmin_sb = np.asarray(qt.sb_min, np.float32)
     k_pad2 = -(-k_pad // ALIGN_W4) * ALIGN_W4
     if k_pad2 != k_pad:
         codes = _pad_cols(codes, k_pad2 - k_pad)
         s_eff = _pad_cols(s_eff, (k_pad2 - k_pad) // GROUP)
         m_eff = _pad_cols(m_eff, (k_pad2 - k_pad) // GROUP)
+        if compact:
+            sc6 = _pad_cols(sc6, (k_pad2 - k_pad) // GROUP)
+            m6 = _pad_cols(m6, (k_pad2 - k_pad) // GROUP)
+            d_sb = _pad_cols(d_sb, (k_pad2 - k_pad) // SPAN)
+            dmin_sb = _pad_cols(dmin_sb, (k_pad2 - k_pad) // SPAN)
         k_pad = k_pad2
     G = k_pad // GROUP
 
@@ -122,40 +179,60 @@ def fold_to_w4(qt: QTensor, precise: bool = False) -> QTensor:
     lo = el[:, :, 0].astype(np.uint8)
     hi = ((el[:, :, 1] - 8) & 0xF).astype(np.uint8)
     packed = (lo | (hi << 4)).reshape(n, k_pad // 2)
+    compact_parts = None
+    if compact and not sym:
+        perm_lo = _plane_group_perm(G, hi=False)
+        perm_hi = _plane_group_perm(G, hi=True)
+        sc6T, m6T = sc6.T, m6.T  # [G, n]
+        compact_parts = {
+            "q6_t": np.ascontiguousarray(np.stack(
+                [sc6T[perm_lo], sc6T[perm_hi],
+                 m6T[perm_lo], m6T[perm_hi]])),
+            "dd_t": np.ascontiguousarray(np.stack([d_sb.T, dmin_sb.T])),
+        }
     return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype,
-                         precise=precise, sym=sym)
+                         precise=precise, sym=sym,
+                         compact_parts=compact_parts)
 
 
 def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
                   shape: tuple[int, int], qtype=None, precise: bool = False,
-                  sym: bool = False) -> QTensor:
+                  sym: bool = False,
+                  compact_parts: Optional[dict] = None) -> QTensor:
     """Assemble a W4 QTensor from plane-packed codes [n, k_pad/2] u8,
     effective per-32-group scales s_eff [n, G] f32, and pre-adjusted mins
     m_adj [n, G] f32 (see module docstring for m_adj semantics).
-    precise=True keeps all scale planes f32 (W4X layout)."""
+    precise=True keeps all scale planes f32 (W4X layout).
+    compact_parts, when given, REPLACES the bf16 scw/madj planes with the
+    wire-factorized int-code planes (module docstring: sc6/m6/d/dmin);
+    g_scale/g_min then stay f32 so the dequant path reproduces the
+    kernel's exact f32(d)*sc products."""
     from llama_kotlin_tpu.quant.formats import GGMLQuantType
 
     G = s_eff.shape[1]
-    sdt = jnp.float32 if precise else jnp.bfloat16
+    sdt = jnp.float32 if (precise or compact_parts is not None) else jnp.bfloat16
     s_st = s_eff.astype(sdt)
-    sT = np.asarray(s_st, np.float32).T  # [G, n]
-    scw_lo = np.ascontiguousarray(sT[_plane_group_perm(G, hi=False)]).astype(sdt)
-    scw_hi = np.ascontiguousarray(
-        sT[_plane_group_perm(G, hi=True)] / 16.0  # exact: power-of-two scale
-    ).astype(sdt)
-    # min plane transposed to [G, n] (sequential group order): streamed
-    # in-kernel alongside the scale planes, so the min term rides the same
-    # pipelined grid instead of a separate XLA dot over g_min (round-3
-    # device trace: that dot's ~0.5 bit/weight of reads competed with the
-    # kernel DMAs instead of overlapping them)
     m_st = m_adj.astype(sdt)
-    aux = {"scw_lo": scw_lo, "scw_hi": scw_hi}
-    if sym:
-        # min term derivable from scw_lo (8*s on lo groups): flag only
-        aux["sym"] = np.ones((), np.bool_)
+    if compact_parts is not None:
+        aux = dict(compact_parts)
     else:
-        aux["madj_t"] = np.ascontiguousarray(
-            np.asarray(m_st, np.float32).T).astype(sdt)
+        sT = np.asarray(s_st, np.float32).T  # [G, n]
+        scw_lo = np.ascontiguousarray(sT[_plane_group_perm(G, hi=False)]).astype(sdt)
+        scw_hi = np.ascontiguousarray(
+            sT[_plane_group_perm(G, hi=True)] / 16.0  # exact: power-of-two scale
+        ).astype(sdt)
+        # min plane transposed to [G, n] (sequential group order): streamed
+        # in-kernel alongside the scale planes, so the min term rides the
+        # same pipelined grid instead of a separate XLA dot over g_min
+        # (round-3 device trace: that dot's ~0.5 bit/weight of reads
+        # competed with the kernel DMAs instead of overlapping them)
+        aux = {"scw_lo": scw_lo, "scw_hi": scw_hi}
+        if sym:
+            # min term derivable from scw_lo (8*s on lo groups): flag only
+            aux["sym"] = np.ones((), np.bool_)
+        else:
+            aux["madj_t"] = np.ascontiguousarray(
+                np.asarray(m_st, np.float32).T).astype(sdt)
     if precise:
         aux["precise"] = np.ones((), np.bool_)
 
@@ -167,6 +244,32 @@ def w4_from_parts(packed: np.ndarray, s_eff: np.ndarray, m_adj: np.ndarray,
         code_offset=0, shape=shape, hi_signed=True,
         aux=aux,
     )
+
+
+def decompact_w4(qt: QTensor) -> QTensor:
+    """Compact-aux W4 tensor -> legacy plane layout with F32 scw/madj
+    planes (numerics-identical to the compact kernel: the f32 g_scale/
+    g_min planes ARE the exact d*sc products).
+
+    Used by parallel/sharding._put when a TP row split leaves a per-shard
+    kc below the compact kernel's bkc >= 1024 plan: the legacy kernels
+    plan down to bkc=512, so the fast path survives any tp degree at the
+    cost of f32-plane traffic (6.0 bits/weight) on those shards."""
+    if qt.aux is None or "q6_t" not in qt.aux:
+        return qt
+    from dataclasses import replace as _dc_replace
+
+    s_eff = np.asarray(qt.g_scale, np.float32)  # exact d*sc products
+    m_adj = np.asarray(qt.g_min, np.float32)
+    G = s_eff.shape[1]
+    sT = s_eff.T
+    aux = {
+        "scw_lo": np.ascontiguousarray(sT[_plane_group_perm(G, hi=False)]),
+        "scw_hi": np.ascontiguousarray(
+            sT[_plane_group_perm(G, hi=True)] / 16.0),
+        "madj_t": np.ascontiguousarray(m_adj.T.astype(np.float32)),
+    }
+    return _dc_replace(qt, aux=aux)
 
 
 def float_to_w4(x: np.ndarray) -> QTensor:

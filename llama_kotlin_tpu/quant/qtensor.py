@@ -181,10 +181,14 @@ def concat_qtensors(qts: list) -> QTensor:
     if q0.aux is not None:
         aux = {}
         for key in q0.aux:
-            if key == "precise":
+            if getattr(q0.aux[key], "ndim", 0) == 0:  # precise / sym flags
                 aux[key] = q0.aux[key]
-            else:  # scw / scw_lo / scw_hi: [G', n] -> concat over n
-                aux[key] = jnp.concatenate([q.aux[key] for q in qts], axis=1)
+            else:
+                # scw/scw_lo/scw_hi/madj_t: [G', n]; compact q6_t/dd_t:
+                # [section, G', n] — n is always the LAST axis
+                aux[key] = jnp.concatenate(
+                    [q.aux[key] for q in qts],
+                    axis=q0.aux[key].ndim - 1)
     n_total = sum(q.n for q in qts)
     return QTensor(
         codes=cat(lambda q: q.codes), g_scale=cat(lambda q: q.g_scale),

@@ -76,7 +76,10 @@ def test_fx2_matches_standard(monkeypatch):
     rng = np.random.default_rng(5)
     for sym in (False, True):
         for n, k in ((1024, 2048), (512, 4096)):
-            w = jax.tree.map(jnp.asarray, synthetic_w4(rng, n, k, sym=sym))
+            # compact=False: the standard kernel needs the bf16 scw planes
+            # (compact parity is covered by tests/test_w4.py::test_w4_compact_*)
+            w = jax.tree.map(jnp.asarray,
+                             synthetic_w4(rng, n, k, sym=sym, compact=False))
             for b in (1, 2, 5):
                 x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
                 monkeypatch.delenv("LKTPU_W4_FX", raising=False)

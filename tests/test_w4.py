@@ -185,10 +185,62 @@ def test_qmm_w4_fx_matches_standard(rng, qtype, monkeypatch):
     monkeypatch.setenv("LKTPU_W4_FX", "1")
     n, k = 256, 2048
     wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
-    w4 = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(wf, qtype)))
+    # compact=False: the legacy fx/standard kernels need the bf16 scw/madj
+    # planes (compact aux is served by fx2 only; its parity is tested in
+    # test_ffn_fused.test_fx2_matches_standard and test_w4_compact below)
+    w4 = jax.tree.map(jnp.asarray,
+                      fold_to_w4(repack_float(wf, qtype), compact=False))
     x = jnp.asarray(rng.standard_normal((2, k)) * 0.7, jnp.float32)
     got_fx = np.asarray(qmm_w4_matmul(x, w4, interpret=True))
     monkeypatch.setenv("LKTPU_W4_FX", "0")
     got_std = np.asarray(qmm_w4_matmul(x, w4, interpret=True))
     # (i,r)- vs (r,i)-ordered partial sums differ in f32 association
     np.testing.assert_allclose(got_fx, got_std, rtol=1e-5, atol=1e-5)
+
+
+def test_w4_compact_fold_and_kernel(rng):
+    """Compact aux layout (quant/fold.py round 4: int8 6-bit scale/min
+    codes + f32 per-superblock d/dmin, 4.625 bits/weight streamed):
+
+    - dequantize() is BIT-IDENTICAL to the source repack (f32 planes hold
+      the d*sc products exactly);
+    - the fx2 kernel on compact planes reproduces the exact
+      activation-quantized f32 reference to accumulation-order tolerance
+      (~1e-6 relative — far tighter than the legacy bf16 planes' ~3e-3).
+    """
+    n, k = 256, 2048
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qt = repack_float(wf, GGMLQuantType.Q4_K)
+    w4c = jax.tree.map(jnp.asarray, fold_to_w4(qt))
+    assert "q6_t" in w4c.aux and w4c.aux["q6_t"].dtype == jnp.int8
+    assert w4c.aux["q6_t"].shape[0] == 4 and w4c.aux["dd_t"].shape[0] == 2
+    assert w4c.g_scale.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(dequantize(w4c, jnp.float32)),
+                                  np.asarray(dequantize(qt, jnp.float32)))
+
+    for b in (1, 2, 5):
+        x = jnp.asarray(rng.standard_normal((b, k)) * 0.7, jnp.float32)
+        got = qmm_w4_matmul(x, w4c, interpret=True)
+        assert got is not None
+        bp = max(2, int(2 ** np.ceil(np.log2(b))))
+        x2 = np.pad(np.asarray(x), ((0, bp - b), (0, 0)))
+        x8, sx = (np.asarray(a) for a in quantize_activations(jnp.asarray(x2)))
+        x_hat = (x8.astype(np.float32).reshape(bp, -1, 256)
+                 * sx[..., None]).reshape(bp, k)
+        ref = x_hat @ np.asarray(dequantize(w4c, jnp.float32)).T
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(np.asarray(got) - ref[:b]).max() / denom < 5e-6
+
+
+def test_w4_compact_gates(rng):
+    """Shapes whose kernel plan needs bkc < 1024 (k_pad/2 % 1024 != 0)
+    fall back to the legacy bf16-plane fold; sym/precise folds never
+    compact."""
+    wf = (rng.standard_normal((64, 2816)) * 0.1).astype(np.float32)
+    w4 = fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K))
+    assert "q6_t" not in w4.aux and "scw_lo" in w4.aux
+    wf2 = (rng.standard_normal((64, 2048)) * 0.1).astype(np.float32)
+    w4x = fold_to_w4(repack_float(wf2, GGMLQuantType.Q4_K), precise=True)
+    assert "q6_t" not in w4x.aux
+    w40 = fold_to_w4(repack_float(wf2, GGMLQuantType.Q4_0))
+    assert "sym" in w40.aux and "q6_t" not in w40.aux
