@@ -70,14 +70,16 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False
     packed = rng.integers(0, 256, (n, k_pad // 2), dtype=np.uint8)
     if compact is None:
         compact = (not precise and not sym
-                   and (k_pad // 2) % 1024 == 0
                    and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1")
     if compact and not sym and not precise:
         S = k_pad // SPAN
         sc6 = rng.integers(0, 64, (n, G), dtype=np.int8)
         m6 = rng.integers(0, 64, (n, G), dtype=np.int8)
-        d_sb = (rng.random((n, S), np.float32) * scale / 500.0).astype(np.float32)
-        dmin_sb = (rng.random((n, S), np.float32) * scale / 500.0).astype(np.float32)
+        # d/dmin round through f16 like the wire values (dd_t stores f16)
+        d_sb = (rng.random((n, S), np.float32) * scale / 500.0).astype(
+            np.float16).astype(np.float32)
+        dmin_sb = (rng.random((n, S), np.float32) * scale / 500.0).astype(
+            np.float16).astype(np.float32)
         rep = SPAN // GROUP
         s_eff = sc6.astype(np.float32) * np.repeat(d_sb, rep, axis=1)
         m_eff = m6.astype(np.float32) * np.repeat(dmin_sb, rep, axis=1)
@@ -89,7 +91,9 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False
             "q6_t": np.ascontiguousarray(np.stack(
                 [sc6.T[perm_lo], sc6.T[perm_hi],
                  m6.T[perm_lo], m6.T[perm_hi]])),
-            "dd_t": np.ascontiguousarray(np.stack([d_sb.T, dmin_sb.T])),
+            # [2S, n] f32: rows (2s, 2s+1) = (d_s, dmin_s)
+            "dd_t": np.ascontiguousarray(
+                np.stack([d_sb.T, dmin_sb.T], axis=1).reshape(-1, n)),
         }
         return w4_from_parts(packed, s_eff, m_adj, (n, k),
                              compact_parts=parts)
@@ -168,8 +172,10 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False,
             rep = SPAN // GROUP
             sc6 = jax.random.randint(ks, (n, G), 0, 64, jnp.int8)
             m6 = jax.random.randint(km, (n, G), 0, 64, jnp.int8)
-            d_sb = jax.random.uniform(kd, (n, S), jnp.float32) * (scale / 500.0)
-            dmin_sb = jax.random.uniform(ke, (n, S), jnp.float32) * (scale / 500.0)
+            d_sb = (jax.random.uniform(kd, (n, S), jnp.float32)
+                    * (scale / 500.0)).astype(jnp.float16).astype(jnp.float32)
+            dmin_sb = (jax.random.uniform(ke, (n, S), jnp.float32)
+                       * (scale / 500.0)).astype(jnp.float16).astype(jnp.float32)
             s_eff = sc6.astype(jnp.float32) * jnp.repeat(d_sb, rep, axis=1)
             m_eff = m6.astype(jnp.float32) * jnp.repeat(dmin_sb, rep, axis=1)
             is_lo = (jnp.arange(G) % 8) < 4
@@ -177,7 +183,7 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False,
             sc6T, m6T = sc6.T, m6.T
             q6_t = jnp.stack([sc6T[perm_lo], sc6T[perm_hi],
                               m6T[perm_lo], m6T[perm_hi]])
-            dd_t = jnp.stack([d_sb.T, dmin_sb.T])
+            dd_t = jnp.stack([d_sb.T, dmin_sb.T], axis=1).reshape(-1, n)
             return packed, s_eff, m_adj, q6_t, dd_t
         s_eff = jax.random.uniform(ks, (n, G), jnp.float32) * (scale / 8.0)
         if sym:  # Q4_0 profile: lo-nibble bias only, derivable from scw_lo
@@ -209,10 +215,7 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
     from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
     from llama_kotlin_tpu.quant.qtensor import QTensor
 
-    from llama_kotlin_tpu.quant.fold import ALIGN_W4 as _A4
-
-    _k_pad = (k + _A4 - 1) // _A4 * _A4
-    compact = (not precise and not sym and (_k_pad // 2) % 1024 == 0
+    compact = (not precise and not sym
                and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1")
     if compact:
         packed, s_eff, m_adj, q6_t, dd_t = _w4_gen(

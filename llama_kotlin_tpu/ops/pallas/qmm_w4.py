@@ -63,6 +63,16 @@ CHUNK = 512  # plane columns per block-diagonal dot (16 groups of 32)
 NG = CHUNK // 32  # groups per chunk = block-diagonal row blocks
 
 
+def split_dd(dd: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact dd_t block [2S', n] (rows 2s = d_s, 2s+1 = dmin_s) ->
+    per-plane-group (d_all, dmin_all) [4S', n] f32 via one leading-dim
+    reshape + repeat (plane group p of superblock s covers rows 4s..4s+3)."""
+    rows, bn = dd.shape
+    dd3 = dd.reshape(rows // 2, 2, bn)
+    return (jnp.repeat(dd3[:, 0, :], 4, axis=0),
+            jnp.repeat(dd3[:, 1, :], 4, axis=0))
+
+
 def _plan(n: int, kc: int) -> Optional[tuple[int, int]]:
     """(bn, bkc): output rows and plane columns per grid step.
 
@@ -306,14 +316,8 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
         return None
     sym = "sym" in w.aux
     compact = "q6_t" in w.aux
-    if compact:
-        # int8 scale-code blocks are [bkc//32, bn]: keep them at/above the
-        # (32, 128) int8 tile so Mosaic windows stay aligned
-        if bkc < 1024:
-            return None
-    else:
-        if not sym and "madj_t" not in w.aux:
-            return None
+    if not compact and not sym and "madj_t" not in w.aux:
+        return None
 
     grid = (kc // bkc, n // bn)
     nch_blk = bkc // CHUNK
@@ -337,8 +341,7 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
             # f32(d) * sc6 (the reference's own dequant product, exact in
             # f32) and the repeated d/dmin rows for the min term
             q6 = q6_ref[...]                      # [4, bkc//32, bn] i8
-            dd = dd_ref[...]                      # [2, nsb, bn] f32
-            d_all = jnp.repeat(dd[0], 4, axis=0)  # [bkc//32, bn]
+            d_all, dmin_all = split_dd(dd_ref[...])  # [bkc//32, bn] f32
             sc_lo_all = q6[0].astype(jnp.float32) * d_all
             sc_hi_all = q6[1].astype(jnp.float32) * (d_all * 0.0625)
 
@@ -442,7 +445,6 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
             acc = acc + (contrib.reshape(bp, NG, bn) * sxc).sum(axis=1)
         if compact:
             half = gcols // 2
-            dmin_all = jnp.repeat(dd[1], 4, axis=0)  # [half, bn] f32
             mw_lo = dmin_all * q6[2].astype(jnp.float32)
             # -8*s_eff = -128 * (d*sc6/16): reuse the resident hi scale
             # tiles instead of rebuilding d*sc6 (exact: power-of-two)
@@ -472,7 +474,7 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
     if compact:
         in_specs += [
             pl.BlockSpec((4, bkc // 32, bn), (lambda j, i: (0, j, i)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, nsb, bn), (lambda j, i: (0, j, i)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkc // 64, bn), (lambda j, i: (j, i)), memory_space=pltpu.VMEM),
         ]
         operands += [w.aux["q6_t"], w.aux["dd_t"]]
     else:

@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN
-from llama_kotlin_tpu.ops.pallas.qmm_w4 import CHUNK, NG
+from llama_kotlin_tpu.ops.pallas.qmm_w4 import CHUNK, NG, split_dd
 
 _F32 = jnp.float32
 
@@ -69,15 +69,15 @@ def _plan_bf(f_pad: int, compact: bool = False) -> Optional[int]:
     """F-columns per grid step: spans whole superblocks (h quantization),
     whole 512-plane-column chunks (down dot), and divides F_pad.
     LKTPU_FFN_BF overrides the preference order (device sweeps).
-    Compact-aux tensors need bf >= 2048 so the down tensor's int8 scale
-    blocks ([bf//64, E]) meet the (32, 128) int8 tile."""
+    Compact-aux tensors need bf >= 1024 so the down tensor's dd block
+    ([2, bf//128, E]) keeps its second-minor dim divisible by 8."""
     # 1024 beats 2048 on device (round-4 sweep: 0.156 vs 0.162 ms on the
     # 8B FFN at b=2): 14 grid steps halve the pipeline-ramp share
     env = "LKTPU_FFN_BF_COMPACT" if compact else "LKTPU_FFN_BF"
-    default = "2048" if compact else "1024,2048"
-    pref = tuple(int(v) for v in os.environ.get(env, default).split(","))
+    pref = tuple(int(v) for v in os.environ.get(
+        env, "1024,2048").split(","))
     for bf in pref:
-        if f_pad % bf == 0 and (not compact or bf >= 2048):
+        if f_pad % bf == 0 and (not compact or bf >= 1024):
             return bf
     return None
 
@@ -243,8 +243,7 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 # hoisted once per half: exact f32(d)*sc6 scale tiles +
                 # min-term planes (quant/fold.py compact layout)
                 q6 = cm[0][...]                       # [4, E//64, bf] i8
-                dd = cm[1][...]                       # [2, E//256, bf] f32
-                d_all = jnp.repeat(dd[0], 4, axis=0)  # [E//64, bf]
+                d_all, dmin_all = split_dd(cm[1][...])  # [E//64, bf] f32
                 sc_lo_all = q6[0].astype(_F32) * d_all
                 sc_hi_all = q6[1].astype(_F32) * (d_all * 0.0625)
             acc = jnp.zeros((bp, bf), _F32)
@@ -277,7 +276,6 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 acc = acc + (contrib.reshape(bp, NG, bf) * sxc).sum(axis=1)
             if compact:
                 half = gx_cols // 2
-                dmin_all = jnp.repeat(dd[1], 4, axis=0)
                 mw_lo = dmin_all * q6[2].astype(_F32)
                 # -8*s_eff = -128*(d*sc6/16): reuse the resident hi tiles
                 mw_hi = dmin_all * q6[3].astype(_F32) - 128.0 * sc_hi_all
@@ -335,8 +333,7 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
 
         if compact:
             q6d = dncm[0][...]                       # [4, bf//64, E] i8
-            ddd = dncm[1][...]                       # [2, bf//256, E] f32
-            dD_all = jnp.repeat(ddd[0], 4, axis=0)   # [bf//64, E]
+            dD_all, dminD_all = split_dd(dncm[1][...])  # [bf//64, E] f32
             scd_lo_all = q6d[0].astype(_F32) * dD_all
             scd_hi_all = q6d[1].astype(_F32) * (dD_all * 0.0625)
         acc = jnp.zeros_like(out_ref)
@@ -384,7 +381,6 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 preferred_element_type=jnp.int32).astype(_F32)
             dcat_h = jnp.concatenate(
                 [d_parts[s] for s in range(nsb) for _ in range(4)], axis=1)
-            dminD_all = jnp.repeat(ddd[1], 4, axis=0)  # [halfF, E]
             mw_lo = dminD_all * q6d[2].astype(_F32)
             mw_hi = dminD_all * q6d[3].astype(_F32) - 128.0 * scd_hi_all
             acc = acc - jax.lax.dot_general(
@@ -433,10 +429,12 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
     ]
     operands = [x_pad, gu.codes, gu.codes]
     if compact:
-        for fmap in ((lambda f: (0, 0, f)), (lambda f: (0, 0, fb + f))):
+        for fmap3, fmap2 in (((lambda f: (0, 0, f)), (lambda f: (0, f))),
+                             ((lambda f: (0, 0, fb + f)),
+                              (lambda f: (0, fb + f)))):
             in_specs += [
-                pl.BlockSpec((4, E // 64, bf), fmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, E // SPAN, bf), fmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, E // 64, bf), fmap3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((E // 128, bf), fmap2, memory_space=pltpu.VMEM),
             ]
             operands += [gu.aux["q6_t"], gu.aux["dd_t"]]
     else:
@@ -461,7 +459,7 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
     if compact:
         in_specs += [
             pl.BlockSpec((4, bf // 64, E), (lambda f: (0, f, 0)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, bf // SPAN, E), (lambda f: (0, f, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf // 128, E), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
         ]
         operands += [dn.aux["q6_t"], dn.aux["dd_t"]]
     else:

@@ -75,11 +75,11 @@ def _put(w: Any, mesh: Mesh, spec: P) -> Any:
     if isinstance(w, QTensor):
         tp_axis = _tp_axis_of(w, spec)
         if (tp_axis == 1 and w.aux is not None and "q6_t" in w.aux
-                and (w.codes.shape[-1] // mesh.shape["tp"]) % 1024 != 0):
-            # compact-aux planes need a bkc >= 1024 per-shard kernel plan;
+                and (w.codes.shape[-1] // mesh.shape["tp"]) % 512 != 0):
+            # compact-aux planes need a bkc >= 512 per-shard kernel plan;
             # this row split is finer — rebuild exact f32 legacy planes so
-            # the per-shard fast path (which plans down to bkc=512) stays
-            # live with identical numerics (quant/fold.decompact_w4)
+            # the per-shard fast path stays live with identical numerics
+            # (quant/fold.decompact_w4)
             from llama_kotlin_tpu.quant.fold import decompact_w4
 
             w = decompact_w4(w)

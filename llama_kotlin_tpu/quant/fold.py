@@ -44,9 +44,13 @@ reference's own dequant product, ggml-quants.c dequantize_row_q4_K):
   descriptor per grid step, and the first compact cut (6 separate
   planes) measured ~5% slower per kernel call than legacy despite
   fewer bytes.
-- aux['dd_t']: f32 [2, k_pad/256, n] — section 0 = d, 1 = dmin
-  (f32 so the trailing [nsb, bn] tile meets (8, 128) at every plan;
-  f16 wire values are exact in f32)
+- aux['dd_t']: f32 [k_pad/128, n] — superblock scales ROW-INTERLEAVED:
+  row 2s = d of superblock s, row 2s+1 = dmin (f32 holds the wire f16
+  exactly; Mosaic has no f16 type).  The interleave keeps the
+  per-grid-step block ([bkc/64 or bf/128, n]) second-minor dim divisible
+  by 8 down to bkc=512 / bf=1024 — Mosaic's block rule — so every fold
+  shape and TP shard stays compact-eligible; the kernel splits rows with
+  one leading-dim reshape.
 
 and the hi plane's -8*s_eff m_adj correction is derived in-kernel from the
 already-resident sc6_hi/d tiles.  HBM bytes/weight: 4 + 0.125*2 (sc6)
@@ -134,16 +138,12 @@ def fold_to_w4(qt: QTensor, precise: bool = False,
         m_eff = np.zeros_like(s_eff)
     if compact is None:
         compact = os.environ.get("LKTPU_W4_COMPACT", "1") == "1"
-    k_pad_a = -(-qt.k_pad // ALIGN_W4) * ALIGN_W4
     compact = bool(
         compact and not precise and qt.code_offset == 0
         and qt.sb_scale is not None and qt.sb_min is not None
         and qt.g_min is not None
         and not np.issubdtype(np.asarray(qt.g_scale).dtype, np.floating)
-        and not np.issubdtype(np.asarray(qt.g_min).dtype, np.floating)
-        # kernel gate: compact needs a bkc >= 1024 plan so the int8
-        # scale-code blocks meet the (32, 128) tile (qmm_w4_fx2)
-        and (k_pad_a // 2) % 1024 == 0)
+        and not np.issubdtype(np.asarray(qt.g_min).dtype, np.floating))
     sc6 = m6 = d_sb = dmin_sb = None
     if compact:
         sc6 = np.asarray(qt.g_scale, np.int8)    # [n, G0] 6-bit codes
@@ -188,7 +188,10 @@ def fold_to_w4(qt: QTensor, precise: bool = False,
             "q6_t": np.ascontiguousarray(np.stack(
                 [sc6T[perm_lo], sc6T[perm_hi],
                  m6T[perm_lo], m6T[perm_hi]])),
-            "dd_t": np.ascontiguousarray(np.stack([d_sb.T, dmin_sb.T])),
+            # [2S, n] f32: rows (2s, 2s+1) = (d_s, dmin_s)
+            "dd_t": np.ascontiguousarray(
+                np.stack([d_sb.T, dmin_sb.T], axis=1).reshape(
+                    -1, d_sb.shape[0])),
         }
     return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype,
                          precise=precise, sym=sym,

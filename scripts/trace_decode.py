@@ -24,7 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_traced(preset: str, mode: str, steps: int, out_dir: str) -> None:
+def run_traced(preset: str, mode: str, steps: int, out_dir: str,
+               kv: str = "") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +47,7 @@ def run_traced(preset: str, mode: str, steps: int, out_dir: str) -> None:
     jax.block_until_ready(jax.tree.leaves(params))
     ctx = LlamaContext(cfg, params, n_cells=1024, compute_dtype=jnp.bfloat16,
                        buckets=(8, 16, 32, 64, 128, 256, 512),
-                       prefer_unrolled=True)
+                       prefer_unrolled=True, kv_quant=kv or False)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, 64).astype(np.int32)
     assert ctx.decode(Batch.single(prompt)) == 0
@@ -134,10 +135,11 @@ def main() -> None:
     ap.add_argument("--mode", default="w4a8")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--out", default="/tmp/tr_decode")
+    ap.add_argument("--kv", default="", help="q8_0 | q4_0 quantized KV cache")
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
-        run_traced(args.preset, args.mode, args.steps, args.out)
+        run_traced(args.preset, args.mode, args.steps, args.out, kv=args.kv)
     if args.out != "none":
         analyze(args.out, args.steps)
 

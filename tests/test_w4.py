@@ -213,7 +213,8 @@ def test_w4_compact_fold_and_kernel(rng):
     qt = repack_float(wf, GGMLQuantType.Q4_K)
     w4c = jax.tree.map(jnp.asarray, fold_to_w4(qt))
     assert "q6_t" in w4c.aux and w4c.aux["q6_t"].dtype == jnp.int8
-    assert w4c.aux["q6_t"].shape[0] == 4 and w4c.aux["dd_t"].shape[0] == 2
+    assert w4c.aux["q6_t"].shape[0] == 4  # sc6_lo|sc6_hi|m6_lo|m6_hi
+    assert w4c.aux["dd_t"].shape == (w4c.k_pad // 128, n)  # d/dmin interleave
     assert w4c.g_scale.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(dequantize(w4c, jnp.float32)),
                                   np.asarray(dequantize(qt, jnp.float32)))
@@ -233,12 +234,18 @@ def test_w4_compact_fold_and_kernel(rng):
 
 
 def test_w4_compact_gates(rng):
-    """Shapes whose kernel plan needs bkc < 1024 (k_pad/2 % 1024 != 0)
-    fall back to the legacy bf16-plane fold; sym/precise folds never
-    compact."""
-    wf = (rng.standard_normal((64, 2816)) * 0.1).astype(np.float32)
+    """Chunk-unaligned shapes (k=2816 pads to 3072, bkc=512 plan) stay
+    compact and kernel-served; sym/precise folds never compact."""
+    n, k = 128, 2816
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
     w4 = fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K))
-    assert "q6_t" not in w4.aux and "scw_lo" in w4.aux
+    assert "q6_t" in w4.aux
+    x = jnp.asarray(rng.standard_normal((2, k)) * 0.7, jnp.float32)
+    got = qmm_w4_matmul(x, jax.tree.map(jnp.asarray, w4), interpret=True)
+    assert got is not None  # bkc=512 plan takes compact planes
+    ref = jnp.dot(x, dequantize(w4, jnp.float32).T)
+    denom = float(jnp.abs(ref).max()) + 1e-9
+    assert float(jnp.abs(got - ref).max()) / denom < 2e-2
     wf2 = (rng.standard_normal((64, 2048)) * 0.1).astype(np.float32)
     w4x = fold_to_w4(repack_float(wf2, GGMLQuantType.Q4_K), precise=True)
     assert "q6_t" not in w4x.aux
