@@ -61,8 +61,8 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False
     per-superblock f32 d/dmin aux planes (4.625 bits/weight)."""
     import os as _os
 
-    from llama_kotlin_tpu.quant.fold import (ALIGN_W4, GROUP,
-                                             _plane_group_perm, w4_from_parts)
+    from llama_kotlin_tpu.quant.fold import (ALIGN_W4, GROUP, compact_planes,
+                                             w4_from_parts)
     from llama_kotlin_tpu.quant.qtensor import SPAN
 
     k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
@@ -85,18 +85,9 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False
         m_eff = m6.astype(np.float32) * np.repeat(dmin_sb, rep, axis=1)
         is_lo = (np.arange(G) % 8) < 4
         m_adj = np.where(is_lo, m_eff, m_eff - 8.0 * s_eff).astype(np.float32)
-        perm_lo = _plane_group_perm(G, hi=False)
-        perm_hi = _plane_group_perm(G, hi=True)
-        parts = {
-            "q6_t": np.ascontiguousarray(np.stack(
-                [sc6.T[perm_lo], sc6.T[perm_hi],
-                 m6.T[perm_lo], m6.T[perm_hi]])),
-            # [2S, n] f32: rows (2s, 2s+1) = (d_s, dmin_s)
-            "dd_t": np.ascontiguousarray(
-                np.stack([d_sb.T, dmin_sb.T], axis=1).reshape(-1, n)),
-        }
         return w4_from_parts(packed, s_eff, m_adj, (n, k),
-                             compact_parts=parts)
+                             compact_parts=compact_planes(sc6, m6, d_sb,
+                                                          dmin_sb))
     s_eff = (rng.random((n, G), np.float32) * scale / 8.0).astype(np.float32)
     if sym:
         is_lo = (np.arange(G) % 8) < 4
@@ -152,7 +143,8 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False,
             compact: bool = False):
     import jax
 
-    from llama_kotlin_tpu.quant.fold import ALIGN_W4, GROUP, _plane_group_perm
+    from llama_kotlin_tpu.quant.fold import (ALIGN_W4, GROUP, compact_planes,
+                                             _plane_group_perm)
     from llama_kotlin_tpu.quant.qtensor import SPAN
 
     k_pad = (k + ALIGN_W4 - 1) // ALIGN_W4 * ALIGN_W4  # kernel chunk align
@@ -180,11 +172,8 @@ def _w4_gen(n: int, k: int, scale: float, precise: bool, sym: bool = False,
             m_eff = m6.astype(jnp.float32) * jnp.repeat(dmin_sb, rep, axis=1)
             is_lo = (jnp.arange(G) % 8) < 4
             m_adj = jnp.where(is_lo, m_eff, m_eff - 8.0 * s_eff)
-            sc6T, m6T = sc6.T, m6.T
-            q6_t = jnp.stack([sc6T[perm_lo], sc6T[perm_hi],
-                              m6T[perm_lo], m6T[perm_hi]])
-            dd_t = jnp.stack([d_sb.T, dmin_sb.T], axis=1).reshape(-1, n)
-            return packed, s_eff, m_adj, q6_t, dd_t
+            parts = compact_planes(sc6, m6, d_sb, dmin_sb, xp=jnp)
+            return packed, s_eff, m_adj, parts["q6_t"], parts["dd_t"]
         s_eff = jax.random.uniform(ks, (n, G), jnp.float32) * (scale / 8.0)
         if sym:  # Q4_0 profile: lo-nibble bias only, derivable from scw_lo
             is_lo = (jnp.arange(G) % 8) < 4

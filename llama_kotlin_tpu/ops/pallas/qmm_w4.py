@@ -271,9 +271,19 @@ def qmm_w4_matmul(x: jnp.ndarray, w: QTensor, *, interpret: bool = False,
 
 
 def qmm_w4_or_none(x, w, **kw):
+    """W4 dispatch with a LOUD one-time fallback: an unexpected Mosaic/
+    layout exception here drops serving to the W8/Q8F/dequant chain — a
+    large silent perf cliff (see utils/warnonce.py)."""
     try:
         return qmm_w4_matmul(x, w, **kw)
-    except Exception:
+    except Exception as e:
+        from llama_kotlin_tpu.utils.warnonce import warn_once
+
+        warn_once(
+            ("w4", x.shape[-1], w.shape, type(e).__name__),
+            "qmm_w4 kernel declined for w=%s x_k=%d (%s: %s) — falling "
+            "back to a slower matmul path" % (
+                w.shape, x.shape[-1], type(e).__name__, str(e)[:200]))
         return None
 
 

@@ -498,7 +498,19 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
 
 
 def qmm_w4_ffn_or_none(x, gu, dn, **kw):
+    """Megakernel dispatch with a LOUD one-time fallback: declining this
+    kernel drops decode to the two-launch path (~25% slower headline), so a
+    silent exception here is a silent perf regression.  Each distinct
+    (shape-class, error) is warned once per process."""
     try:
         return qmm_w4_ffn_matmul(x, gu, dn, **kw)
-    except Exception:
+    except Exception as e:
+        from llama_kotlin_tpu.utils.warnonce import warn_once
+
+        warn_once(
+            ("ffn", x.shape[-1], gu.shape, dn.shape, type(e).__name__),
+            "qmm_w4_ffn megakernel declined for gu=%s dn=%s x_k=%d "
+            "(%s: %s) — decode falls back to the ~25%% slower two-launch "
+            "path" % (gu.shape, dn.shape, x.shape[-1],
+                      type(e).__name__, str(e)[:200]))
         return None

@@ -74,15 +74,10 @@ def _put(w: Any, mesh: Mesh, spec: P) -> Any:
     sh = NamedSharding(mesh, spec)
     if isinstance(w, QTensor):
         tp_axis = _tp_axis_of(w, spec)
-        if (tp_axis == 1 and w.aux is not None and "q6_t" in w.aux
-                and (w.codes.shape[-1] // mesh.shape["tp"]) % 512 != 0):
-            # compact-aux planes need a bkc >= 512 per-shard kernel plan;
-            # this row split is finer — rebuild exact f32 legacy planes so
-            # the per-shard fast path stays live with identical numerics
-            # (quant/fold.decompact_w4)
-            from llama_kotlin_tpu.quant.fold import decompact_w4
-
-            w = decompact_w4(w)
+        # NOTE: no decompact rebuild for fine row splits — a per-shard kc
+        # not divisible by CHUNK=512 is ineligible for the W4 kernel in
+        # BOTH layouts (ops/pallas/qmm_w4._plan), and the XLA dequant
+        # fallback reads g_scale/g_min which compact tensors retain
         if w.aux is None:
             out = jax.tree.map(lambda a: jax.device_put(a, sh), w)
             return _dc_replace(out, tp_axis=tp_axis)

@@ -100,6 +100,27 @@ def _plane_group_perm(n_groups: int, hi: bool) -> np.ndarray:
     return 8 * (idx // 4) + idx % 4 + (4 if hi else 0)
 
 
+def compact_planes(sc6, m6, d_sb, dmin_sb, xp=np) -> dict:
+    """Build the streamed compact aux planes {q6_t, dd_t} from wire-order
+    [n, G] 6-bit scale/min codes and [n, S] f32 superblock d/dmin (see the
+    module docstring for the layout).  The ONE construction site for the
+    compact layout — called by fold_to_w4 and both synthetic generators
+    (models/synthetic.py), so a layout tweak cannot drift between the test
+    generators and the real fold.  `xp` selects numpy or jax.numpy."""
+    G = sc6.shape[1]
+    perm_lo = _plane_group_perm(G, hi=False)
+    perm_hi = _plane_group_perm(G, hi=True)
+    sc6T, m6T = sc6.T, m6.T  # [G, n]
+    # sections: 0=sc6_lo 1=sc6_hi 2=m6_lo 3=m6_hi (plane-column order)
+    q6_t = xp.stack([sc6T[perm_lo], sc6T[perm_hi],
+                     m6T[perm_lo], m6T[perm_hi]])
+    # [2S, n] f32: rows (2s, 2s+1) = (d_s, dmin_s)
+    dd_t = xp.stack([d_sb.T, dmin_sb.T], axis=1).reshape(-1, d_sb.shape[0])
+    if xp is np:
+        q6_t, dd_t = np.ascontiguousarray(q6_t), np.ascontiguousarray(dd_t)
+    return {"q6_t": q6_t, "dd_t": dd_t}
+
+
 def fold_to_w4(qt: QTensor, precise: bool = False,
                compact: Optional[bool] = None) -> QTensor:
     """Any 4-bit-coded, group-32 QTensor (Q4_0/Q4_1/Q4_K) -> W4 layout.
@@ -144,6 +165,14 @@ def fold_to_w4(qt: QTensor, precise: bool = False,
         and qt.g_min is not None
         and not np.issubdtype(np.asarray(qt.g_scale).dtype, np.floating)
         and not np.issubdtype(np.asarray(qt.g_min).dtype, np.floating))
+    if compact:
+        # value guard: the kernel layout assumes the wire's UNSIGNED 6-bit
+        # scale/min codes (0..63).  An int-coded source outside that range
+        # would silently wrap in the int8 cast below — fall back to the
+        # legacy folded planes instead (numerics-identical, more bytes).
+        gs_a, gm_a = np.asarray(qt.g_scale), np.asarray(qt.g_min)
+        compact = bool(gs_a.min() >= 0 and gs_a.max() < 64
+                       and gm_a.min() >= 0 and gm_a.max() < 64)
     sc6 = m6 = d_sb = dmin_sb = None
     if compact:
         sc6 = np.asarray(qt.g_scale, np.int8)    # [n, G0] 6-bit codes
@@ -181,18 +210,7 @@ def fold_to_w4(qt: QTensor, precise: bool = False,
     packed = (lo | (hi << 4)).reshape(n, k_pad // 2)
     compact_parts = None
     if compact and not sym:
-        perm_lo = _plane_group_perm(G, hi=False)
-        perm_hi = _plane_group_perm(G, hi=True)
-        sc6T, m6T = sc6.T, m6.T  # [G, n]
-        compact_parts = {
-            "q6_t": np.ascontiguousarray(np.stack(
-                [sc6T[perm_lo], sc6T[perm_hi],
-                 m6T[perm_lo], m6T[perm_hi]])),
-            # [2S, n] f32: rows (2s, 2s+1) = (d_s, dmin_s)
-            "dd_t": np.ascontiguousarray(
-                np.stack([d_sb.T, dmin_sb.T], axis=1).reshape(
-                    -1, d_sb.shape[0])),
-        }
+        compact_parts = compact_planes(sc6, m6, d_sb, dmin_sb)
     return w4_from_parts(packed, s_eff, m_adj, (n, k), qtype=qt.qtype,
                          precise=precise, sym=sym,
                          compact_parts=compact_parts)

@@ -293,11 +293,15 @@ _SHARED_CAP = 64
 
 
 def shared_tables(text: str) -> _SharedTables:
-    t = _SHARED.get(text)
+    # LRU keyed by insertion order: a hit re-inserts (most-recently-used at
+    # the end); at capacity only the LRU entry is evicted, so the 65th
+    # distinct grammar on a busy server no longer dumps every warm memo
+    t = _SHARED.pop(text, None)
     if t is None:
-        if len(_SHARED) >= _SHARED_CAP:
-            _SHARED.clear()
-        t = _SHARED[text] = _SharedTables(text)
+        while len(_SHARED) >= _SHARED_CAP:
+            _SHARED.pop(next(iter(_SHARED)))
+        t = _SharedTables(text)
+    _SHARED[text] = t
     return t
 
 
