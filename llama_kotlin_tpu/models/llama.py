@@ -379,23 +379,33 @@ def forward(
                 down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"],
                                compute_dtype=compute_dtype)
         elif cfg.ffn_gated and lp.get("ffn_gate") is not None:
-            gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
-            if lp.get("ffn_gate_scale") is not None:  # bitnet
-                gate = gate * lp["ffn_gate_scale"]
-            if lp.get("ffn_gate_b") is not None:
-                gate = gate + lp["ffn_gate_b"]
-            up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
-            if lp.get("ffn_up_scale") is not None:
-                up = up * lp["ffn_up_scale"]
-            if lp.get("ffn_up_b") is not None:
-                up = up + lp["ffn_up_b"]
-            ffn = act(gate) * up
-            if lp.get("ffn_sub_norm") is not None:  # bitnet: norm before down
-                ffn = rms_norm(ffn, lp["ffn_sub_norm"], cfg.rms_eps)
-            record(f"blk.{li}.ffn_down", ffn)
-            down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
-            if lp.get("ffn_down_scale") is not None:
-                down = down * lp["ffn_down_scale"]
+            # separate-tensor megakernel (incl. per-shard under a tp mesh —
+            # ops/qmatmul._tp_qmm_ffn): plain gated FFN only; any bitnet
+            # scale/bias/sub-norm variant needs the intermediates
+            plain = all(lp.get(k) is None for k in (
+                "ffn_gate_scale", "ffn_gate_b", "ffn_up_scale", "ffn_up_b",
+                "ffn_sub_norm", "ffn_down_scale"))
+            down = None if collect_stats or not plain else qmm_ffn(
+                x, lp["ffn_gate"], lp["ffn_down"], act=cfg.act,
+                up=lp["ffn_up"])
+            if down is None:
+                gate = qmatmul(x, lp["ffn_gate"], compute_dtype=compute_dtype)
+                if lp.get("ffn_gate_scale") is not None:  # bitnet
+                    gate = gate * lp["ffn_gate_scale"]
+                if lp.get("ffn_gate_b") is not None:
+                    gate = gate + lp["ffn_gate_b"]
+                up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
+                if lp.get("ffn_up_scale") is not None:
+                    up = up * lp["ffn_up_scale"]
+                if lp.get("ffn_up_b") is not None:
+                    up = up + lp["ffn_up_b"]
+                ffn = act(gate) * up
+                if lp.get("ffn_sub_norm") is not None:  # bitnet: norm before down
+                    ffn = rms_norm(ffn, lp["ffn_sub_norm"], cfg.rms_eps)
+                record(f"blk.{li}.ffn_down", ffn)
+                down = qmatmul(ffn.astype(compute_dtype), lp["ffn_down"], compute_dtype=compute_dtype)
+                if lp.get("ffn_down_scale") is not None:
+                    down = down * lp["ffn_down_scale"]
         else:
             up = qmatmul(x, lp["ffn_up"], compute_dtype=compute_dtype)
             if lp.get("ffn_up_b") is not None:

@@ -328,6 +328,7 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
     compact = "q6_t" in w.aux
     if not compact and not sym and "madj_t" not in w.aux:
         return None
+    bcast = os.environ.get("LKTPU_W4_BCAST", "0") == "1"
 
     grid = (kc // bkc, n // bn)
     nch_blk = bkc // CHUNK
@@ -429,6 +430,10 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
             out_ref[...] = jnp.zeros_like(out_ref)
 
         acc = jnp.zeros_like(out_ref)
+        if bcast:
+            # activation scales expanded ONCE per grid step (vs 16 column
+            # concats per chunk): row (i, r) of chunk t -> sx[i, 4t + r//4]
+            sx_rep = jnp.repeat(sx_scr[...], 4, axis=1)  # [bp, 4*nsb]
         for t in range(nch_blk):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
             cw = codes_ref[:, sl]  # [bn, 512] u8
@@ -440,6 +445,20 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
             p_hi = jax.lax.dot_general(
                 bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
+            if bcast:
+                # scale via [1, NG, bn] broadcasts against the 3-D partials
+                # instead of materializing [bp*NG, bn] tiles (LKTPU_W4_BCAST
+                # A/B; the multiply count is identical)
+                gsl = slice(t * NG, (t + 1) * NG)
+                s_lo = (sc_lo_all if compact else sclo_ref)[gsl]
+                s_hi = (sc_hi_all if compact else schi_ref)[gsl]
+                sxc = sx_rep[:, gsl][:, :, None]  # [bp, NG, 1]
+                c3 = (p_lo.reshape(bp, NG, bn).astype(jnp.float32)
+                      * s_lo.astype(jnp.float32)[None]
+                      + p_hi.reshape(bp, NG, bn).astype(jnp.float32)
+                      * s_hi.astype(jnp.float32)[None])
+                acc = acc + (c3 * sxc).sum(axis=1)
+                continue
             if compact:
                 sc_lo = jnp.tile(sc_lo_all[t * NG:(t + 1) * NG, :], (bp, 1))
                 sc_hi = jnp.tile(sc_hi_all[t * NG:(t + 1) * NG, :], (bp, 1))

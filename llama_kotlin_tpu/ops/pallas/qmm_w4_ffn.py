@@ -84,13 +84,20 @@ def _plan_bf(f_pad: int, compact: bool = False) -> Optional[int]:
 
 def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
                       act: str = "silu", interpret: bool = False,
-                      max_rows: int = 32) -> Optional[jnp.ndarray]:
+                      max_rows: int = 32,
+                      up: Optional[QTensor] = None) -> Optional[jnp.ndarray]:
     """x [..., E] f32 -> act(x@gate^T) * (x@up^T) @ down^T as [..., E] f32,
     or None if the shapes/layouts don't qualify (caller falls back to the
-    separate gate|up and down launches)."""
+    separate gate|up and down launches).
+
+    Two weight layouts: `up=None` takes the single-chip fused tensor
+    gu = [gate; up] [2F, E]; `up` given takes SEPARATE gate [F, E] and
+    up [F, E] tensors — the layout TP shards arrive in (contiguous
+    row-shards of a fused tensor would split into all-gate/all-up halves,
+    so the per-shard megakernel consumes the unfused pair instead)."""
     if act not in ("silu", "gelu"):
         return None
-    for w in (gu, dn):
+    for w in (gu, dn) + ((up,) if up is not None else ()):
         if (not w.hi_signed or w.aux is None or "precise" in w.aux
                 or w.is_stacked or w.tp_axis is not None):
             return None
@@ -103,11 +110,18 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
     if kc_e * 2 != E or (kc_e % CHUNK) != 0:
         return None  # E must be chunk-aligned with no fold padding
     f_pad = dn.k_pad
-    if gu.codes.shape[0] != 2 * f_pad:
-        return None  # gate/up halves must tile F_pad exactly (F%1024==0)
+    if up is None:
+        if gu.codes.shape[0] != 2 * f_pad:
+            return None  # gate/up halves must tile F_pad exactly (F%1024==0)
+    else:
+        if (gu.codes.shape[0] != f_pad or up.codes.shape[0] != f_pad
+                or up.shape != gu.shape or up.codes.shape != gu.codes.shape):
+            return None
     compact = "q6_t" in gu.aux
     if compact != ("q6_t" in dn.aux):
         return None  # mixed aux flavors: two-launch path handles each
+    if up is not None and compact != ("q6_t" in up.aux):
+        return None
     if compact and (E // 64) < 32:
         return None  # gate/up int8 scale blocks below the (32, 128) tile
     bf = _plan_bf(f_pad, compact=compact)
@@ -115,8 +129,12 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
         return None
     gu_sym = "sym" in gu.aux
     dn_sym = "sym" in dn.aux
+    if up is not None and ("sym" in up.aux) != gu_sym:
+        return None  # the kernel applies one min-term flavor to both halves
     if not compact:
         if not gu_sym and "madj_t" not in gu.aux:
+            return None
+        if not gu_sym and up is not None and "madj_t" not in up.aux:
             return None
         if not dn_sym and "madj_t" not in dn.aux:
             return None
@@ -128,14 +146,15 @@ def qmm_w4_ffn_matmul(x: jnp.ndarray, gu: QTensor, dn: QTensor, *,
     x2 = x.reshape(b_real, E).astype(jnp.float32)
     if bp != b_real:
         x2 = jnp.pad(x2, ((0, bp - b_real), (0, 0)))
-    y = qmm_w4_ffn(x2, gu, dn, bf=bf, act=act, interpret=interpret)
+    y = qmm_w4_ffn(x2, gu, dn, bf=bf, act=act, interpret=interpret, up=up)
     if y is None:
         return None
     return y[:b_real].reshape(*lead_shape, E)
 
 
 def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
-               act: str, interpret: bool = False) -> Optional[jnp.ndarray]:
+               act: str, interpret: bool = False,
+               up: Optional[QTensor] = None) -> Optional[jnp.ndarray]:
     E = gu.shape[1]
     f_pad = dn.k_pad
     bp = x_pad.shape[0]
@@ -145,9 +164,14 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
     nsb_e = E // SPAN       # x superblocks
     nsb = bf // SPAN        # h superblocks per block
     fb = f_pad // bf        # block count = grid size; up rows start at fb
+    # separate-tensor layout (TP shards): up blocks index the up tensor at
+    # f instead of the fused tensor at fb + f
+    u_t = gu if up is None else up
+    u_off = fb if up is None else 0
     compact = "q6_t" in gu.aux
     gu_sym = "sym" in gu.aux
     dn_sym = "sym" in dn.aux
+    bcast = os.environ.get("LKTPU_W4_BCAST", "0") == "1"
     # x group sums for the gu min term: sym = lo-plane groups only;
     # compact = [lo-plane | hi-plane] order; legacy asym = sequential
     gx_cols = kc_e // 32 if gu_sym else E // 32
@@ -246,6 +270,8 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 d_all, dmin_all = split_dd(cm[1][...])  # [E//64, bf] f32
                 sc_lo_all = q6[0].astype(_F32) * d_all
                 sc_hi_all = q6[1].astype(_F32) * (d_all * 0.0625)
+            if bcast:
+                sx_rep = jnp.repeat(sx_scr[...], 4, axis=1)  # [bp, E//64]
             acc = jnp.zeros((bp, bf), _F32)
             for t in range(nch_e):
                 sl = slice(t * CHUNK, (t + 1) * CHUNK)
@@ -260,12 +286,25 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 p_hi = jax.lax.dot_general(
                     bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
+                gsl = slice(t * NG, (t + 1) * NG)
+                if bcast:
+                    # [1, NG, bf] broadcasts against 3-D partials instead of
+                    # materialized [bp*NG, bf] tiles (LKTPU_W4_BCAST A/B)
+                    s_lo = (sc_lo_all if compact else sclo_ref)[gsl]
+                    s_hi = (sc_hi_all if compact else schi_ref)[gsl]
+                    sxc = sx_rep[:, gsl][:, :, None]
+                    c3 = (p_lo.reshape(bp, NG, bf).astype(_F32)
+                          * s_lo.astype(_F32)[None]
+                          + p_hi.reshape(bp, NG, bf).astype(_F32)
+                          * s_hi.astype(_F32)[None])
+                    acc = acc + (c3 * sxc).sum(axis=1)
+                    continue
                 if compact:
-                    sc_lo = jnp.tile(sc_lo_all[t * NG:(t + 1) * NG, :], (bp, 1))
-                    sc_hi = jnp.tile(sc_hi_all[t * NG:(t + 1) * NG, :], (bp, 1))
+                    sc_lo = jnp.tile(sc_lo_all[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(sc_hi_all[gsl, :], (bp, 1))
                 else:
-                    sc_lo = jnp.tile(sclo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
-                    sc_hi = jnp.tile(schi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
+                    sc_lo = jnp.tile(sclo_ref[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(schi_ref[gsl, :], (bp, 1))
                 contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
                            + p_hi.astype(_F32) * sc_hi.astype(_F32))
                 # chunk t covers x superblocks 4t..4t+3; row (i,r) -> 4t+r//4
@@ -348,14 +387,7 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
             p_hi = jax.lax.dot_general(
                 bd_hi[:, sl], dhi_w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            if compact:
-                sc_lo = jnp.tile(scd_lo_all[t * NG:(t + 1) * NG, :], (bp, 1))
-                sc_hi = jnp.tile(scd_hi_all[t * NG:(t + 1) * NG, :], (bp, 1))
-            else:
-                sc_lo = jnp.tile(dnslo_ref[t * NG:(t + 1) * NG, :], (bp, 1))
-                sc_hi = jnp.tile(dnshi_ref[t * NG:(t + 1) * NG, :], (bp, 1))
-            contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
-                       + p_hi.astype(_F32) * sc_hi.astype(_F32))
+            gsl = slice(t * NG, (t + 1) * NG)
             # chunk t covers superblocks 4t..4t+3; row (i, r) -> sb 4t+r//4
             # — the scale applies as a [bp, NG, 1] broadcast after the 3-D
             # reshape (a [bp, NG] -> [bp*NG, 1] column reshape is a shape
@@ -363,6 +395,23 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
             sxc = jnp.concatenate(
                 [d_parts[4 * t + q] for q in range(4) for _ in range(4)],
                 axis=1)[:, :, None]  # [bp, NG, 1]
+            if bcast:
+                s_lo = (scd_lo_all if compact else dnslo_ref)[gsl]
+                s_hi = (scd_hi_all if compact else dnshi_ref)[gsl]
+                c3 = (p_lo.reshape(bp, NG, E).astype(_F32)
+                      * s_lo.astype(_F32)[None]
+                      + p_hi.reshape(bp, NG, E).astype(_F32)
+                      * s_hi.astype(_F32)[None])
+                acc = acc + (c3 * sxc).sum(axis=1)
+                continue
+            if compact:
+                sc_lo = jnp.tile(scd_lo_all[gsl, :], (bp, 1))
+                sc_hi = jnp.tile(scd_hi_all[gsl, :], (bp, 1))
+            else:
+                sc_lo = jnp.tile(dnslo_ref[gsl, :], (bp, 1))
+                sc_hi = jnp.tile(dnshi_ref[gsl, :], (bp, 1))
+            contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
+                       + p_hi.astype(_F32) * sc_hi.astype(_F32))
             acc = acc + (contrib.reshape(bp, NG, E) * sxc).sum(axis=1)
 
         # ---- down min term from h's group sums (element order): a dot
@@ -425,33 +474,34 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
     in_specs = [
         pl.BlockSpec((bp, E), (lambda f: (0, 0)), memory_space=pltpu.VMEM),
         pl.BlockSpec((bf, kc_e), (lambda f: (f, 0)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bf, kc_e), (lambda f: (fb + f, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bf, kc_e), (lambda f: (u_off + f, 0)), memory_space=pltpu.VMEM),
     ]
-    operands = [x_pad, gu.codes, gu.codes]
+    operands = [x_pad, gu.codes, u_t.codes]
     if compact:
-        for fmap3, fmap2 in (((lambda f: (0, 0, f)), (lambda f: (0, f))),
-                             ((lambda f: (0, 0, fb + f)),
-                              (lambda f: (0, fb + f)))):
+        for src, fmap3, fmap2 in (
+                (gu, (lambda f: (0, 0, f)), (lambda f: (0, f))),
+                (u_t, (lambda f: (0, 0, u_off + f)),
+                 (lambda f: (0, u_off + f)))):
             in_specs += [
                 pl.BlockSpec((4, E // 64, bf), fmap3, memory_space=pltpu.VMEM),
                 pl.BlockSpec((E // 128, bf), fmap2, memory_space=pltpu.VMEM),
             ]
-            operands += [gu.aux["q6_t"], gu.aux["dd_t"]]
+            operands += [src.aux["q6_t"], src.aux["dd_t"]]
     else:
         in_specs += [
             pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), (lambda f: (0, u_off + f)), memory_space=pltpu.VMEM),
             pl.BlockSpec((E // 64, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E // 64, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), (lambda f: (0, u_off + f)), memory_space=pltpu.VMEM),
         ]
-        operands += [gu.aux["scw_lo"], gu.aux["scw_lo"],
-                     gu.aux["scw_hi"], gu.aux["scw_hi"]]
+        operands += [gu.aux["scw_lo"], u_t.aux["scw_lo"],
+                     gu.aux["scw_hi"], u_t.aux["scw_hi"]]
         if not gu_sym:
             in_specs += [
                 pl.BlockSpec((E // 32, bf), (lambda f: (0, f)), memory_space=pltpu.VMEM),
-                pl.BlockSpec((E // 32, bf), (lambda f: (0, fb + f)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((E // 32, bf), (lambda f: (0, u_off + f)), memory_space=pltpu.VMEM),
             ]
-            operands += [gu.aux["madj_t"], gu.aux["madj_t"]]
+            operands += [gu.aux["madj_t"], u_t.aux["madj_t"]]
     in_specs += [
         pl.BlockSpec((E, bf // 2), (lambda f: (0, f)), memory_space=pltpu.VMEM),
     ]

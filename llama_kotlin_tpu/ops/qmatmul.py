@@ -214,24 +214,102 @@ def _tp_qmatmul(x: jnp.ndarray, w: QTensor, *, compute_dtype) -> Optional[jnp.nd
 
 
 def qmm_ffn(x: jnp.ndarray, gu: Weight, dn: Weight,
-            act: str = "silu") -> Optional[jnp.ndarray]:
+            act: str = "silu", up: Optional[Weight] = None) -> Optional[jnp.ndarray]:
     """Fused gated-FFN fast path: act(x@gate^T)*(x@up^T) @ down^T in ONE
     Pallas launch (ops/pallas/qmm_w4_ffn.py) — gate|up|down weights stream
     through a single pipelined grid and the intermediate h never leaves
     VMEM.  Returns None when ineligible (caller uses the two-launch path;
-    numerics match it bit-for-bit, see the kernel docstring)."""
+    numerics match it bit-for-bit, see the kernel docstring).
+
+    `up=None`: gu is the single-chip fused [gate; up] tensor.  `up` given:
+    gu is gate, both [F, E] — the layout TP loads use (loader fuses only
+    at tp==1).  When the three tensors carry tp_axis markers the megakernel
+    dispatches PER SHARD under jax.shard_map (+psum over the row-parallel
+    down), so multi-chip serving runs the same full-speed kernel as the
+    single-chip headline (cf. reference row-split mode carrying its
+    full-speed kernels, src/llama.cpp:3216-3289)."""
     if not (isinstance(gu, QTensor) and isinstance(dn, QTensor)):
         return None
-    if gu.tp_axis is not None or dn.tp_axis is not None:
-        return None  # sharded serving: per-shard fusion via _tp_qmatmul TBD
+    if up is not None and not isinstance(up, QTensor):
+        return None
     if os.environ.get("LKTPU_FFN_FUSED", "1") == "0":
         return None  # A/B knob: fall back to the two-launch path
     if not _use_pallas():
         return None
     from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_or_none
 
-    return qmm_w4_ffn_or_none(x, gu, dn, act=act,
+    if gu.tp_axis is not None or dn.tp_axis is not None \
+            or (up is not None and up.tp_axis is not None):
+        return _tp_qmm_ffn(x, gu, dn, up, act)
+    return qmm_w4_ffn_or_none(x, gu, dn, act=act, up=up,
                               interpret=_interpret_forced())
+
+
+def _tp_qmm_ffn(x: jnp.ndarray, gate: QTensor, dn: QTensor,
+                up: Optional[QTensor], act: str) -> Optional[jnp.ndarray]:
+    """FFN megakernel under a tp mesh: gate/up column-parallel (tp_axis=0),
+    down row-parallel (tp_axis=1) — each shard holds a complete gated FFN
+    over its F/tp hidden columns (gate/up row-shard s and down
+    column-shard s cover the SAME f-block), so the local megakernel output
+    psums to the exact full FFN.  Needs the separate-tensor layout: a
+    fused [gate; up] tensor row-shards into all-gate/all-up halves."""
+    from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import (qmm_w4_ffn_matmul,
+                                                        qmm_w4_ffn_or_none)
+    from llama_kotlin_tpu.parallel.mesh import get_active_mesh
+
+    if up is None:
+        return None
+    mesh = get_active_mesh()
+    if mesh is None:
+        return None
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+    if tp <= 1 and not (tp == 1 and os.environ.get("LKTPU_TP_PROVE1") == "1"):
+        return None
+    if gate.tp_axis != 0 or up.tp_axis != 0 or dn.tp_axis != 1:
+        return None
+    F, E = gate.shape
+    if up.shape != (F, E) or dn.shape != (E, F) or x.shape[-1] != E:
+        return None
+    if F % tp or dn.k_pad != F:
+        return None
+    g_abs = _localize_abstract(gate, tp, 0)
+    u_abs = _localize_abstract(up, tp, 0)
+    d_abs = _localize_abstract(dn, tp, 1)
+    x_abs = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    try:
+        ok = jax.eval_shape(
+            lambda xx, g, u, d: qmm_w4_ffn_matmul(xx, g, d, up=u, act=act),
+            x_abs, g_abs, u_abs, d_abs) is not None
+    except Exception:
+        ok = False
+    if not ok:
+        return None
+    itp = _interpret_forced()
+    g_shape, d_shape = g_abs.shape, d_abs.shape
+
+    def f(xl, gl, ul, dl):
+        gl = _dc_replace(gl, shape=g_shape, tp_axis=None)
+        ul = _dc_replace(ul, shape=g_shape, tp_axis=None)
+        dl = _dc_replace(dl, shape=d_shape, tp_axis=None)
+        y = qmm_w4_ffn_or_none(xl, gl, dl, up=ul, act=act, interpret=itp)
+        if y is None:  # unreachable (eval_shape-gated); stay correct anyway
+            from llama_kotlin_tpu.ops.activations import ACTIVATIONS
+
+            g = jnp.dot(xl, dequantize(gl, dtype=jnp.float32).T)
+            u = jnp.dot(xl, dequantize(ul, dtype=jnp.float32).T)
+            h = (ACTIVATIONS[act](g) * u).astype(jnp.bfloat16).astype(
+                jnp.float32)
+            y = jnp.dot(h, dequantize(dl, dtype=jnp.float32).T)
+        return jax.lax.psum(y, "tp")
+
+    nd = x.ndim
+    x_spec = P(*((None,) * nd))
+    fn = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(x_spec, _w_specs(gate, 0), _w_specs(up, 0),
+                  _w_specs(dn, 1)),
+        out_specs=x_spec, check_vma=False)
+    return fn(x, gate, up, dn)
 
 
 def qmatmul(x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.bfloat16,

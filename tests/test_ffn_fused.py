@@ -58,6 +58,44 @@ def test_ffn_fused_gelu():
                                rtol=1e-6, atol=1e-6)
 
 
+def _split_gu(gu):
+    """Slice a fused [gate; up] W4 QTensor into separate gate/up tensors
+    (the layout TP row-shards deliver; see qmm_w4_ffn_matmul up=)."""
+    from dataclasses import replace
+
+    def half(lo):
+        sl = slice(0, F) if lo else slice(F, 2 * F)
+        aux = {}
+        for k, v in gu.aux.items():
+            nd = getattr(v, "ndim", 0)
+            if nd == 3:
+                aux[k] = v[:, :, sl]
+            elif nd == 2:
+                aux[k] = v[:, sl]
+            else:
+                aux[k] = v
+        return replace(
+            gu, codes=gu.codes[sl], g_scale=gu.g_scale[sl],
+            g_min=None if gu.g_min is None else gu.g_min[sl],
+            shape=(F, E), aux=aux)
+
+    return half(True), half(False)
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_ffn_separate_gate_up_matches_fused(sym):
+    """The separate-tensor layout (gate, up as two [F, E] QTensors — what
+    TP shards look like) is bit-identical to the fused [2F, E] call."""
+    rng = np.random.default_rng(4)
+    gu, dn = _fold_pair(rng, sym)
+    gate, up = _split_gu(gu)
+    x = jnp.asarray(rng.standard_normal((2, E)), jnp.float32)
+    ref = qmm_w4_ffn_matmul(x, gu, dn, act="silu", interpret=True)
+    out = qmm_w4_ffn_matmul(x, gate, dn, up=up, act="silu", interpret=True)
+    assert out is not None
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_ffn_fused_ineligible_shapes():
     rng = np.random.default_rng(3)
     # F=2816 pads to 3072 != gate/up rows -> megakernel declines

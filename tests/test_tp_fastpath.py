@@ -121,6 +121,51 @@ def test_tp_qmatmul_w8_kernel_parity(monkeypatch, axis):
 
 
 @needs_mesh
+def test_tp_ffn_megakernel_parity(monkeypatch):
+    """The FFN megakernel (separate gate/up layout) dispatches PER SHARD
+    under the tp mesh (ops/qmatmul._tp_qmm_ffn) and matches the unsharded
+    megakernel to f32 reduce-association tolerance (the row-parallel down
+    psums per-shard f-block partials)."""
+    import importlib
+
+    qm = importlib.import_module("llama_kotlin_tpu.ops.qmatmul")
+    from llama_kotlin_tpu.ops.pallas import qmm_w4_ffn
+    from llama_kotlin_tpu.parallel.sharding import _put
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _mesh(dp=1, tp=2)
+    rng = np.random.default_rng(11)
+    E, F = 2048, 4096  # per-shard F=2048: bf=1024 plan holds
+    gate = fold_to_w4(repack_float(
+        (rng.standard_normal((F, E)) * 0.1).astype(np.float32),
+        GGMLQuantType.Q4_K))
+    up = fold_to_w4(repack_float(
+        (rng.standard_normal((F, E)) * 0.1).astype(np.float32),
+        GGMLQuantType.Q4_K))
+    dn = fold_to_w4(repack_float(
+        (rng.standard_normal((E, F)) * 0.1).astype(np.float32),
+        GGMLQuantType.Q4_K))
+    x = jnp.asarray((rng.standard_normal((2, E)) * 0.5).astype(np.float32))
+
+    y_ref = qm.qmm_ffn(x, jax.tree.map(jnp.asarray, gate),
+                       jax.tree.map(jnp.asarray, dn), act="silu",
+                       up=jax.tree.map(jnp.asarray, up))
+    assert y_ref is not None, "unsharded separate-tensor megakernel declined"
+
+    gate_sh = _put(gate, mesh, P("tp", None))
+    up_sh = _put(up, mesh, P("tp", None))
+    dn_sh = _put(dn, mesh, P(None, "tp"))
+    assert gate_sh.tp_axis == 0 and dn_sh.tp_axis == 1
+    calls = _count_calls(monkeypatch, qmm_w4_ffn, "qmm_w4_ffn_matmul")
+    with mesh:
+        y_sh = qm.qmm_ffn(x, gate_sh, dn_sh, act="silu", up=up_sh)
+    assert y_sh is not None, "TP megakernel path declined"
+    assert calls, "megakernel did not execute under the tp mesh"
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+@needs_mesh
 def test_tp_qmatmul_declines_misaligned_row_shard():
     """A row shard whose local k doesn't fit the kernel plan must NOT take
     the shard_map path (sharded numerics stay mode-consistent): the global
@@ -187,13 +232,18 @@ def test_tp_sharded_w4_decode_runs_kernels(monkeypatch, tp_model, fast_mode):
     assert params_sh["layers"][0]["wq"].tp_axis == 0
     assert params_sh["layers"][0]["ffn_down"].tp_axis == 1
     calls = _count_calls(monkeypatch, qmm_w4, "qmm_w4_matmul")
+    from llama_kotlin_tpu.ops.pallas import qmm_w4_ffn
+    ffn_calls = _count_calls(monkeypatch, qmm_w4_ffn, "qmm_w4_ffn_matmul")
     ctx_tp = LlamaContext(cfg, params_sh, n_cells=64, compute_dtype=jnp.float32)
     ctx_tp.cache = shard_cache(ctx_tp.cache, mesh)
     with mesh:
         ctx_tp.decode(Batch.single(toks, logits_last_only=False))
         sharded = ctx_tp.get_logits()
-    # wq, wk, wv, wo, gate, up, down + output head all W4-eligible
-    assert len(calls) >= 8, f"kernel ran only {len(calls)} times"
+    # wq, wk, wv, wo + output head on the W4 kernel; gate|up|down go
+    # through the per-shard FFN megakernel when the shapes qualify (w4x
+    # tensors are megakernel-ineligible and use the two-launch kernels)
+    assert len(calls) + 3 * len(ffn_calls) >= 8, \
+        f"kernels ran only {len(calls)}+ffn:{len(ffn_calls)} times"
     np.testing.assert_allclose(sharded, base, atol=2e-3, rtol=1e-3)
 
 
