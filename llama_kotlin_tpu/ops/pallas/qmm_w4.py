@@ -432,8 +432,12 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
         acc = jnp.zeros_like(out_ref)
         if bcast:
             # activation scales expanded ONCE per grid step (vs 16 column
-            # concats per chunk): row (i, r) of chunk t -> sx[i, 4t + r//4]
-            sx_rep = jnp.repeat(sx_scr[...], 4, axis=1)  # [bp, 4*nsb]
+            # concats per chunk): row (i, r) of chunk t -> sx[i, 4t + r//4].
+            # Static concat, not jnp.repeat — a lane-dim repeat lowers to a
+            # (bp, nsb, 4)->(bp, 4*nsb) shape cast Mosaic rejects
+            sx_rep = jnp.concatenate(
+                [sx_scr[:, s:s + 1] for s in range(nsb) for _ in range(4)],
+                axis=1)  # [bp, 4*nsb]
         for t in range(nch_blk):
             sl = slice(t * CHUNK, (t + 1) * CHUNK)
             cw = codes_ref[:, sl]  # [bn, 512] u8

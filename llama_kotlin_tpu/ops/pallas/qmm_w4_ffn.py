@@ -271,7 +271,12 @@ def qmm_w4_ffn(x_pad: jnp.ndarray, gu: QTensor, dn: QTensor, *, bf: int,
                 sc_lo_all = q6[0].astype(_F32) * d_all
                 sc_hi_all = q6[1].astype(_F32) * (d_all * 0.0625)
             if bcast:
-                sx_rep = jnp.repeat(sx_scr[...], 4, axis=1)  # [bp, E//64]
+                # hoisted once per half (vs 16 column concats per chunk);
+                # static concat, not jnp.repeat — a lane-dim repeat lowers
+                # to a (bp, nsb, 4)->(bp, 4*nsb) shape cast Mosaic rejects
+                sx_rep = jnp.concatenate(
+                    [sx_scr[:, s:s + 1] for s in range(nsb_e)
+                     for _ in range(4)], axis=1)  # [bp, E//64]
             acc = jnp.zeros((bp, bf), _F32)
             for t in range(nch_e):
                 sl = slice(t * CHUNK, (t + 1) * CHUNK)

@@ -251,3 +251,43 @@ def test_w4_compact_gates(rng):
     assert "q6_t" not in w4x.aux
     w40 = fold_to_w4(repack_float(wf2, GGMLQuantType.Q4_0))
     assert "sym" in w40.aux and "q6_t" not in w40.aux
+
+
+def test_w4_decode_kernels_never_read_gscale_planes(rng):
+    """Streamed-bytes audit (bench.py w_gbps accounting): the decode-path
+    kernels must consume ONLY codes + the transposed aux planes; the f32
+    g_scale/g_min effective planes are HBM-resident for the dequant/
+    prefill paths but never cross HBM on the decode loop.  Proof: poison
+    g_scale/g_min with garbage -> kernel outputs are BIT-IDENTICAL (an op
+    cannot be insensitive to a buffer it reads).  On device the same claim
+    holds arithmetically: the FFN megakernel measures ~690 GB/s on
+    streamed-bytes accounting (4.625 bits/wt); counting the f32 planes
+    (+43%) would put it over the v5e 819 GB/s speed-of-light."""
+    from dataclasses import replace
+
+    from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_matmul
+
+    E, F = 2048, 4096
+    gu = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(
+        (rng.standard_normal((2 * F, E)) * 0.1).astype(np.float32),
+        GGMLQuantType.Q4_K)))
+    dn = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(
+        (rng.standard_normal((E, F)) * 0.1).astype(np.float32),
+        GGMLQuantType.Q4_K)))
+    w = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(
+        (rng.standard_normal((512, E)) * 0.1).astype(np.float32),
+        GGMLQuantType.Q4_K)))
+
+    def poison(q):
+        return replace(q, g_scale=jnp.full_like(q.g_scale, 777.0),
+                       g_min=None if q.g_min is None
+                       else jnp.full_like(q.g_min, -333.0))
+
+    x = jnp.asarray(rng.standard_normal((2, E)) * 0.7, jnp.float32)
+    ref_mm = qmm_w4_matmul(x, w, interpret=True)
+    got_mm = qmm_w4_matmul(x, poison(w), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mm), np.asarray(ref_mm))
+    ref_ffn = qmm_w4_ffn_matmul(x, gu, dn, interpret=True)
+    got_ffn = qmm_w4_ffn_matmul(x, poison(gu), poison(dn), interpret=True)
+    assert ref_ffn is not None
+    np.testing.assert_array_equal(np.asarray(got_ffn), np.asarray(ref_ffn))
