@@ -884,6 +884,13 @@ def quantize(x: np.ndarray, qtype: GGMLQuantType,
         # round-to-nearest-even like ggml_compute_fp32_to_bf16
         rounded = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype("<u2")
         return rounded.view(np.uint8).reshape(-1)
+    from llama_kotlin_tpu.quant.iq_encode import IQ_ENCODERS
+
+    if qtype in IQ_ENCODERS:
+        xf = np.ascontiguousarray(x, np.float32)
+        xf = xf.reshape(1, -1) if xf.ndim == 1 else xf.reshape(-1, xf.shape[-1])
+        qww = None if qw is None else np.asarray(qw, np.float32)
+        return IQ_ENCODERS[qtype](xf, qw=qww).reshape(-1)
     if qtype in _QUANT:
         return _QUANT[qtype](np.ascontiguousarray(x, np.float32))
     raise NotImplementedError(f"quantize not implemented for {qtype!r}")

@@ -38,6 +38,10 @@ FTYPES = {
     "Q5_K_S": GGMLQuantType.Q5_K,
     "Q5_K_M": GGMLQuantType.Q5_K,
     "Q6_K": GGMLQuantType.Q6_K,
+    "IQ2_XXS": GGMLQuantType.IQ2_XXS,
+    "IQ2_XS": GGMLQuantType.IQ2_XS,
+    "IQ3_XXS": GGMLQuantType.IQ3_XXS,
+    "IQ3_S": GGMLQuantType.IQ3_S,
     "IQ4_NL": GGMLQuantType.IQ4_NL,
     "IQ4_XS": GGMLQuantType.IQ4_XS,
     "F16": GGMLQuantType.F16,
@@ -56,6 +60,12 @@ def tensor_get_type(name: str, default: GGMLQuantType, ftype: str,
                        GGMLQuantType.Q5_K, GGMLQuantType.Q4_0, GGMLQuantType.Q4_1,
                        GGMLQuantType.Q5_0, GGMLQuantType.Q5_1):
             return GGMLQuantType.Q6_K
+    iq_low = (GGMLQuantType.IQ2_XXS, GGMLQuantType.IQ2_XS,
+              GGMLQuantType.IQ3_XXS)
+    if name == "output.weight" and default in iq_low + (GGMLQuantType.IQ3_S,):
+        return GGMLQuantType.Q5_K  # lm head stays high-bit (cf. quantize.cpp)
+    if name == "token_embd.weight" and default in iq_low:
+        return GGMLQuantType.Q4_K
     if name == "token_embd.weight" and default == GGMLQuantType.Q2_K:
         return GGMLQuantType.Q4_K  # embeddings suffer at 2 bits
     if ".attn_v.weight" in name and is_m:

@@ -52,7 +52,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from llama_kotlin_tpu.ops import qmatmul as qm
+    import importlib
+
+    # ops/__init__ re-exports the qmatmul FUNCTION, shadowing the
+    # submodule on attribute imports — resolve the module explicitly
+    qm = importlib.import_module("llama_kotlin_tpu.ops.qmatmul")
     from llama_kotlin_tpu.ops.attention import _tp_attention, attention_reference
     from llama_kotlin_tpu.parallel.mesh import make_mesh, set_active_mesh
     from llama_kotlin_tpu.parallel.sharding import _put
