@@ -120,6 +120,7 @@ class LlamaContext:
         self.timings = Timings()
         self._logits: Optional[jax.Array] = None
         self._logits_rows: Optional[np.ndarray] = None
+        self._topk_fns: dict = {}
         base_forward = forward_fn or llama_model.forward
 
         # cfg rides as a STATIC jit argument (identity-hashed) so
@@ -317,6 +318,24 @@ class LlamaContext:
         if self._logits is None:
             raise RuntimeError("no logits: call decode with output flags first")
         return np.asarray(self._logits)
+
+    def get_topk(self, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (values, token ids) of the last decode's logits rows,
+        computed ON DEVICE: fetches [n_out, k] instead of [n_out, vocab].
+        Greedy/speculative drafting only needs the argmax (or top-2 for
+        p_split forking), and the full-vocab f32 download is the dominant
+        per-call cost through the tunnel (cf. reference speculative.cpp's
+        host-side sampling — structurally unnecessary here)."""
+        if self._logits is None:
+            raise RuntimeError("no logits: call decode with output flags first")
+        fn = self._topk_fns.get(k)
+        if fn is None:
+            import jax
+
+            fn = self._topk_fns[k] = jax.jit(
+                lambda l: jax.lax.top_k(l, k))
+        v, i = fn(self._logits)
+        return np.asarray(v), np.asarray(i)
 
     def get_logits_ith(self, i: int = -1) -> np.ndarray:
         return self.get_logits()[i]

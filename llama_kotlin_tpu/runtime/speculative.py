@@ -55,6 +55,7 @@ def speculative_generate(
     decoding of the target (same argmax decisions).
     """
     sample = sample_fn or _greedy
+    greedy = sample_fn is None  # device top-k path (no full-vocab fetch)
     prompt_tokens = np.asarray(prompt_tokens, np.int32)
     for c in (target, draft):
         c.clear()
@@ -63,7 +64,8 @@ def speculative_generate(
             raise RuntimeError("prefill failed")
     stats = SpecStats()
     out: list[int] = []
-    last = sample(target.get_logits()[0])
+    last = (int(target.get_topk(1)[1][0, 0]) if greedy
+            else sample(target.get_logits()[0]))
     stats.n_target_calls += 1
     out.append(last)
     n_past = len(prompt_tokens)  # same for target and draft
@@ -77,7 +79,7 @@ def speculative_generate(
                                     seq_id=[0], output=[True]))
             if rc != 0:
                 break
-            d_tok = _greedy(draft.get_logits()[0])
+            d_tok = int(draft.get_topk(1)[1][0, 0])
             proposals.append(d_tok)
         if not proposals:
             # cache exhausted: fall back to plain decode of `last`
@@ -85,7 +87,8 @@ def speculative_generate(
                                      output=[True]))
             if rc != 0:
                 break
-            last = sample(target.get_logits()[0])
+            last = (int(target.get_topk(1)[1][0, 0]) if greedy
+                    else sample(target.get_logits()[0]))
             stats.n_target_calls += 1
             out.append(last)
             n_past += 1
@@ -102,20 +105,24 @@ def speculative_generate(
         stats.n_target_calls += 1
         if rc != 0:
             break
-        t_logits = target.get_logits()  # [len(chain), vocab]
+        if greedy:  # one [n, 1] fetch for the whole verify batch
+            t_choices = target.get_topk(1)[1][:, 0]
+        else:
+            t_logits = target.get_logits()  # [len(chain), vocab]
+            t_choices = [sample(t_logits[i]) for i in range(len(chain))]
         stats.n_drafted += len(proposals)
 
         n_accept = 0
         for i, p in enumerate(proposals):
-            t_choice = sample(t_logits[i])
-            if t_choice == p and p != eos_id and len(out) + n_accept + 1 < n_predict:
+            if (int(t_choices[i]) == p and p != eos_id
+                    and len(out) + n_accept + 1 < n_predict):
                 n_accept += 1
             else:
                 break
         stats.n_accepted += n_accept
         accepted = proposals[:n_accept]
         # the correction token comes from the target at the first mismatch
-        correction = sample(t_logits[n_accept])
+        correction = int(t_choices[n_accept])
         out.extend(accepted)
         out.append(correction)
         new_past = n_past + n_accept + 1
@@ -158,15 +165,11 @@ def speculative_generate_tree(
             raise RuntimeError("prefill failed")
     stats = SpecStats()
     out: list[int] = []
-    last = _greedy(target.get_logits()[0])
+    last = int(target.get_topk(1)[1][0, 0])
     stats.n_target_calls += 1
     out.append(last)
     n_past = len(prompt_tokens)
     all_branch_mask = np.int32(sum(1 << b for b in range(1, n_branches + 1)))
-
-    def softmax(x):
-        e = np.exp(x - x.max())
-        return e / e.sum()
 
     while len(out) < n_predict and last != eos_id:
         for c in (target, draft):
@@ -193,17 +196,18 @@ def speculative_generate_tree(
             if rc != 0:
                 ok = False
                 break
-            logits = draft.get_logits()
+            # device top-2: p2/p1 = exp(l2 - l1), so the p_split fork
+            # test needs only [n, 2] values+ids, not the vocab row
+            tv, ti = draft.get_topk(2)
             for i, b in enumerate(active):
                 paths[b].append(next_tok[b])
-                p = softmax(logits[i].astype(np.float64))
-                top2 = np.argsort(-p)[:2]
-                next_tok[b] = int(top2[0])
-                if n_free > 0 and p[top2[1]] > p_split * p[top2[0]]:
+                next_tok[b] = int(ti[i, 0])
+                ratio = float(np.exp(np.float64(tv[i, 1]) - np.float64(tv[i, 0])))
+                if n_free > 0 and ratio > p_split:
                     nb = next(x for x in range(1, n_branches + 1) if x not in paths)
                     draft.seq_cp(b, nb)
                     paths[nb] = list(paths[b])
-                    next_tok[nb] = int(top2[1])
+                    next_tok[nb] = int(ti[i, 1])
                     n_free -= 1
         if not ok or not any(paths.values()):
             # cache exhausted or nothing drafted: plain decode of `last`
@@ -213,7 +217,7 @@ def speculative_generate_tree(
                                      output=[True]))
             if rc != 0:
                 break
-            last = _greedy(target.get_logits()[0])
+            last = int(target.get_topk(1)[1][0, 0])
             stats.n_target_calls += 1
             out.append(last)
             n_past += 1
@@ -248,12 +252,12 @@ def speculative_generate_tree(
         stats.n_target_calls += 1
         if rc != 0:
             break
-        t_logits = target.get_logits()
+        t_choices = target.get_topk(1)[1][:, 0]  # [n_nodes] device argmax
         row_of = {k: i for i, k in enumerate(keys)}
 
         cur: tuple = ()
         while True:
-            t = _greedy(t_logits[row_of[cur]])
+            t = int(t_choices[row_of[cur]])
             out.append(t)
             child = cur + (t,)
             if (child in nodes and t != eos_id
@@ -351,7 +355,7 @@ def lookup_generate(
     cache.update(history)
     stats = SpecStats()
     out: list[int] = []
-    last = _greedy(target.get_logits()[0])
+    last = int(target.get_topk(1)[1][0, 0])
     stats.n_target_calls += 1
     out.append(last)
     history.append(last)
@@ -367,17 +371,17 @@ def lookup_generate(
         stats.n_target_calls += 1
         if rc != 0:
             break
-        t_logits = target.get_logits()
+        t_choices = target.get_topk(1)[1][:, 0]
         stats.n_drafted += len(proposals)
         n_accept = 0
         for i, p in enumerate(proposals):
-            if _greedy(t_logits[i]) == p and p != eos_id \
+            if int(t_choices[i]) == p and p != eos_id \
                     and len(out) + n_accept + 1 < n_predict:
                 n_accept += 1
             else:
                 break
         stats.n_accepted += n_accept
-        correction = _greedy(t_logits[n_accept])
+        correction = int(t_choices[n_accept])
         accepted = proposals[:n_accept]
         out.extend(accepted)
         out.append(correction)
