@@ -107,6 +107,7 @@ def main() -> None:
             "overhead_pct": round((dt1 / dt0 - 1) * 100, 1)}), flush=True)
 
     # ---- flash attention under shard_map over the (1-way) head axis ----
+    set_active_mesh(mesh)  # _tp_attention declines without an active mesh
     H, KV, D, cells, nt = 32, 8, 128, 1024, 2
     q = jnp.asarray(rng.standard_normal((nt, H, D)), jnp.float32).astype(jnp.bfloat16)
     kc = jnp.asarray(rng.standard_normal((KV, cells, D)), jnp.float32).astype(jnp.bfloat16)
@@ -154,6 +155,46 @@ def main() -> None:
     set_active_mesh(None)
     print(json.dumps({
         "kind": "flash_shardmap", "q": list(q.shape), "cells": cells,
+        "unsharded_ms": round(dt0 * 1e3, 4),
+        "shardmap_ms": round(dt1 * 1e3, 4),
+        "overhead_pct": round((dt1 / dt0 - 1) * 100, 1)}), flush=True)
+
+    # ---- FFN megakernel under shard_map (headline decode kernel, 8B
+    # shapes: gate/up column-parallel, down row-parallel + psum) ----
+    from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_matmul
+
+    E_f, F_f = 4096, 14336
+    gate_q = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(
+        (rng.standard_normal((F_f, E_f)) * 0.02).astype(np.float32),
+        GGMLQuantType.Q4_K)))
+    up_q = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(
+        (rng.standard_normal((F_f, E_f)) * 0.02).astype(np.float32),
+        GGMLQuantType.Q4_K)))
+    dn_q = jax.tree.map(jnp.asarray, fold_to_w4(repack_float(
+        (rng.standard_normal((E_f, F_f)) * 0.02).astype(np.float32),
+        GGMLQuantType.Q4_K)))
+    xf = jnp.asarray((rng.standard_normal((2, E_f)) * 0.5).astype(np.float32))
+    set_active_mesh(None)
+    base = qmm_w4_ffn_matmul(xf, gate_q, dn_q, up=up_q, act="silu")
+    assert base is not None, "unsharded megakernel declined"
+    dt0 = timed_loop(
+        lambda xx: qmm_w4_ffn_matmul(xx, gate_q, dn_q, up=up_q, act="silu"),
+        xf, 2000)
+    gate_sh = _put(gate_q, mesh, P("tp", None))
+    up_sh = _put(up_q, mesh, P("tp", None))
+    dn_sh = _put(dn_q, mesh, P(None, "tp"))
+    assert gate_sh.tp_axis == 0 and dn_sh.tp_axis == 1
+    set_active_mesh(mesh)
+    y_sh = qm._tp_qmm_ffn(xf, gate_sh, dn_sh, up_sh, "silu")
+    assert y_sh is not None, "TP megakernel path declined"
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(base),
+                               atol=2e-2, rtol=2e-2)
+    dt1 = timed_loop(
+        lambda xx: qm._tp_qmm_ffn(xx, gate_sh, dn_sh, up_sh, "silu"),
+        xf, 2000)
+    set_active_mesh(None)
+    print(json.dumps({
+        "kind": "ffn_megakernel_shardmap", "shape": [E_f, F_f],
         "unsharded_ms": round(dt0 * 1e3, 4),
         "shardmap_ms": round(dt1 * 1e3, 4),
         "overhead_pct": round((dt1 / dt0 - 1) * 100, 1)}), flush=True)
