@@ -11,6 +11,8 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,7 +136,13 @@ def _repack_w4(data, qt, n: int, k: int, mode: str):
 
     rp = repack(data, qt, n, k)
     if rp.bits == 4 and rp.group_size == GROUP:
-        return fold_to_w4(rp, precise=(mode == "w4x"))
+        w4 = fold_to_w4(rp, precise=(mode == "w4x"))
+        if mode == "w4" and os.environ.get("LKTPU_DUAL_FOLD") == "1":
+            from llama_kotlin_tpu.quant.fold import attach_q8
+            from llama_kotlin_tpu.quant import numpy_ref as _nr
+
+            w4 = attach_q8(w4, _nr.dequantize(data, qt, shape=(n, k)))
+        return w4
     if rp.group_size in (16, 32):
         return fold_to_w8(rp, precise=(mode == "w4x"))
     return rp if mode == "w4x" else repack_q8flat(data, qt, n, k)

@@ -209,24 +209,31 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
     if compact:
         packed, s_eff, m_adj, q6_t, dd_t = _w4_gen(
             n, k, scale, precise, sym, True)(key)
-        return QTensor(
+        qt = QTensor(
             codes=packed, g_scale=s_eff, g_min=m_adj,
             sb_scale=None, sb_min=None,
             qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
             shape=(n, k), hi_signed=True,
             aux={"q6_t": q6_t, "dd_t": dd_t},
         )
-    packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(
-        n, k, scale, precise, sym)(key)
-    return QTensor(
-        codes=packed, g_scale=s_st, g_min=m_adj, sb_scale=None, sb_min=None,
-        qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
-        shape=(n, k), hi_signed=True,
-        aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
-             **({"sym": jnp.ones((), jnp.bool_)} if sym
-                else {"madj_t": madj_t}),
-             **({"precise": jnp.ones((), jnp.bool_)} if precise else {})},
-    )
+    else:
+        packed, s_st, m_adj, scw_lo, scw_hi, madj_t = _w4_gen(
+            n, k, scale, precise, sym)(key)
+        qt = QTensor(
+            codes=packed, g_scale=s_st, g_min=m_adj, sb_scale=None,
+            sb_min=None,
+            qtype=_QT.Q4_K, bits=4, group_size=GROUP, code_offset=0,
+            shape=(n, k), hi_signed=True,
+            aux={"scw_lo": scw_lo, "scw_hi": scw_hi,
+                 **({"sym": jnp.ones((), jnp.bool_)} if sym
+                    else {"madj_t": madj_t}),
+                 **({"precise": jnp.ones((), jnp.bool_)} if precise else {})},
+        )
+    if not precise and _os.environ.get("LKTPU_DUAL_FOLD") == "1":
+        from llama_kotlin_tpu.quant.fold import attach_q8_device
+
+        qt = attach_q8_device(qt)  # high-batch Q8F shadow (ops/qmatmul)
+    return qt
 
 
 @lru_cache(maxsize=None)

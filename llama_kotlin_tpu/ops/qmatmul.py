@@ -52,6 +52,13 @@ def _interpret_forced() -> bool:
     return bool(os.environ.get("LKTPU_FORCE_PALLAS_INTERPRET"))
 
 
+def _w4_bmax() -> int:
+    """Decode-row count above which W4 dispatch switches to the Q8F shadow
+    fold when one is attached (see quant/fold.attach_q8).  Default from the
+    round-5 device b-sweep (STATUS.md); LKTPU_W4_BMAX overrides."""
+    return int(os.environ.get("LKTPU_W4_BMAX", "8"))
+
+
 def _use_pallas() -> bool:
     if _interpret_forced():
         return True
@@ -67,6 +74,28 @@ def _pallas_dispatch(x: jnp.ndarray, w: QTensor, compute_dtype) -> Optional[jnp.
     None when no kernel takes the shapes."""
     itp = _interpret_forced()
     if w.hi_signed:
+        aux = w.aux or {}
+        if "q8_codes" in aux:
+            # high-batch switch (quant/fold.attach_q8): above LKTPU_W4_BMAX
+            # decode rows the block-diagonal kernel's 16x MXU row redundancy
+            # is compute-bound; route to the dense HBM-bound Q8F kernel.
+            # Capped at 256 rows so real prefill keeps the fused dequant
+            # path (weights stream once per many rows there).
+            b_rows = 1
+            for d in x.shape[:-1]:
+                b_rows *= int(d)
+            if _w4_bmax() < b_rows <= 256:
+                from llama_kotlin_tpu.ops.pallas.qmm_int8 import \
+                    qmm_int8_or_none
+                from llama_kotlin_tpu.quant.formats import GGMLQuantType
+
+                q8 = QTensor(codes=aux["q8_codes"], g_scale=aux["q8_scale"],
+                             g_min=None, sb_scale=None, sb_min=None,
+                             qtype=GGMLQuantType.Q8_0, bits=8,
+                             group_size=SPAN, code_offset=0, shape=w.shape)
+                y = qmm_int8_or_none(x, q8, interpret=itp)
+                if y is not None:
+                    return y
         from llama_kotlin_tpu.ops.pallas.qmm_w4 import qmm_w4_or_none
 
         y = qmm_w4_or_none(x, w, interpret=itp)
@@ -102,6 +131,8 @@ def _w_specs(w: QTensor, axis: int):
     def spec_fn(path, a):
         nd = getattr(a, "ndim", 0)
         is_aux = bool(path) and getattr(path[0], "name", None) == "aux"
+        if is_aux and str(getattr(path[-1], "key", "")).startswith("q8_"):
+            return P(*main)  # Q8F shadow planes are main-oriented [n, .]
         if is_aux and nd == 3:
             return P(*aux3)
         if nd != 2:
@@ -118,6 +149,10 @@ def _localize_abstract(w: QTensor, tp: int, axis: int) -> QTensor:
     def loc(path, a):
         nd = getattr(a, "ndim", 0)
         is_aux = bool(path) and getattr(path[0], "name", None) == "aux"
+        if is_aux and str(getattr(path[-1], "key", "")).startswith("q8_"):
+            s = list(a.shape)  # main-oriented [n, .]; only col splits exist
+            s[axis] //= tp
+            return jax.ShapeDtypeStruct(tuple(s), a.dtype)
         if is_aux and nd == 3:  # compact planes [section, G-ish, n]
             s = list(a.shape)
             s[2 - axis] //= tp
@@ -236,6 +271,15 @@ def qmm_ffn(x: jnp.ndarray, gu: Weight, dn: Weight,
         return None  # A/B knob: fall back to the two-launch path
     if not _use_pallas():
         return None
+    if "q8_codes" in (gu.aux or {}):
+        # high-batch switch: above LKTPU_W4_BMAX rows the megakernel's
+        # block-diagonal MXU redundancy loses to pairwise dense Q8F
+        # matmuls — decline so the caller's two-launch path routes there
+        b_rows = 1
+        for d in x.shape[:-1]:
+            b_rows *= int(d)
+        if b_rows > _w4_bmax():
+            return None
     from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_ffn_or_none
 
     if gu.tp_axis is not None or dn.tp_axis is not None \

@@ -90,14 +90,25 @@ def _put(w: Any, mesh: Mesh, spec: P) -> Any:
         aux_sh3 = NamedSharding(mesh, P(None, axes[1], axes[0]))
         rep = NamedSharding(mesh, P())
 
-        def put_aux(a):
+        def put_aux(name, a):
             nd = getattr(a, "ndim", 0)
+            if name.startswith("q8_"):
+                # Q8F shadow planes (fold.attach_q8) are MAIN-oriented
+                # [n, k-ish]: under a column split they shard like the
+                # codes; under a row split the 256-span scale grouping
+                # would misalign, so drop them (the W4 kernel still runs)
+                if tp_axis == 1:
+                    return None
+                return jax.device_put(a, sh)
             return jax.device_put(
                 a, aux_sh3 if nd == 3 else (aux_sh2 if nd == 2 else rep))
 
         main = _dc_replace(w, aux=None)
         main = jax.tree.map(lambda a: jax.device_put(a, sh), main)
-        return _dc_replace(main, aux={k: put_aux(v) for k, v in w.aux.items()},
+        aux_out = {k: put_aux(k, v) for k, v in w.aux.items()}
+        return _dc_replace(main,
+                           aux={k: v for k, v in aux_out.items()
+                                if v is not None},
                            tp_axis=tp_axis)
     return jax.device_put(w, sh)
 

@@ -303,6 +303,59 @@ def float_to_w4(x: np.ndarray) -> QTensor:
                                    GGMLQuantType.Q4_K))
 
 
+def attach_q8(w4: QTensor, wf: Optional[np.ndarray] = None) -> QTensor:
+    """Attach a Q8F shadow fold for the high-batch decode switch.
+
+    The block-diagonal W4 kernel pays 16x MXU row redundancy for its
+    per-group scaling, going compute-bound above ~8 decode rows
+    (ops/pallas/qmm_w4.py:24-29); the dense Q8F int8 kernel stays
+    HBM-bound to far larger batches.  Serving that spans both regimes
+    holds BOTH folds resident (+~8.2 bits/weight HBM) and ops/qmatmul
+    routes per ubatch row count — the reference's small/large-batch
+    kernel split (mmvq vs dequant+GEMM, ggml-cuda mul_mat choice)
+    re-derived for the MXU.
+
+    aux['q8_codes'] [n, k_pad8] int8 + aux['q8_scale'] [n, k_pad8/256]
+    f32 (the qmm_int8 layout).  wf: pre-dequantized [n, k] float source
+    (loader fast path); defaults to dequantizing w4 itself."""
+    from llama_kotlin_tpu.quant.repack import float_to_q8flat
+
+    if wf is None:
+        from llama_kotlin_tpu.quant.qtensor import dequantize
+
+        wf = np.asarray(dequantize(w4, dtype=jnp.float32))
+    q8 = float_to_q8flat(np.ascontiguousarray(
+        np.asarray(wf, np.float32)[:, :w4.shape[1]]))
+    from dataclasses import replace
+
+    aux = dict(w4.aux or {})
+    aux["q8_codes"] = q8.codes
+    aux["q8_scale"] = q8.g_scale
+    return replace(w4, aux=aux)
+
+
+def attach_q8_device(w4: QTensor) -> QTensor:
+    """attach_q8 computed with jnp on the accelerator (synthetic 8B builds:
+    host-built planes would cost minutes through the tunnel)."""
+    from dataclasses import replace
+
+    from llama_kotlin_tpu.quant.qtensor import dequantize
+
+    wf = dequantize(w4, dtype=jnp.float32)
+    n, k = wf.shape
+    k_pad = -(-k // SPAN) * SPAN
+    if k_pad != k:
+        wf = jnp.pad(wf, ((0, 0), (0, k_pad - k)))
+    xr = wf.reshape(n, k_pad // SPAN, SPAN)
+    scale = jnp.max(jnp.abs(xr), axis=-1) / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    codes = jnp.clip(jnp.round(xr / safe[..., None]), -127, 127)
+    aux = dict(w4.aux or {})
+    aux["q8_codes"] = codes.astype(jnp.int8).reshape(n, k_pad)
+    aux["q8_scale"] = scale.astype(jnp.float32)
+    return replace(w4, aux=aux)
+
+
 def fold_to_w8(qt: QTensor, precise: bool = False) -> QTensor:
     """Any QTensor -> the W8 fast-mode layout: signed int8 element-order
     codes + per-group effective f32 scales transposed for the

@@ -291,3 +291,78 @@ def test_w4_decode_kernels_never_read_gscale_planes(rng):
     got_ffn = qmm_w4_ffn_matmul(x, poison(gu), poison(dn), interpret=True)
     assert ref_ffn is not None
     np.testing.assert_array_equal(np.asarray(got_ffn), np.asarray(ref_ffn))
+
+
+def test_w4_high_batch_q8_switch(rng, monkeypatch):
+    """attach_q8 + ops/qmatmul high-batch routing: above LKTPU_W4_BMAX
+    decode rows the dispatch leaves the block-diagonal W4 kernel for the
+    dense Q8F path (the reference's mmvq vs dequant+GEMM batch split);
+    below it the W4 path is untouched (bit-identical to the un-attached
+    tensor's result)."""
+    from llama_kotlin_tpu.ops import qmatmul as _qm_mod
+    from llama_kotlin_tpu.ops.qmatmul import qmatmul
+    from llama_kotlin_tpu.quant.fold import attach_q8
+
+    monkeypatch.setenv("LKTPU_FORCE_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("LKTPU_W4_BMAX", "8")
+    n, k = 256, 1024
+    wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    w4 = jax.tree.map(jnp.asarray,
+                      fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K)))
+    # no wf: the shadow encodes the Q4_K-DEQUANTIZED values, so the mode
+    # switch serves the same effective weights as the W4 path
+    dual = jax.tree.map(jnp.asarray, attach_q8(fold_to_w4(
+        repack_float(wf, GGMLQuantType.Q4_K))))
+    assert "q8_codes" in dual.aux and "q8_scale" in dual.aux
+
+    calls = []
+    orig = _qm_mod.__dict__.get("_pallas_dispatch")
+    from llama_kotlin_tpu.ops.pallas import qmm_int8 as _qi
+    orig_int8 = _qi.qmm_int8_or_none
+
+    def counting_int8(*a, **kw):
+        y = orig_int8(*a, **kw)
+        if y is not None:
+            calls.append(a[1].codes.shape)
+        return y
+
+    monkeypatch.setattr(_qi, "qmm_int8_or_none", counting_int8)
+
+    wref = np.asarray(dequantize(w4, jnp.float32))
+    # below the threshold: W4 path, bit-identical with/without shadow
+    x_lo = jnp.asarray(rng.standard_normal((2, k)) * 0.5, jnp.float32)
+    y_plain = np.asarray(qmatmul(x_lo, w4, compute_dtype=jnp.bfloat16))
+    y_dual = np.asarray(qmatmul(x_lo, dual, compute_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(y_dual, y_plain)
+    assert not calls
+    # above: Q8F path fires and matches the float reference within the
+    # W8A8 error budget
+    x_hi = jnp.asarray(rng.standard_normal((16, k)) * 0.5, jnp.float32)
+    y_hi = np.asarray(qmatmul(x_hi, dual, compute_dtype=jnp.bfloat16))
+    assert calls, "Q8F switch did not fire above LKTPU_W4_BMAX"
+    ref = np.asarray(x_hi) @ wref.T
+    err = np.abs(y_hi - ref).max()
+    scale = np.abs(ref).max() + 1e-6
+    assert err / scale < 0.03, f"q8 switch numerics off: {err/scale}"
+
+
+def test_w4_ffn_declines_at_high_batch_with_q8(rng, monkeypatch):
+    """qmm_ffn defers to pairwise Q8F matmuls above the batch threshold
+    when the dual fold is attached (the two-launch fallback then routes
+    each matmul through the high-batch switch)."""
+    from llama_kotlin_tpu.ops.qmatmul import qmm_ffn
+    from llama_kotlin_tpu.quant.fold import attach_q8
+
+    monkeypatch.setenv("LKTPU_FORCE_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("LKTPU_W4_BMAX", "8")
+    E, F = 2048, 2048
+    gu_f = (rng.standard_normal((2 * F, E)) * 0.05).astype(np.float32)
+    dn_f = (rng.standard_normal((E, F)) * 0.05).astype(np.float32)
+    gu = jax.tree.map(jnp.asarray, attach_q8(
+        fold_to_w4(repack_float(gu_f, GGMLQuantType.Q4_K)), gu_f))
+    dn = jax.tree.map(jnp.asarray,
+                      fold_to_w4(repack_float(dn_f, GGMLQuantType.Q4_K)))
+    x_lo = jnp.asarray(rng.standard_normal((2, E)) * 0.5, jnp.float32)
+    x_hi = jnp.asarray(rng.standard_normal((16, E)) * 0.5, jnp.float32)
+    assert qmm_ffn(x_lo, gu, dn, act="silu") is not None
+    assert qmm_ffn(x_hi, gu, dn, act="silu") is None
