@@ -26,7 +26,8 @@ from llama_kotlin_tpu.models.config import ModelConfig
 from llama_kotlin_tpu.ops.activations import ACTIVATIONS
 from llama_kotlin_tpu.ops.attention import alibi_slopes, attention, visibility_mask
 from llama_kotlin_tpu.ops.norms import layer_norm, rms_norm
-from llama_kotlin_tpu.ops.qmatmul import qmatmul, qmm_ffn, take_rows
+from llama_kotlin_tpu.ops.qmatmul import (qmatmul, qmm_ffn, qmm_layer,
+                                          take_rows)
 from llama_kotlin_tpu.ops.rope import apply_rope
 from llama_kotlin_tpu.runtime.kv_cache import KVCache
 
@@ -251,6 +252,25 @@ def forward(
         (falcon/phi2) — cf. build_falcon's use of attn_norm for the FFN.
         """
         record(f"blk.{li}.attn_output", attn)
+        if (not collect_stats
+                and not cfg.post_norm and not cfg.parallel_residual
+                and cfg.use_rms_norm and cfg.ffn_gated
+                and lp.get("ffn_gateup_fused") is not None
+                and lp.get("ffn_norm") is not None
+                and all(lp.get(kk) is None for kk in (
+                    "attn_sub_norm", "wo_scale", "bo", "post_attn_norm",
+                    "ffn_gate_inp", "ffn_down_b", "post_ffn_norm",
+                    "ffn_norm_exps"))):
+            # fused layer half: o-proj + residual + rmsnorm + gated FFN in
+            # one launch (ops/qmatmul.qmm_layer); declines -> normal path
+            h3 = qmm_layer(attn, h, lp["wo"], lp["ffn_gateup_fused"],
+                           lp["ffn_down"], lp["ffn_norm"],
+                           eps=cfg.rms_eps, act=cfg.act,
+                           norm_offset=cfg.norm_weight_offset)
+            if h3 is not None:
+                if cvec is not None:
+                    h3 = h3 + cvec.astype(h3.dtype)
+                return h3
         if lp.get("attn_sub_norm") is not None:  # bitnet: norm before wo
             attn = rms_norm(attn, lp["attn_sub_norm"], cfg.rms_eps)
         attn_out = qmatmul(attn, lp["wo"], compute_dtype=compute_dtype)

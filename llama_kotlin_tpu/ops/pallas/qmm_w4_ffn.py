@@ -569,3 +569,513 @@ def qmm_w4_ffn_or_none(x, gu, dn, **kw):
             "path" % (gu.shape, dn.shape, x.shape[-1],
                       type(e).__name__, str(e)[:200]))
         return None
+
+
+# ---------------------------------------------------------------------------
+# Layer megakernel: o-proj + residual + RMSNorm + gated FFN in ONE launch.
+# ---------------------------------------------------------------------------
+
+def qmm_w4_layer_matmul(attn: jnp.ndarray, h_resid: jnp.ndarray,
+                        o_t: QTensor, gu: QTensor, dn: QTensor,
+                        norm_w: jnp.ndarray, *, eps: float,
+                        act: str = "silu", norm_offset: float = 0.0,
+                        interpret: bool = False,
+                        max_rows: int = 8) -> Optional[jnp.ndarray]:
+    """h3 = h2 + FFN(rmsnorm(h2)) with h2 = h_resid + attn @ Wo^T — the
+    whole post-attention half of a pre-norm gated llama layer as ONE
+    Pallas launch (grid step 0 = o-proj prologue, steps 1..fb = the FFN
+    megakernel sweep above).
+
+    Per layer per token this removes the o launch's pipeline ramp and the
+    o→FFN XLA seam (stage-out of o, residual add, norm, re-stage — the
+    non-overlapped gaps in the round-4/5 decode traces), and lets Wo's
+    9.6 MB stream ride the same pipelined grid as the 130 MB FFN stream
+    instead of paying its own ramp-dominated launch (o standalone measured
+    495 GB/s vs the megakernel's ~690, STATUS.md round-5 log).
+
+    Semantics (bit-faithful to the unfused model path, models/llama.py):
+      o_out  = W4A8(attn) @ Wo^T        (same activation quantization)
+      h2     = h_resid + bf16(o_out)    (bf16 residual add)
+      r      = rms_norm(h2, norm_w, eps, norm_offset)   (ops/norms.py)
+      ffn    = megakernel(r)            (identical to qmm_w4_ffn above)
+      h3     = h2 + bf16(ffn)           (bf16 residual add)
+    The one divergence from composing the separate launches is o's f32
+    accumulation order (single k-sweep vs the standalone kernel's bkc
+    plan), inside the usual non-associativity noise.
+
+    Eligibility: single-chip fused gu ([gate; up], 2F x E), o square
+    [E, E] un-padded, o aux flavor == gu aux flavor, everything the FFN
+    megakernel already requires.  Returns h3 in h_resid's dtype, or None.
+    """
+    if act not in ("silu", "gelu"):
+        return None
+    for w in (o_t, gu, dn):
+        if (not w.hi_signed or w.aux is None or "precise" in w.aux
+                or w.is_stacked or w.tp_axis is not None):
+            return None
+    E = o_t.shape[1]
+    if o_t.shape != (E, E) or o_t.k_pad != E:
+        return None
+    if gu.shape[1] != E or dn.shape[0] != E:
+        return None
+    kc_e = E // 2
+    if kc_e % 1024 or (E // 64) < 32:
+        return None
+    f_pad = dn.k_pad
+    if gu.codes.shape[0] != 2 * f_pad:
+        return None  # fused [gate; up] only (the single-chip serving fold)
+    compact = "q6_t" in gu.aux
+    if compact != ("q6_t" in dn.aux) or compact != ("q6_t" in o_t.aux):
+        return None
+    gu_sym = "sym" in gu.aux
+    if ("sym" in o_t.aux) != gu_sym:
+        return None  # o shares the x-group-sum layout with gate/up
+    dn_sym = "sym" in dn.aux
+    if not compact:
+        for w, sym in ((gu, gu_sym), (o_t, gu_sym), (dn, dn_sym)):
+            if not sym and "madj_t" not in w.aux:
+                return None
+    if os.environ.get("LKTPU_W4_BCAST", "0") == "1":
+        return None  # layer kernel implements the default scale path only
+    bf = _plan_bf(f_pad, compact=compact)
+    if bf is None:
+        return None
+    lead_shape = attn.shape[:-1]
+    b_real = int(np.prod(lead_shape)) if lead_shape else 1
+    if attn.shape[-1] != E or h_resid.shape != attn.shape or b_real > max_rows:
+        return None
+    bp = max(2, int(2 ** math.ceil(math.log2(max(b_real, 1)))))
+    a2 = attn.reshape(b_real, E).astype(jnp.float32)
+    h2d = h_resid.reshape(b_real, E)
+    if bp != b_real:
+        a2 = jnp.pad(a2, ((0, bp - b_real), (0, 0)))
+        h2d = jnp.pad(h2d, ((0, bp - b_real), (0, 0)))
+    nw = norm_w.reshape(1, E).astype(jnp.float32)
+    y = _qmm_w4_layer(a2, h2d, o_t, gu, dn, nw, eps=float(eps),
+                      offset=float(norm_offset), bf=bf, act=act,
+                      interpret=interpret)
+    if y is None:
+        return None
+    return y[:b_real].reshape(*lead_shape, E).astype(h_resid.dtype)
+
+
+def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
+                  norm_w, *, eps: float, offset: float, bf: int, act: str,
+                  interpret: bool) -> Optional[jnp.ndarray]:
+    E = o_t.shape[1]
+    f_pad = dn.k_pad
+    bp = a_pad.shape[0]
+    kc_e = E // 2
+    nch_e = kc_e // CHUNK
+    nch_f = (bf // 2) // CHUNK
+    nsb_e = E // SPAN
+    nsb = bf // SPAN
+    fb = f_pad // bf
+    compact = "q6_t" in gu.aux
+    gu_sym = "sym" in gu.aux
+    dn_sym = "sym" in dn.aux
+    gx_cols = kc_e // 32 if gu_sym else E // 32
+    n_steps = 1 + fb
+
+    def kernel(a_ref, h_ref, nw_ref, oc_ref, *rest):
+        rest = list(rest)
+        oslo_ref = oshi_ref = omadj_ref = ocm = None
+        gslo_ref = uslo_ref = gshi_ref = ushi_ref = gmadj_ref = umadj_ref = None
+        gcm = ucm = dncm = None
+        dnslo_ref = dnshi_ref = dnmadj_ref = None
+        if compact:
+            ocm = (rest.pop(0), rest.pop(0))
+        else:
+            oslo_ref, oshi_ref = rest.pop(0), rest.pop(0)
+            if not gu_sym:
+                omadj_ref = rest.pop(0)
+        gc_ref, uc_ref = rest.pop(0), rest.pop(0)
+        if compact:
+            gcm = (rest.pop(0), rest.pop(0))
+            ucm = (rest.pop(0), rest.pop(0))
+        else:
+            gslo_ref, uslo_ref = rest.pop(0), rest.pop(0)
+            gshi_ref, ushi_ref = rest.pop(0), rest.pop(0)
+            if not gu_sym:
+                gmadj_ref, umadj_ref = rest.pop(0), rest.pop(0)
+        dnc_ref = rest.pop(0)
+        if compact:
+            dncm = (rest.pop(0), rest.pop(0))
+        else:
+            dnslo_ref, dnshi_ref = rest.pop(0), rest.pop(0)
+            if not dn_sym:
+                dnmadj_ref = rest.pop(0)
+        (out_ref, bdlo_scr, bdhi_scr, sx_scr, xg_scr,
+         h2_scr, facc_scr) = rest
+        pid = pl.program_id(0)
+
+        def prep(xb):
+            # quantize + block-diagonal planes + min-term group sums
+            # (identical to qmm_w4_ffn's step-0 prep)
+            lo_parts, hi_parts, d_parts, q_parts = [], [], [], []
+            for s in range(nsb_e):
+                xs = xb[:, s * SPAN:(s + 1) * SPAN]
+                amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+                d = amax / 127.0
+                safe = jnp.where(d > 0, d, 1.0)
+                q = jnp.clip(jnp.round(xs / safe), -127, 127).astype(jnp.int8)
+                lo_parts.append(q[:, :SPAN // 2])
+                hi_parts.append(q[:, SPAN // 2:])
+                d_parts.append(d)
+                if not gu_sym and not compact:
+                    q_parts.append(q)
+            x8_lo = jnp.concatenate(lo_parts, axis=-1)
+            x8_hi = jnp.concatenate(hi_parts, axis=-1)
+            sx_scr[...] = jnp.concatenate(d_parts, axis=-1)
+            col_blk = (jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, kc_e), 1) // 32) % NG
+            row_r = jax.lax.broadcasted_iota(
+                jnp.int32, (bp * NG, kc_e), 0) % NG
+            keep = col_blk == row_r
+            bdlo_scr[...] = jnp.where(keep, jnp.repeat(x8_lo, NG, axis=0),
+                                      jnp.int8(0))
+            bdhi_scr[...] = jnp.where(keep, jnp.repeat(x8_hi, NG, axis=0),
+                                      jnp.int8(0))
+            if compact:
+                half = gx_cols // 2
+                gm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (kc_e, half), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (kc_e, half), 1)).astype(jnp.int8)
+                gs_lo = jax.lax.dot_general(
+                    x8_lo, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                gs_hi = jax.lax.dot_general(
+                    x8_hi, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                dcat = jnp.concatenate(
+                    [d_parts[s] for s in range(nsb_e) for _ in range(4)],
+                    axis=-1)
+                xg_scr[...] = jnp.concatenate(
+                    [gs_lo * dcat, gs_hi * dcat], axis=-1)
+            else:
+                if gu_sym:
+                    src, rep = x8_lo, 4
+                else:
+                    src, rep = jnp.concatenate(q_parts, axis=-1), 8
+                gm = (jax.lax.broadcasted_iota(
+                    jnp.int32, (src.shape[1], gx_cols), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (src.shape[1], gx_cols), 1)).astype(jnp.int8)
+                gs = jax.lax.dot_general(
+                    src, gm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                xg_scr[...] = gs * jnp.concatenate(
+                    [d_parts[s] for s in range(nsb_e) for _ in range(rep)],
+                    axis=-1)
+
+        def half_dot(codes_ref, sclo_ref, schi_ref, madj_ref, cm, ncols):
+            # one weight tensor's [bp, ncols] product from the bd scratch
+            # planes (gu_half above, with the output width a parameter)
+            if compact:
+                q6 = cm[0][...]
+                d_all, dmin_all = split_dd(cm[1][...])
+                sc_lo_all = q6[0].astype(_F32) * d_all
+                sc_hi_all = q6[1].astype(_F32) * (d_all * 0.0625)
+            acc = jnp.zeros((bp, ncols), _F32)
+            for t in range(nch_e):
+                sl = slice(t * CHUNK, (t + 1) * CHUNK)
+                cw = codes_ref[:, sl]
+                lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
+                hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+                p_lo = jax.lax.dot_general(
+                    bdlo_scr[:, sl], lo_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                p_hi = jax.lax.dot_general(
+                    bdhi_scr[:, sl], hi_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                gsl = slice(t * NG, (t + 1) * NG)
+                if compact:
+                    sc_lo = jnp.tile(sc_lo_all[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(sc_hi_all[gsl, :], (bp, 1))
+                else:
+                    sc_lo = jnp.tile(sclo_ref[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(schi_ref[gsl, :], (bp, 1))
+                contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
+                           + p_hi.astype(_F32) * sc_hi.astype(_F32))
+                sxc = jnp.concatenate(
+                    [sx_scr[:, 4 * t + q:4 * t + q + 1]
+                     for q in range(4) for _ in range(4)],
+                    axis=1)[:, :, None]
+                acc = acc + (contrib.reshape(bp, NG, ncols) * sxc).sum(axis=1)
+            if compact:
+                half = gx_cols // 2
+                mw_lo = dmin_all * q6[2].astype(_F32)
+                mw_hi = dmin_all * q6[3].astype(_F32) - 128.0 * sc_hi_all
+                return (acc
+                        - jax.lax.dot_general(
+                            xg_scr[:, :half], mw_lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        - jax.lax.dot_general(
+                            xg_scr[:, half:], mw_hi, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST))
+            mw = (sclo_ref[...] * 8.0 if gu_sym else madj_ref[...]).astype(_F32)
+            return acc - jax.lax.dot_general(
+                xg_scr[...], mw, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(pid == 0)
+        def _o_stage():
+            prep(a_ref[...])
+            o_out = half_dot(oc_ref, oslo_ref, oshi_ref, omadj_ref, ocm, E)
+            h2 = h_ref[...] + o_out.astype(h_ref.dtype)  # bf16 residual add
+            h2_scr[...] = h2
+            xf = h2.astype(_F32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            # op-for-op ops/norms.rms_norm (1/sqrt, not rsqrt; two mults)
+            y = xf * (1.0 / jnp.sqrt(var + eps))
+            r = y * (nw_ref[...] + offset)
+            prep(r.astype(h_ref.dtype).astype(_F32))  # bf16-rounded norm out
+            facc_scr[...] = jnp.zeros_like(facc_scr)
+
+        @pl.when(pid > 0)
+        def _ffn_stage():
+            g = half_dot(gc_ref, gslo_ref, gshi_ref, gmadj_ref, gcm, bf)
+            u = half_dot(uc_ref, uslo_ref, ushi_ref, umadj_ref, ucm, bf)
+            h = (_act_f32(act, g) * u).astype(jnp.bfloat16).astype(_F32)
+
+            lo_parts, hi_parts, d_parts, q_parts = [], [], [], []
+            for s in range(nsb):
+                xs = h[:, s * SPAN:(s + 1) * SPAN]
+                amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+                d = amax / 127.0
+                safe = jnp.where(d > 0, d, 1.0)
+                q = jnp.clip(jnp.round(xs / safe), -127, 127).astype(jnp.int8)
+                lo_parts.append(q[:, :SPAN // 2])
+                hi_parts.append(q[:, SPAN // 2:])
+                d_parts.append(d)
+                q_parts.append(q)
+            h8_lo = jnp.concatenate(lo_parts, axis=-1)
+            h8_hi = jnp.concatenate(hi_parts, axis=-1)
+
+            def bd(p):
+                rep = jnp.repeat(p, NG, axis=0)
+                col_blk = (jax.lax.broadcasted_iota(
+                    jnp.int32, (bp * NG, bf // 2), 1) // 32) % NG
+                row_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (bp * NG, bf // 2), 0) % NG
+                return jnp.where(col_blk == row_r, rep, jnp.int8(0))
+
+            bd_lo, bd_hi = bd(h8_lo), bd(h8_hi)
+
+            if compact:
+                q6d = dncm[0][...]
+                dD_all, dminD_all = split_dd(dncm[1][...])
+                scd_lo_all = q6d[0].astype(_F32) * dD_all
+                scd_hi_all = q6d[1].astype(_F32) * (dD_all * 0.0625)
+            acc = jnp.zeros((bp, E), _F32)
+            for t in range(nch_f):
+                sl = slice(t * CHUNK, (t + 1) * CHUNK)
+                dn_cw = dnc_ref[:, sl]
+                dlo_w = pltpu.bitcast(dn_cw & jnp.uint8(0x0F), jnp.int8)
+                dhi_w = pltpu.bitcast(dn_cw & jnp.uint8(0xF0), jnp.int8)
+                p_lo = jax.lax.dot_general(
+                    bd_lo[:, sl], dlo_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                p_hi = jax.lax.dot_general(
+                    bd_hi[:, sl], dhi_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                gsl = slice(t * NG, (t + 1) * NG)
+                sxc = jnp.concatenate(
+                    [d_parts[4 * t + q] for q in range(4) for _ in range(4)],
+                    axis=1)[:, :, None]
+                if compact:
+                    sc_lo = jnp.tile(scd_lo_all[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(scd_hi_all[gsl, :], (bp, 1))
+                else:
+                    sc_lo = jnp.tile(dnslo_ref[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(dnshi_ref[gsl, :], (bp, 1))
+                contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
+                           + p_hi.astype(_F32) * sc_hi.astype(_F32))
+                acc = acc + (contrib.reshape(bp, NG, E) * sxc).sum(axis=1)
+
+            if compact:
+                halfF = bf // 64
+                gmat = (jax.lax.broadcasted_iota(
+                    jnp.int32, (bf // 2, halfF), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (bf // 2, halfF), 1)).astype(jnp.int8)
+                gs_lo = jax.lax.dot_general(
+                    h8_lo, gmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                gs_hi = jax.lax.dot_general(
+                    h8_hi, gmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                dcat_h = jnp.concatenate(
+                    [d_parts[s] for s in range(nsb) for _ in range(4)], axis=1)
+                mw_lo = dminD_all * q6d[2].astype(_F32)
+                mw_hi = dminD_all * q6d[3].astype(_F32) - 128.0 * scd_hi_all
+                acc = acc - jax.lax.dot_general(
+                    gs_lo * dcat_h, mw_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
+                acc = acc - jax.lax.dot_general(
+                    gs_hi * dcat_h, mw_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
+            elif dn_sym:
+                gmat = (jax.lax.broadcasted_iota(
+                    jnp.int32, (bf // 2, bf // 64), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (bf // 2, bf // 64), 1)).astype(jnp.int8)
+                gs = jax.lax.dot_general(
+                    h8_lo, gmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                xg_h = gs * jnp.concatenate(
+                    [d_parts[s] for s in range(nsb) for _ in range(4)], axis=1)
+                acc = acc - 8.0 * jax.lax.dot_general(
+                    xg_h, dnslo_ref[...].astype(_F32), (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                h8_el = jnp.concatenate(q_parts, axis=-1)
+                gmat = (jax.lax.broadcasted_iota(
+                    jnp.int32, (bf, bf // 32), 0) // 32
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (bf, bf // 32), 1)).astype(jnp.int8)
+                gs = jax.lax.dot_general(
+                    h8_el, gmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(_F32)
+                xg_h = gs * jnp.concatenate(
+                    [d_parts[s] for s in range(nsb) for _ in range(8)], axis=1)
+                acc = acc - jax.lax.dot_general(
+                    xg_h, dnmadj_ref[...].astype(_F32), (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
+            facc_scr[...] += acc
+
+            @pl.when(pid == n_steps - 1)
+            def _fin():
+                # bf16 residual add, matching the model's
+                # h3 = h2 + down.astype(h.dtype)
+                out_ref[...] = (h2_scr[...]
+                                + facc_scr[...].astype(out_ref.dtype))
+
+    # ---- operands / specs -------------------------------------------------
+    c0 = lambda s: (0, 0)
+    ff = lambda s: (jnp.maximum(s - 1, 0), 0)
+    ffu = lambda s: (fb + jnp.maximum(s - 1, 0), 0)
+    fcol = lambda s: (0, jnp.maximum(s - 1, 0))
+    fcolu = lambda s: (0, fb + jnp.maximum(s - 1, 0))
+    in_specs = [
+        pl.BlockSpec((bp, E), c0, memory_space=pltpu.VMEM),          # attn
+        pl.BlockSpec((bp, E), c0, memory_space=pltpu.VMEM),          # h_resid
+        pl.BlockSpec((1, E), c0, memory_space=pltpu.VMEM),           # norm_w
+        pl.BlockSpec((E, kc_e), c0, memory_space=pltpu.VMEM),        # o codes
+    ]
+    operands = [a_pad, h_pad, norm_w, o_t.codes]
+    if compact:
+        in_specs += [
+            pl.BlockSpec((4, E // 64, E), (lambda s: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 128, E), c0, memory_space=pltpu.VMEM),
+        ]
+        operands += [o_t.aux["q6_t"], o_t.aux["dd_t"]]
+    else:
+        in_specs += [
+            pl.BlockSpec((E // 64, E), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, E), c0, memory_space=pltpu.VMEM),
+        ]
+        operands += [o_t.aux["scw_lo"], o_t.aux["scw_hi"]]
+        if not gu_sym:
+            in_specs += [pl.BlockSpec((E // 32, E), c0,
+                                      memory_space=pltpu.VMEM)]
+            operands += [o_t.aux["madj_t"]]
+    in_specs += [
+        pl.BlockSpec((bf, kc_e), ff, memory_space=pltpu.VMEM),       # gate
+        pl.BlockSpec((bf, kc_e), ffu, memory_space=pltpu.VMEM),      # up
+    ]
+    operands += [gu.codes, gu.codes]
+    if compact:
+        in_specs += [
+            pl.BlockSpec((4, E // 64, bf), (lambda s: (0, 0, jnp.maximum(s - 1, 0))),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 128, bf), fcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, E // 64, bf),
+                         (lambda s: (0, 0, fb + jnp.maximum(s - 1, 0))),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 128, bf), fcolu, memory_space=pltpu.VMEM),
+        ]
+        operands += [gu.aux["q6_t"], gu.aux["dd_t"],
+                     gu.aux["q6_t"], gu.aux["dd_t"]]
+    else:
+        in_specs += [
+            pl.BlockSpec((E // 64, bf), fcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), fcolu, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), fcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 64, bf), fcolu, memory_space=pltpu.VMEM),
+        ]
+        operands += [gu.aux["scw_lo"], gu.aux["scw_lo"],
+                     gu.aux["scw_hi"], gu.aux["scw_hi"]]
+        if not gu_sym:
+            in_specs += [
+                pl.BlockSpec((E // 32, bf), fcol, memory_space=pltpu.VMEM),
+                pl.BlockSpec((E // 32, bf), fcolu, memory_space=pltpu.VMEM),
+            ]
+            operands += [gu.aux["madj_t"], gu.aux["madj_t"]]
+    in_specs += [pl.BlockSpec((E, bf // 2), fcol, memory_space=pltpu.VMEM)]
+    operands += [dn.codes]
+    if compact:
+        in_specs += [
+            pl.BlockSpec((4, bf // 64, E), (lambda s: (0, jnp.maximum(s - 1, 0), 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf // 128, E), ff, memory_space=pltpu.VMEM),
+        ]
+        operands += [dn.aux["q6_t"], dn.aux["dd_t"]]
+    else:
+        in_specs += [
+            pl.BlockSpec((bf // 64, E), ff, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf // 64, E), ff, memory_space=pltpu.VMEM),
+        ]
+        operands += [dn.aux["scw_lo"], dn.aux["scw_hi"]]
+        if not dn_sym:
+            in_specs += [pl.BlockSpec((bf // 32, E), ff,
+                                      memory_space=pltpu.VMEM)]
+            operands += [dn.aux["madj_t"]]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bp, E), (lambda s: (0, 0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, E), h_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bp * NG, kc_e), jnp.int8),
+            pltpu.VMEM((bp * NG, kc_e), jnp.int8),
+            pltpu.VMEM((bp, nsb_e), jnp.float32),
+            pltpu.VMEM((bp, gx_cols), jnp.float32),
+            pltpu.VMEM((bp, E), h_pad.dtype),
+            pltpu.VMEM((bp, E), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(os.environ.get(
+                "LKTPU_FFN_VMEM_MB", "96")) * 1024 * 1024,
+        ),
+    )(*operands)
+
+
+def qmm_w4_layer_or_none(attn, h_resid, o_t, gu, dn, norm_w, **kw):
+    """Layer-megakernel dispatch with the same loud-fallback contract as
+    qmm_w4_ffn_or_none."""
+    try:
+        return qmm_w4_layer_matmul(attn, h_resid, o_t, gu, dn, norm_w, **kw)
+    except Exception as e:
+        from llama_kotlin_tpu.utils.warnonce import warn_once
+
+        warn_once(
+            ("layer", attn.shape[-1], gu.shape, dn.shape, type(e).__name__),
+            "qmm_w4_layer megakernel declined for o=%s gu=%s dn=%s "
+            "(%s: %s) — decode falls back to the separate o+FFN launches"
+            % (o_t.shape, gu.shape, dn.shape,
+               type(e).__name__, str(e)[:200]))
+        return None

@@ -289,6 +289,36 @@ def qmm_ffn(x: jnp.ndarray, gu: Weight, dn: Weight,
                               interpret=_interpret_forced())
 
 
+def qmm_layer(attn: jnp.ndarray, h_resid: jnp.ndarray, wo: Weight,
+              gu: Weight, dn: Weight, norm_w, *, eps: float,
+              act: str = "silu",
+              norm_offset: float = 0.0) -> Optional[jnp.ndarray]:
+    """Fused post-attention layer half: h3 = h2 + FFN(rmsnorm(h2)) with
+    h2 = h_resid + attn @ Wo^T, in ONE Pallas launch (ops/pallas/
+    qmm_w4_ffn.qmm_w4_layer_matmul) — removes the o launch's ramp and the
+    o→FFN XLA seam from the decode critical path.  Returns None when
+    ineligible (caller runs the separate o + FFN path, numerics-faithful;
+    see the kernel docstring for the exact parity contract)."""
+    if not (isinstance(wo, QTensor) and isinstance(gu, QTensor)
+            and isinstance(dn, QTensor)):
+        return None
+    if os.environ.get("LKTPU_LAYER_FUSED", "1") == "0":
+        return None  # A/B knob
+    if not _use_pallas():
+        return None
+    if "q8_codes" in (gu.aux or {}):
+        b_rows = 1
+        for d in attn.shape[:-1]:
+            b_rows *= int(d)
+        if b_rows > _w4_bmax():
+            return None  # high-batch switch: pairwise Q8F matmuls
+    from llama_kotlin_tpu.ops.pallas.qmm_w4_ffn import qmm_w4_layer_or_none
+
+    return qmm_w4_layer_or_none(attn, h_resid, wo, gu, dn, norm_w,
+                                eps=eps, act=act, norm_offset=norm_offset,
+                                interpret=_interpret_forced())
+
+
 def _tp_qmm_ffn(x: jnp.ndarray, gate: QTensor, dn: QTensor,
                 up: Optional[QTensor], act: str) -> Optional[jnp.ndarray]:
     """FFN megakernel under a tp mesh: gate/up column-parallel (tp_axis=0),
