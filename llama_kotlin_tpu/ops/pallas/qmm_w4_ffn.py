@@ -675,20 +675,29 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
     gu_sym = "sym" in gu.aux
     dn_sym = "sym" in dn.aux
     gx_cols = kc_e // 32 if gu_sym else E // 32
-    n_steps = 1 + fb
+    # the o stage spans nch_o pipelined grid steps (OBKC plane cols each)
+    # after a prep-only step 0, so Wo's stream overlaps compute instead of
+    # serializing as one whole-tensor fetch before the first step
+    OBKC = 1024
+    nch_o = kc_e // OBKC
+    och = OBKC // CHUNK
+    n_steps = 1 + nch_o + fb
 
     def kernel(a_ref, h_ref, nw_ref, oc_ref, *rest):
         rest = list(rest)
-        oslo_ref = oshi_ref = omadj_ref = ocm = None
+        oslo_ref = oshi_ref = omin_ref = None
+        ocm_blk = ocm_full = None
         gslo_ref = uslo_ref = gshi_ref = ushi_ref = gmadj_ref = umadj_ref = None
         gcm = ucm = dncm = None
         dnslo_ref = dnshi_ref = dnmadj_ref = None
         if compact:
-            ocm = (rest.pop(0), rest.pop(0))
+            ocm_blk = (rest.pop(0), rest.pop(0))
+            ocm_full = (rest.pop(0), rest.pop(0))
         else:
             oslo_ref, oshi_ref = rest.pop(0), rest.pop(0)
-            if not gu_sym:
-                omadj_ref = rest.pop(0)
+            # min-term plane over the FULL contraction: scw_lo (sym) or
+            # madj_t (asym), const-fetched
+            omin_ref = rest.pop(0)
         gc_ref, uc_ref = rest.pop(0), rest.pop(0)
         if compact:
             gcm = (rest.pop(0), rest.pop(0))
@@ -706,7 +715,7 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
             if not dn_sym:
                 dnmadj_ref = rest.pop(0)
         (out_ref, bdlo_scr, bdhi_scr, sx_scr, xg_scr,
-         h2_scr, facc_scr) = rest
+         h2_scr, facc_scr, oacc_scr) = rest
         pid = pl.program_id(0)
 
         def prep(xb):
@@ -823,9 +832,74 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
                 precision=jax.lax.Precision.HIGHEST)
 
         @pl.when(pid == 0)
-        def _o_stage():
+        def _prep_stage():
             prep(a_ref[...])
-            o_out = half_dot(oc_ref, oslo_ref, oshi_ref, omadj_ref, ocm, E)
+            oacc_scr[...] = jnp.zeros_like(oacc_scr)
+
+        def o_step(ostep):
+            # this step's blocked refs hold plane cols
+            # [ostep*OBKC, (ostep+1)*OBKC); bd/sx slices use GLOBAL indices
+            if compact:
+                q6b = ocm_blk[0][...]                     # [4, OBKC//32, E]
+                d_b, dmin_b = split_dd(ocm_blk[1][...])   # [OBKC//32, E]
+                osc_lo = q6b[0].astype(_F32) * d_b
+                osc_hi = q6b[1].astype(_F32) * (d_b * 0.0625)
+            acc = jnp.zeros((bp, E), _F32)
+            for tl in range(och):
+                tg = ostep * och + tl
+                cw = oc_ref[:, tl * CHUNK:(tl + 1) * CHUNK]
+                lo_w = pltpu.bitcast(cw & jnp.uint8(0x0F), jnp.int8)
+                hi_w = pltpu.bitcast(cw & jnp.uint8(0xF0), jnp.int8)
+                sl_g = slice(tg * CHUNK, (tg + 1) * CHUNK)
+                p_lo = jax.lax.dot_general(
+                    bdlo_scr[:, sl_g], lo_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                p_hi = jax.lax.dot_general(
+                    bdhi_scr[:, sl_g], hi_w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                gsl = slice(tl * NG, (tl + 1) * NG)
+                if compact:
+                    sc_lo = jnp.tile(osc_lo[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(osc_hi[gsl, :], (bp, 1))
+                else:
+                    sc_lo = jnp.tile(oslo_ref[gsl, :], (bp, 1))
+                    sc_hi = jnp.tile(oshi_ref[gsl, :], (bp, 1))
+                contrib = (p_lo.astype(_F32) * sc_lo.astype(_F32)
+                           + p_hi.astype(_F32) * sc_hi.astype(_F32))
+                sxc = jnp.concatenate(
+                    [sx_scr[:, 4 * tg + q:4 * tg + q + 1]
+                     for q in range(4) for _ in range(4)],
+                    axis=1)[:, :, None]
+                acc = acc + (contrib.reshape(bp, NG, E) * sxc).sum(axis=1)
+            oacc_scr[...] += acc
+            if ostep != nch_o - 1:
+                return
+            # ---- final o step: min term (full planes), residual, norm,
+            # re-prep the bd scratch from the norm output
+            o_out = oacc_scr[...]
+            if compact:
+                q6f = ocm_full[0][...]
+                d_f, dmin_f = split_dd(ocm_full[1][...])
+                osc_hi_f = q6f[1].astype(_F32) * (d_f * 0.0625)
+                half = gx_cols // 2
+                mw_lo = dmin_f * q6f[2].astype(_F32)
+                mw_hi = dmin_f * q6f[3].astype(_F32) - 128.0 * osc_hi_f
+                o_out = (o_out
+                         - jax.lax.dot_general(
+                             xg_scr[:, :half], mw_lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=_F32,
+                             precision=jax.lax.Precision.HIGHEST)
+                         - jax.lax.dot_general(
+                             xg_scr[:, half:], mw_hi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=_F32,
+                             precision=jax.lax.Precision.HIGHEST))
+            else:
+                mw = (omin_ref[...] * 8.0 if gu_sym
+                      else omin_ref[...]).astype(_F32)
+                o_out = o_out - jax.lax.dot_general(
+                    xg_scr[...], mw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST)
             h2 = h_ref[...] + o_out.astype(h_ref.dtype)  # bf16 residual add
             h2_scr[...] = h2
             xf = h2.astype(_F32)
@@ -836,7 +910,11 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
             prep(r.astype(h_ref.dtype).astype(_F32))  # bf16-rounded norm out
             facc_scr[...] = jnp.zeros_like(facc_scr)
 
-        @pl.when(pid > 0)
+        for _ostep in range(nch_o):
+            pl.when(pid == 1 + _ostep)(
+                lambda _o=_ostep: o_step(_o))
+
+        @pl.when(pid > nch_o)
         def _ffn_stage():
             g = half_dot(gc_ref, gslo_ref, gshi_ref, gmadj_ref, gcm, bf)
             u = half_dot(uc_ref, uslo_ref, ushi_ref, umadj_ref, ucm, bf)
@@ -961,34 +1039,44 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
 
     # ---- operands / specs -------------------------------------------------
     c0 = lambda s: (0, 0)
-    ff = lambda s: (jnp.maximum(s - 1, 0), 0)
-    ffu = lambda s: (fb + jnp.maximum(s - 1, 0), 0)
-    fcol = lambda s: (0, jnp.maximum(s - 1, 0))
-    fcolu = lambda s: (0, fb + jnp.maximum(s - 1, 0))
+    # o stage occupies grid steps 1..nch_o; FFN blocks start at 1 + nch_o
+    ob = lambda s: (0, jnp.clip(s - 1, 0, nch_o - 1))
+    obr = lambda s: (jnp.clip(s - 1, 0, nch_o - 1), 0)
+    fidx = lambda s: jnp.clip(s - 1 - nch_o, 0, fb - 1)
+    ff = lambda s: (fidx(s), 0)
+    ffu = lambda s: (fb + fidx(s), 0)
+    fcol = lambda s: (0, fidx(s))
+    fcolu = lambda s: (0, fb + fidx(s))
     in_specs = [
         pl.BlockSpec((bp, E), c0, memory_space=pltpu.VMEM),          # attn
         pl.BlockSpec((bp, E), c0, memory_space=pltpu.VMEM),          # h_resid
         pl.BlockSpec((1, E), c0, memory_space=pltpu.VMEM),           # norm_w
-        pl.BlockSpec((E, kc_e), c0, memory_space=pltpu.VMEM),        # o codes
+        pl.BlockSpec((E, OBKC), ob, memory_space=pltpu.VMEM),        # o codes
     ]
     operands = [a_pad, h_pad, norm_w, o_t.codes]
     if compact:
         in_specs += [
+            # per-step scale blocks + full planes for the final min term
+            pl.BlockSpec((4, OBKC // 32, E),
+                         (lambda s: (0, jnp.clip(s - 1, 0, nch_o - 1), 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((OBKC // 64, E), obr, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, E // 64, E), (lambda s: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E // 128, E), c0, memory_space=pltpu.VMEM),
         ]
-        operands += [o_t.aux["q6_t"], o_t.aux["dd_t"]]
+        operands += [o_t.aux["q6_t"], o_t.aux["dd_t"],
+                     o_t.aux["q6_t"], o_t.aux["dd_t"]]
     else:
         in_specs += [
-            pl.BlockSpec((E // 64, E), c0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E // 64, E), c0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OBKC // 32, E), obr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((OBKC // 32, E), obr, memory_space=pltpu.VMEM),
+            # full min-term plane: scw_lo (sym) or madj_t (asym)
+            pl.BlockSpec((E // 64, E) if gu_sym else (E // 32, E), c0,
+                         memory_space=pltpu.VMEM),
         ]
-        operands += [o_t.aux["scw_lo"], o_t.aux["scw_hi"]]
-        if not gu_sym:
-            in_specs += [pl.BlockSpec((E // 32, E), c0,
-                                      memory_space=pltpu.VMEM)]
-            operands += [o_t.aux["madj_t"]]
+        operands += [o_t.aux["scw_lo"], o_t.aux["scw_hi"],
+                     o_t.aux["scw_lo"] if gu_sym else o_t.aux["madj_t"]]
     in_specs += [
         pl.BlockSpec((bf, kc_e), ff, memory_space=pltpu.VMEM),       # gate
         pl.BlockSpec((bf, kc_e), ffu, memory_space=pltpu.VMEM),      # up
@@ -996,11 +1084,11 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
     operands += [gu.codes, gu.codes]
     if compact:
         in_specs += [
-            pl.BlockSpec((4, E // 64, bf), (lambda s: (0, 0, jnp.maximum(s - 1, 0))),
+            pl.BlockSpec((4, E // 64, bf), (lambda s: (0, 0, fidx(s))),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E // 128, bf), fcol, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, E // 64, bf),
-                         (lambda s: (0, 0, fb + jnp.maximum(s - 1, 0))),
+                         (lambda s: (0, 0, fb + fidx(s))),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E // 128, bf), fcolu, memory_space=pltpu.VMEM),
         ]
@@ -1025,7 +1113,7 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
     operands += [dn.codes]
     if compact:
         in_specs += [
-            pl.BlockSpec((4, bf // 64, E), (lambda s: (0, jnp.maximum(s - 1, 0), 0)),
+            pl.BlockSpec((4, bf // 64, E), (lambda s: (0, fidx(s), 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bf // 128, E), ff, memory_space=pltpu.VMEM),
         ]
@@ -1053,6 +1141,7 @@ def _qmm_w4_layer(a_pad, h_pad, o_t: QTensor, gu: QTensor, dn: QTensor,
             pltpu.VMEM((bp, nsb_e), jnp.float32),
             pltpu.VMEM((bp, gx_cols), jnp.float32),
             pltpu.VMEM((bp, E), h_pad.dtype),
+            pltpu.VMEM((bp, E), jnp.float32),
             pltpu.VMEM((bp, E), jnp.float32),
         ],
         interpret=interpret,

@@ -302,8 +302,15 @@ def qmm_layer(attn: jnp.ndarray, h_resid: jnp.ndarray, wo: Weight,
     if not (isinstance(wo, QTensor) and isinstance(gu, QTensor)
             and isinstance(dn, QTensor)):
         return None
-    if os.environ.get("LKTPU_LAYER_FUSED", "1") == "0":
-        return None  # A/B knob
+    if os.environ.get("LKTPU_LAYER_FUSED", "0") != "1":
+        # DEFAULT OFF — measured negative on v5e (round-5 A/B: fused
+        # 127.2 vs separate 129.16 t/s on the 8B headline; standalone
+        # microbench 0.188 vs 0.182 ms).  The round-4 in-kernel prep
+        # already removed the o->FFN glue the fusion targeted, and XLA's
+        # cross-iteration prefetch overlaps separate launches as well as
+        # one big grid; the fused kernel's coarser o blocking loses ~3%.
+        # Kept behind LKTPU_LAYER_FUSED=1 for other topologies.
+        return None
     if not _use_pallas():
         return None
     if "q8_codes" in (gu.aux or {}):
