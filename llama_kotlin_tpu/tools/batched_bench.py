@@ -39,10 +39,15 @@ def bench_combo(ctx, n_pp: int, n_tg: int, n_pl: int,
     pos = np.repeat(np.arange(n_pp, n_pp + n_tg, dtype=np.int32), n_pl)
     seqs = np.tile(np.arange(n_pl, dtype=np.int32), n_tg)
     ctx.meta.commit(slots, pos, seqs)
+    # visibility: slots are pre-allocated, so the final span is known —
+    # pass the bucketed view instead of all n_cells (full-cache flash
+    # reads cost ~1.3 ms/step at 8k cells on an 8B model)
+    span = int(slots.max()) + 1
+    n_vis = span + (-span) % 256
     t0 = time.time()
     out, cache, *_ = generate_loop(
         ctx.params, ctx.cfg, ctx.cache,
-        *ctx.meta.device_view(),
+        *ctx.meta.device_view(min(n_vis, ctx.n_cells)),
         jnp.full((n_pl,), tok, jnp.int32),
         jnp.full((n_pl,), n_pp, jnp.int32),
         jnp.arange(n_pl, dtype=jnp.int32),
@@ -63,8 +68,16 @@ def bench_combo(ctx, n_pp: int, n_tg: int, n_pl: int,
 
 
 def main(argv=None):
+    import os
+
     from llama_kotlin_tpu.models.loader import load_gguf_model
     from llama_kotlin_tpu.runtime.context import LlamaContext
+
+    # same tuned compiler options as the headline bench (bench.py)
+    os.environ.setdefault(
+        "LKTPU_XLA_OPTS",
+        "xla_tpu_scoped_vmem_limit_kib=98304,"
+        "xla_tpu_async_copy_bandwidth_scaling_factor=2.0")
 
     ap = argparse.ArgumentParser(description="batched pp/tg benchmark")
     ap.add_argument("--model", "-m",
