@@ -21,6 +21,7 @@ materialising [nt, cells] scores in HBM.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -99,6 +100,12 @@ def attention(
 
     n_vis = mask.shape[1]
     layered = k_cache.ndim == 4
+    if (allow_pallas and _use_pallas()
+            and n_vis <= int(os.environ.get("LKTPU_FLASH_XLA_BELOW", "0"))):
+        # short-context escape hatch: at tiny visibility the flash launch
+        # is pure ramp (~10 us/layer) while the XLA fallback fuses into
+        # the surrounding graph — A/B knob for the decode headline
+        allow_pallas = False
     if allow_pallas and alibi_slopes is None and _use_pallas():
         from llama_kotlin_tpu.ops.pallas.flash import flash_attention_or_none
 
