@@ -115,7 +115,14 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     # BENCH_KV=q8_0|q4_0 benches the quantized-KV serving modes (-ctk);
     # default bf16 matches the reference llama-bench's f16-KV headline
     kv = os.environ.get("BENCH_KV", "")
-    ctx = LlamaContext(cfg, params, n_cells=1024, compute_dtype=jnp.bfloat16,
+    # BENCH_PP accepts a comma list (pp matrix, reference llama-bench
+    # pp512/pp1024/pp4096 rows); cache sized for the largest prompt
+    pp_sizes = [int(v) for v in
+                str(os.environ.get("BENCH_PP", "1024")).split(",") if v]
+    n_cells = max(1024, (max(pp_sizes) + 128 + 127) // 128 * 128
+                  if pp_sizes else 1024)
+    ctx = LlamaContext(cfg, params, n_cells=n_cells,
+                       compute_dtype=jnp.bfloat16,
                        buckets=(8, 16, 32, 64, 128, 256, 512),
                        prefer_unrolled=unrolled, kv_quant=kv or False)
     rng = np.random.default_rng(0)
@@ -196,11 +203,12 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
             w_bytes += leaf.nbytes
     w_gbps = tps * w_bytes / 1e9
 
-    # prefill throughput (pp1024-class, reference llama-bench's pp metric):
-    # warm-timed full-prompt decode on a cleared context
-    pp = int(os.environ.get("BENCH_PP", "1024"))
-    pp_tps = None
-    if pp > 0:
+    # prefill throughput (reference llama-bench's pp metric): warm-timed
+    # full-prompt decode on a cleared context, one row per BENCH_PP size
+    pp_matrix = {}
+    for pp in pp_sizes:
+        if pp <= 0:
+            continue
         prompt_pp = rng.integers(0, cfg.vocab_size, pp).astype(np.int32)
         try:
             for _ in range(2):  # first pass compiles the large buckets
@@ -209,9 +217,11 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
                 assert ctx.decode(Batch.single(prompt_pp)) == 0
                 np.asarray(ctx.get_logits()[0, :8])  # force completion
                 pp_dt = time.time() - t0
-            pp_tps = round(pp / pp_dt, 1)
+            pp_matrix[pp] = round(pp / pp_dt, 1)
         except Exception:
-            pp_tps = None  # cache too small for the pp prompt etc.
+            pass  # cache too small for the pp prompt etc.
+    pp_tps = pp_matrix.get(1024) or (list(pp_matrix.values())[-1]
+                                     if pp_matrix else None)
     return {
         "metric": f"decode_tps_{preset}_{mode}"
         + (f"_kv{kv}" if kv else "") + (f"_b{batch}" if batch > 1 else ""),
@@ -235,6 +245,7 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
             "loop_compile_s": round(compile_s, 1),
             "prefill_tokens": prefill,
             "decode_steps": steps,
+            **({"pp_matrix": pp_matrix} if len(pp_matrix) > 1 else {}),
         },
     }
 
