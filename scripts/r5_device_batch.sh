@@ -54,6 +54,17 @@ LKTPU_DUAL_FOLD=1 LKTPU_W4_BMAX=8 timeout 3000 python -m \
     > $R5/batched_dual.json 2>$R5/batched_dual.err
 tail -1 $R5/batched_dual.json
 
+echo "=== 100M quality ladder (train on TPU, score incl. imatrix IQ rungs) ==="
+timeout 9000 python -m llama_kotlin_tpu.tools.quant_quality \
+    --steps 2000 --n-embd 768 --n-layer 14 --n-head 12 --n-ff 2048 \
+    --n-ctx 256 --batch 16 --corpus-cap 4000000 \
+    --corpus-root /opt/venv/lib/python3.12/site-packages/jax \
+    --corpus-root /opt/venv/lib/python3.12/site-packages/numpy \
+    --imatrix --out-dir /tmp/r5/qq100m \
+    --ladder Q8_0,Q6_K,Q5_K_M,Q4_K_M,Q4_0,Q3_K_M,IQ3_S,IQ3_XXS,Q2_K,IQ2_XS,IQ2_XXS \
+    > $R5/qq100m.log 2>&1
+tail -20 $R5/qq100m.log
+
 echo "=== grammar bench (devmask vs hostpath + churn p99) ==="
 timeout 2400 python scripts/grammar_bench.py > $R5/grammar.log 2>&1
 grep grammar_bench $R5/grammar.log | tail -12
