@@ -119,8 +119,10 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     # pp512/pp1024/pp4096 rows); cache sized for the largest prompt
     pp_sizes = [int(v) for v in
                 str(os.environ.get("BENCH_PP", "1024")).split(",") if v]
-    n_cells = max(1024, (max(pp_sizes) + 128 + 127) // 128 * 128
-                  if pp_sizes else 1024)
+    # exact fit like the original n_cells=1024 (pp prompts decode on a
+    # CLEARED context, so cells == max(pp, decode span) suffices; keep
+    # 1024 for the default so the headline shape is unchanged)
+    n_cells = max(1024, max(pp_sizes) if pp_sizes else 0)
     ctx = LlamaContext(cfg, params, n_cells=n_cells,
                        compute_dtype=jnp.bfloat16,
                        buckets=(8, 16, 32, 64, 128, 256, 512),
