@@ -264,12 +264,15 @@ def child_main() -> None:
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         _force_cpu()
     elif "LKTPU_XLA_OPTS" not in os.environ:
-        # round-3 device sweep winner (scripts/trace_decode.py A/B): more
-        # scoped VMEM for the Mosaic pipelines + an optimistic async-copy
-        # bandwidth model tightens weight-prefetch scheduling (+5-8%)
+        # round-5 bench-harness A/B winner: more scoped VMEM for the Mosaic
+        # pipelines + an 8x async-copy bandwidth model (136.35 vs 132.49
+        # t/s at 2.0; reps all >= 132.9 — the aggressive bandwidth estimate
+        # makes XLA's latency-hiding scheduler pack weight prefetches
+        # tighter).  Round-3's 2.0 was tuned in the trace harness, which
+        # round 5 showed diverges from the real loop.
         os.environ["LKTPU_XLA_OPTS"] = (
             "xla_tpu_scoped_vmem_limit_kib=98304,"
-            "xla_tpu_async_copy_bandwidth_scaling_factor=2.0")
+            "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
     from llama_kotlin_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()  # tunnel compiles cost minutes each; pay once
