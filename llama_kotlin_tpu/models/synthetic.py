@@ -71,6 +71,8 @@ def synthetic_w4(rng, n: int, k: int, scale: float = 0.02, precise: bool = False
     if compact is None:
         compact = (not precise and not sym
                    and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1")
+    # fold.py layout guard: compact needs a >=1024 plane-col chunk plan
+    compact = compact and (k_pad // 2) % 1024 == 0
     if compact and not sym and not precise:
         S = k_pad // SPAN
         sc6 = rng.integers(0, 64, (n, G), dtype=np.int8)
@@ -204,8 +206,12 @@ def synthetic_w4_device(key, n: int, k: int, scale: float = 0.02,
     from llama_kotlin_tpu.quant.formats import GGMLQuantType as _QT
     from llama_kotlin_tpu.quant.qtensor import QTensor
 
+    from llama_kotlin_tpu.quant.fold import ALIGN_W4 as _AL
+
     compact = (not precise and not sym
-               and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1")
+               and _os.environ.get("LKTPU_W4_COMPACT", "1") == "1"
+               # fold.py layout guard: compact needs a >=1024-col chunk plan
+               and (((k + _AL - 1) // _AL * _AL) // 2) % 1024 == 0)
     if compact:
         packed, s_eff, m_adj, q6_t, dd_t = _w4_gen(
             n, k, scale, precise, sym, True)(key)

@@ -328,6 +328,12 @@ def qmm_w4_fx2(x_pad: jnp.ndarray, w: QTensor, *,
     compact = "q6_t" in w.aux
     if not compact and not sym and "madj_t" not in w.aux:
         return None
+    if compact and bkc < 1024:
+        # (4, bkc//32, bn) int8 q6 blocks with second-minor dim < 32
+        # miscompile on hardware (silent wrong values — ADVICE r4 #2,
+        # device-confirmed); fold_to_w4 avoids such folds, this guards
+        # env-forced plans
+        return None
     bcast = os.environ.get("LKTPU_W4_BCAST", "0") == "1"
 
     grid = (kc // bkc, n // bn)

@@ -173,6 +173,15 @@ def fold_to_w4(qt: QTensor, precise: bool = False,
         gs_a, gm_a = np.asarray(qt.g_scale), np.asarray(qt.g_min)
         compact = bool(gs_a.min() >= 0 and gs_a.max() < 64
                        and gm_a.min() >= 0 and gm_a.max() < 64)
+    if compact:
+        # layout guard (ADVICE r4 #2, device-confirmed round 5): a kernel
+        # plan below bkc=1024 gives the q6_t blocks a (4, 16, bn) int8
+        # tiling whose second-minor dim is under the (32, 128) tile —
+        # Mosaic compiles it but returns wrong values on hardware (rel
+        # err ~0.9 at k=7168).  Shapes whose kc only chunks at 512
+        # (llama2-7b's 11008-class FFN) take the legacy fold instead.
+        kc_pad = (qt.k + (-qt.k % ALIGN_W4)) // 2
+        compact = kc_pad % 1024 == 0
     sc6 = m6 = d_sb = dmin_sb = None
     if compact:
         sc6 = np.asarray(qt.g_scale, np.int8)    # [n, G0] 6-bit codes

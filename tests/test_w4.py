@@ -234,18 +234,29 @@ def test_w4_compact_fold_and_kernel(rng):
 
 
 def test_w4_compact_gates(rng):
-    """Chunk-unaligned shapes (k=2816 pads to 3072, bkc=512 plan) stay
-    compact and kernel-served; sym/precise folds never compact."""
+    """Shapes whose padded kc only chunks at 512 (k=2816 pads to 3072)
+    take the LEGACY fold: the compact q6_t blocks at a bkc=512 plan tile
+    as (4, 16, bn) int8 — second-minor dim under the (32, 128) tile —
+    which Mosaic compiles but silently miscomputes on hardware (rel err
+    ~0.9 at k=7168, round-5 device smoke; ADVICE r4 #2).  The legacy fold
+    is kernel-served and correct at bkc=512 (llama2-7b's 11008-class FFN
+    was device-proven on it in round 3).  sym/precise never compact."""
     n, k = 128, 2816
     wf = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
     w4 = fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K))
-    assert "q6_t" in w4.aux
+    assert "q6_t" not in w4.aux and "madj_t" in w4.aux
     x = jnp.asarray(rng.standard_normal((2, k)) * 0.7, jnp.float32)
     got = qmm_w4_matmul(x, jax.tree.map(jnp.asarray, w4), interpret=True)
-    assert got is not None  # bkc=512 plan takes compact planes
+    assert got is not None  # bkc=512 plan takes the legacy planes
     ref = jnp.dot(x, dequantize(w4, jnp.float32).T)
     denom = float(jnp.abs(ref).max()) + 1e-9
     assert float(jnp.abs(got - ref).max()) / denom < 2e-2
+    # an env-forced compact fold at such a shape must DECLINE the kernel
+    # (dispatch falls to the fused dequant path) rather than miscompute
+    w4c = fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K), compact=True)
+    if "q6_t" in w4c.aux:  # fold may still refuse; only then check kernel
+        assert qmm_w4_matmul(x, jax.tree.map(jnp.asarray, w4c),
+                             interpret=True) is None
     wf2 = (rng.standard_normal((64, 2048)) * 0.1).astype(np.float32)
     w4x = fold_to_w4(repack_float(wf2, GGMLQuantType.Q4_K), precise=True)
     assert "q6_t" not in w4x.aux
