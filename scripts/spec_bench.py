@@ -183,25 +183,52 @@ def run_components(alpha: float, n_draft: int) -> None:
 
     rng = np.random.default_rng(0)
 
-    def step_time(ctx, nt, reps=64):
-        prompt = rng.integers(0, ctx.cfg.vocab_size, 64).astype(np.int32)
+    def step_time(ctx, nt, steps=96):
+        """Per-step device time at nt parallel rows via ONE on-device
+        generate_loop dispatch (host wall-clock of per-call ctx.decode
+        through the axon tunnel is ~25-35 ms of dispatch — it swamped the
+        round-5 first measurement; a batch-nt loop step runs the same
+        matmul rows as a K+1 verify batch)."""
+        import jax.numpy as jnp
+
+        from llama_kotlin_tpu.runtime.generate import (SampleParams,
+                                                       generate_loop)
+
         ctx.clear()
+        prompt = rng.integers(0, ctx.cfg.vocab_size, 64).astype(np.int32)
         assert ctx.decode(Batch.single(prompt)) == 0
-        toks = rng.integers(0, ctx.cfg.vocab_size, nt).astype(np.int32)
+        tok = int(np.argmax(ctx.get_logits()[-1]))
+        for s in range(1, nt):
+            ctx.seq_cp(0, s)
 
-        def one(i):
-            pos = np.arange(64, 64 + nt, dtype=np.int32)
-            rc = ctx.decode(Batch(toks, pos, np.zeros(nt, np.int32),
-                                  np.ones(nt, bool)))
-            assert rc == 0
-            np.asarray(ctx.get_logits()[0, :8])
-            ctx.seq_rm(0, 64, -1)  # rewind so cells/buckets stay constant
+        def run():
+            slots = ctx.meta.find_slots(steps * nt)
+            pos = np.repeat(np.arange(64, 64 + steps, dtype=np.int32), nt)
+            seqs = np.tile(np.arange(nt, dtype=np.int32), steps)
+            ctx.meta.commit(slots, pos, seqs)
+            out, cache, *_ = generate_loop(
+                ctx.params, ctx.cfg, ctx.cache, *ctx.meta.device_view(512),
+                jnp.full((nt,), tok, jnp.int32),
+                jnp.full((nt,), 64, jnp.int32),
+                jnp.arange(nt, dtype=jnp.int32),
+                jnp.asarray(slots.reshape(steps, nt)),
+                steps, SampleParams(), ctx.compute_dtype)
+            ctx.cache = cache
+            import jax
 
-        one(0)  # compile
-        t0 = time.time()
-        for i in range(reps):
-            one(i)
-        return (time.time() - t0) / reps
+            jax.block_until_ready(out)
+            ctx.meta.pos[slots] = -1
+            ctx.meta.seq[slots] = 0
+            ctx.meta._next = int(slots[0])
+
+        run()  # compile
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            dt = (time.time() - t0) / steps
+            best = dt if best is None else min(best, dt)
+        return best
 
     tgt = build("llama3-8b")
     t_t1 = step_time(tgt, 1)
@@ -228,6 +255,10 @@ def run_components(alpha: float, n_draft: int) -> None:
 
 
 def main():
+    os.environ.setdefault(
+        "LKTPU_XLA_OPTS",
+        "xla_tpu_scoped_vmem_limit_kib=98304,"
+        "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--steps", type=int, default=1200)
