@@ -68,6 +68,7 @@ from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from llama_kotlin_tpu.quant.qtensor import QTensor, SPAN, unpack_codes, effective_scales
@@ -343,25 +344,43 @@ def attach_q8(w4: QTensor, wf: Optional[np.ndarray] = None) -> QTensor:
     return replace(w4, aux=aux)
 
 
-def attach_q8_device(w4: QTensor) -> QTensor:
+def attach_q8_device(w4: QTensor, row_chunk: int = 8192) -> QTensor:
     """attach_q8 computed with jnp on the accelerator (synthetic 8B builds:
-    host-built planes would cost minutes through the tunnel)."""
+    host-built planes would cost minutes through the tunnel).  Row-chunked:
+    a whole-tensor f32 dequant of an 8B lm_head is a ~2.1 GB HBM transient
+    (OOMed the round-5 dual-fold batched bench)."""
     from dataclasses import replace
 
     from llama_kotlin_tpu.quant.qtensor import dequantize
 
-    wf = dequantize(w4, dtype=jnp.float32)
-    n, k = wf.shape
+    n, k = w4.shape
     k_pad = -(-k // SPAN) * SPAN
-    if k_pad != k:
-        wf = jnp.pad(wf, ((0, 0), (0, k_pad - k)))
-    xr = wf.reshape(n, k_pad // SPAN, SPAN)
-    scale = jnp.max(jnp.abs(xr), axis=-1) / 127.0
-    safe = jnp.where(scale > 0, scale, 1.0)
-    codes = jnp.clip(jnp.round(xr / safe[..., None]), -127, 127)
+    code_parts, scale_parts = [], []
+    for r0 in range(0, n, row_chunk):
+        sl = slice(r0, min(r0 + row_chunk, n))
+        sub = replace(
+            w4,
+            codes=w4.codes[sl],
+            g_scale=w4.g_scale[sl] if getattr(w4.g_scale, "ndim", 0) else
+            w4.g_scale,
+            g_min=None if w4.g_min is None else w4.g_min[sl],
+            sb_scale=None if w4.sb_scale is None else w4.sb_scale[sl],
+            sb_min=None if w4.sb_min is None else w4.sb_min[sl],
+            aux=None, shape=(min(r0 + row_chunk, n) - r0, k))
+        wf = dequantize(sub, dtype=jnp.float32)
+        if k_pad != k:
+            wf = jnp.pad(wf, ((0, 0), (0, k_pad - k)))
+        xr = wf.reshape(wf.shape[0], k_pad // SPAN, SPAN)
+        scale = jnp.max(jnp.abs(xr), axis=-1) / 127.0
+        safe = jnp.where(scale > 0, scale, 1.0)
+        codes = jnp.clip(jnp.round(xr / safe[..., None]), -127, 127)
+        code_parts.append(
+            jax.block_until_ready(
+                codes.astype(jnp.int8).reshape(wf.shape[0], k_pad)))
+        scale_parts.append(scale.astype(jnp.float32))
     aux = dict(w4.aux or {})
-    aux["q8_codes"] = codes.astype(jnp.int8).reshape(n, k_pad)
-    aux["q8_scale"] = scale.astype(jnp.float32)
+    aux["q8_codes"] = jnp.concatenate(code_parts, axis=0)
+    aux["q8_scale"] = jnp.concatenate(scale_parts, axis=0)
     return replace(w4, aux=aux)
 
 
