@@ -40,6 +40,41 @@ def _greedy(logits: np.ndarray) -> int:
     return int(np.argmax(logits))
 
 
+def _draft_chain_device(draft: LlamaContext, last: int, n_past: int,
+                        k: int) -> Optional[list[int]]:
+    """Greedy K-step draft chain as ONE on-device generate_loop dispatch.
+
+    The per-step host path costs a full dispatch round-trip per drafted
+    token (~25-35 ms through the axon tunnel — it made device speculation
+    slower than plain decode in the first round-5 measurement); this cuts
+    a speculation round to two dispatches (draft chain + verify batch),
+    the structure the reference gets for free from microsecond CUDA
+    launches (examples/speculative/speculative.cpp).  Returns the K
+    proposals (the draft cache is updated exactly like K single decodes),
+    or None when the cache can't seat K cells (caller falls back)."""
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.runtime.generate import SampleParams, generate_loop
+
+    meta = draft.meta
+    slots = meta.find_slots(k)
+    if slots is None:
+        return None
+    pos = np.arange(n_past, n_past + k, dtype=np.int32)
+    meta.commit(slots, pos, np.zeros(k, np.int32))
+    span = meta.used_span()
+    n_vis = next((b for b in getattr(draft, "_vis_buckets",
+                                     (draft.n_cells,)) if b >= span),
+                 draft.n_cells)
+    out, cache, *_ = generate_loop(
+        draft.params, draft.cfg, draft.cache, *meta.device_view(n_vis),
+        jnp.full((1,), last, jnp.int32), jnp.full((1,), n_past, jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.asarray(slots.reshape(k, 1)),
+        k, SampleParams(), draft.compute_dtype)
+    draft.cache = cache
+    return [int(t) for t in np.asarray(out)[:, 0]]
+
+
 def speculative_generate(
     target: LlamaContext,
     draft: LlamaContext,
@@ -71,16 +106,21 @@ def speculative_generate(
     n_past = len(prompt_tokens)  # same for target and draft
 
     while len(out) < n_predict and last != eos_id:
-        # 1. draft proposes a chain greedily
+        # 1. draft proposes a chain greedily — one device dispatch when
+        # greedy (K steps in-loop); per-step fallback otherwise
         proposals: list[int] = []
-        d_tok = last
-        for i in range(n_draft):
-            rc = draft.decode(Batch(tokens=[d_tok], pos=[n_past + i],
-                                    seq_id=[0], output=[True]))
-            if rc != 0:
-                break
-            d_tok = int(draft.get_topk(1)[1][0, 0])
-            proposals.append(d_tok)
+        if greedy:
+            proposals = _draft_chain_device(draft, last, n_past,
+                                            n_draft) or []
+        if not proposals:
+            d_tok = last
+            for i in range(n_draft):
+                rc = draft.decode(Batch(tokens=[d_tok], pos=[n_past + i],
+                                        seq_id=[0], output=[True]))
+                if rc != 0:
+                    break
+                d_tok = int(draft.get_topk(1)[1][0, 0])
+                proposals.append(d_tok)
         if not proposals:
             # cache exhausted: fall back to plain decode of `last`
             rc = target.decode(Batch(tokens=[last], pos=[n_past], seq_id=[0],
