@@ -431,3 +431,175 @@ def lookup_generate(
         target.seq_rm(0, n_past, -1)
         last = correction
     return out[:n_predict], stats
+
+
+# -- fully on-device speculative loop ----------------------------------------
+
+
+def speculative_generate_device(
+    target: LlamaContext,
+    draft: LlamaContext,
+    prompt_tokens,
+    n_predict: int,
+    n_draft: int = 5,
+    eos_id: int = -1,
+) -> tuple[list[int], SpecStats]:
+    """Greedy speculative decoding with draft, verify, acceptance, and
+    cache rollback ALL inside one jitted device loop — a single dispatch
+    for the whole generation.
+
+    The reference's speculative example is host-driven because CUDA
+    launches cost microseconds (examples/speculative/speculative.cpp);
+    through the axon tunnel every dispatch costs ~25-35 ms, which made
+    host-driven speculation slower than plain decode at any model scale
+    (round-5 device log).  TPU-native structure: a lax.while_loop whose
+    body runs a K-step lax.scan of draft forwards, one K+1 verify forward
+    of the target, prefix-match acceptance (the same accept rules as
+    speculative_generate — output identical to plain greedy), and
+    metadata-level rollback of rejected cells on both caches.
+
+    Per round the loop consumes K draft cells and K+1 target cells from
+    pre-allocated slot grids; worst case (0 accepts) one round per token.
+    Output tokens identical to plain greedy decoding of the target.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from llama_kotlin_tpu.models import llama as llama_model
+
+    prompt_tokens = np.asarray(prompt_tokens, np.int32)
+    for c in (target, draft):
+        c.clear()
+        if c.decode(Batch.single(prompt_tokens)) != 0:
+            raise RuntimeError("prefill failed")
+    stats = SpecStats()
+    last0 = int(target.get_topk(1)[1][0, 0])
+    n_past0 = len(prompt_tokens)
+    K = n_draft
+    R = n_predict  # worst-case rounds (>=1 token per round)
+
+    # pre-allocate per-round cell slots on the host allocators
+    slots_t = target.meta.find_slots(R * (K + 1))
+    slots_d = draft.meta.find_slots(R * K)
+    if slots_t is None or slots_d is None:
+        # not enough cells to run fully on device: host-driven fallback
+        return speculative_generate(target, draft, prompt_tokens, n_predict,
+                                    n_draft=n_draft, eos_id=eos_id)
+    # commit with pos=-1 (invalid) — the device loop stamps real positions
+    target.meta.commit(slots_t, np.full(R * (K + 1), -1, np.int32),
+                       np.zeros(R * (K + 1), np.int32))
+    draft.meta.commit(slots_d, np.full(R * K, -1, np.int32),
+                      np.zeros(R * K, np.int32))
+    span_t = max(int(slots_t.max()), n_past0) + 1
+    span_d = max(int(slots_d.max()), n_past0) + 1
+    nv_t = next((b for b in getattr(target, "_vis_buckets",
+                                    (target.n_cells,)) if b >= span_t),
+                target.n_cells)
+    nv_d = next((b for b in getattr(draft, "_vis_buckets",
+                                    (draft.n_cells,)) if b >= span_d),
+                draft.n_cells)
+    cpos_t, cseq_t = target.meta.device_view(nv_t)
+    cpos_d, cseq_d = draft.meta.device_view(nv_d)
+    st_dev = jnp.asarray(slots_t.reshape(R, K + 1))
+    sd_dev = jnp.asarray(slots_d.reshape(R, K))
+    ct, cd = target.cache, draft.cache
+    cfg_t, cfg_d = target.cfg, draft.cfg
+    dt_t, dt_d = target.compute_dtype, draft.compute_dtype
+
+    def round_body(carry):
+        (out_buf, n_out, last, base, ct, cd, cpos_t, cseq_t, cpos_d,
+         cseq_d, r, n_drafted, n_accepted, n_verify, done) = carry
+        sd_r = sd_dev[r]
+        st_r = st_dev[r]
+
+        # ---- draft chain: K single-token forwards (lax.scan) ----------
+        def draft_step(carry_d, i):
+            tok, cd, cpos_d, cseq_d = carry_d
+            pos = base + i
+            slot = sd_r[i]
+            cpos_d2 = cpos_d.at[slot].set(pos)
+            cseq_d2 = cseq_d.at[slot].set(jnp.int32(1))
+            logits, cd2, _ = llama_model.forward(
+                draft.params, cfg_d, tok[None], pos[None],
+                jnp.zeros(1, jnp.int32), slot[None], cd, cpos_d2, cseq_d2,
+                jnp.zeros(1, jnp.int32), compute_dtype=dt_d)
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            return (nxt, cd2, cpos_d2, cseq_d2), nxt
+
+        (_, cd, cpos_d, cseq_d), proposals = jax.lax.scan(
+            draft_step, (last, cd, cpos_d, cseq_d), jnp.arange(K))
+
+        # ---- target verifies [last] + proposals in one batch ----------
+        chain = jnp.concatenate([last[None], proposals])  # [K+1]
+        pos_v = base + jnp.arange(K + 1)
+        cpos_t = cpos_t.at[st_r].set(pos_v)
+        cseq_t = cseq_t.at[st_r].set(jnp.int32(1))
+        logits, ct, _ = llama_model.forward(
+            target.params, cfg_t, chain, pos_v,
+            jnp.zeros(K + 1, jnp.int32), st_r, ct, cpos_t, cseq_t,
+            jnp.arange(K + 1, dtype=jnp.int32), compute_dtype=dt_t)
+        t_choices = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [K+1]
+
+        # ---- acceptance (same rules as the host path) -----------------
+        i_idx = jnp.arange(K)
+        ok = ((t_choices[:K] == proposals)
+              & (proposals != eos_id)
+              & (n_out + i_idx + 1 < n_predict))
+        pref = jnp.cumprod(ok.astype(jnp.int32))
+        n_acc = jnp.sum(pref)
+        correction = t_choices[n_acc]
+
+        # ---- emit proposals[:n_acc] + correction ----------------------
+        emit_idx = jnp.arange(K + 1)
+        emit_tok = jnp.where(emit_idx < n_acc,
+                             jnp.concatenate([proposals, proposals[-1:]]),
+                             correction)
+        write_at = jnp.where(emit_idx <= n_acc, n_out + emit_idx,
+                             jnp.int32(out_buf.shape[0]))  # OOB -> dropped
+        out_buf = out_buf.at[write_at].set(emit_tok, mode="drop")
+
+        # ---- rollback rejected cells (metadata-level) -----------------
+        keep_t = jnp.arange(K + 1) <= n_acc
+        cpos_t = cpos_t.at[st_r].set(jnp.where(keep_t, pos_v, -1))
+        keep_d = jnp.arange(K) <= n_acc
+        cpos_d = cpos_d.at[sd_r].set(
+            jnp.where(keep_d, base + jnp.arange(K), -1))
+
+        n_out = jnp.minimum(n_out + n_acc + 1, jnp.int32(n_predict))
+        done = (correction == eos_id) | (n_out >= n_predict)
+        return (out_buf, n_out, correction, base + n_acc + 1, ct, cd,
+                cpos_t, cseq_t, cpos_d, cseq_d, r + 1,
+                n_drafted + K, n_accepted + n_acc, n_verify + 1, done)
+
+    def cond(carry):
+        return ~carry[-1]
+
+    @jax.jit
+    def run(ct, cd, cpos_t, cseq_t, cpos_d, cseq_d, last0):
+        out_buf = jnp.full((n_predict,), -1, jnp.int32)
+        carry = (out_buf, jnp.int32(1), last0, jnp.int32(n_past0),
+                 ct, cd, cpos_t, cseq_t, cpos_d, cseq_d, jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 jnp.bool_(False))
+        # the first generated token (from the prompt's logits) occupies
+        # out_buf[0]; rounds fill from index 1
+        carry = (carry[0].at[0].set(last0),) + carry[1:]
+        carry = jax.lax.while_loop(cond, round_body, carry)
+        return carry
+
+    (out_buf, n_out, _last, _base, ct, cd, cpos_t, cseq_t, cpos_d, cseq_d,
+     rounds, n_drafted, n_accepted, n_verify, _done) = run(
+        ct, cd, cpos_t, cseq_t, cpos_d, cseq_d, jnp.int32(last0))
+    target.cache, draft.cache = ct, cd
+    # sync host metadata from the loop's final device state
+    target.meta.pos[:nv_t] = np.asarray(cpos_t)
+    target.meta.seq[:nv_t] = np.asarray(cseq_t)
+    draft.meta.pos[:nv_d] = np.asarray(cpos_d)
+    draft.meta.seq[:nv_d] = np.asarray(cseq_d)
+    stats.n_drafted = int(n_drafted)
+    stats.n_accepted = int(n_accepted)
+    stats.n_target_calls = int(n_verify) + 1
+    toks = [int(t) for t in np.asarray(out_buf[: int(n_out)])]
+    if eos_id >= 0 and eos_id in toks:
+        toks = toks[: toks.index(eos_id) + 1]
+    return toks, stats

@@ -97,4 +97,14 @@ def compiler_opts():
     s = os.environ.get("LKTPU_XLA_OPTS", "")
     if not s:
         return None
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # the knobs are TPU-only compile options; the CPU backend
+            # rejects them (harness scripts default TPU opts and must
+            # still run under the CPU-pinned test/dev flows)
+            return None
+    except Exception:
+        pass
     return dict(kv.split("=", 1) for kv in s.split(","))

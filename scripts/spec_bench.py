@@ -108,12 +108,54 @@ def run_trained(n_draft: int, n_predict: int, prompt_len: int = 256) -> None:
     base_out = plain()
     t_plain = time.time() - t0
 
+    # plain decode via the PRODUCTION on-device loop (one dispatch per
+    # chunk) — the honest baseline; per-call plain() above measures the
+    # host-stepped path whose per-call dispatch dominates small models
+    from llama_kotlin_tpu.runtime.generate import SampleParams, generate_loop
+    import jax.numpy as jnp
+
+    def plain_loop():
+        tgt.clear()
+        assert tgt.decode(Batch.single(prompt)) == 0
+        tok = int(np.argmax(tgt.get_logits()[0]))
+        n = n_predict - 1
+        slots = tgt.meta.find_slots(n)
+        pos = np.arange(len(prompt), len(prompt) + n, dtype=np.int32)
+        tgt.meta.commit(slots, pos, np.zeros(n, np.int32))
+        out, cache, *_ = generate_loop(
+            tgt.params, tgt.cfg, tgt.cache, *tgt.meta.device_view(),
+            jnp.full((1,), tok, jnp.int32),
+            jnp.full((1,), len(prompt), jnp.int32),
+            jnp.zeros((1,), jnp.int32), jnp.asarray(slots.reshape(n, 1)),
+            n, SampleParams(), tgt.compute_dtype)
+        tgt.cache = cache
+        return [tok] + [int(t) for t in np.asarray(out)[:, 0]]
+
+    plain_loop()  # compile
+    t0 = time.time()
+    loop_out = plain_loop()
+    t_plain_loop = time.time() - t0
+    assert loop_out == base_out, "device loop != host greedy"
+
     speculative_generate(tgt, dft, prompt, 8, n_draft=n_draft)  # compile
     t0 = time.time()
     spec_out, st = speculative_generate(tgt, dft, prompt, n_predict,
                                         n_draft=n_draft)
     t_spec = time.time() - t0
     assert spec_out == base_out[:len(spec_out)], "speculative != greedy"
+
+    # fully on-device speculative loop (one dispatch for the whole
+    # generation — runtime/speculative.speculative_generate_device)
+    from llama_kotlin_tpu.runtime.speculative import \
+        speculative_generate_device
+
+    speculative_generate_device(tgt, dft, prompt, 8, n_draft=n_draft)
+    t0 = time.time()
+    dev_out, st_dev = speculative_generate_device(tgt, dft, prompt,
+                                                  n_predict,
+                                                  n_draft=n_draft)
+    t_spec_dev = time.time() - t0
+    assert dev_out == base_out[:len(dev_out)], "device spec != greedy"
 
     t0 = time.time()
     tree_out, st_tree = speculative_generate_tree(tgt, dft, prompt,
@@ -141,10 +183,15 @@ def run_trained(n_draft: int, n_predict: int, prompt_len: int = 256) -> None:
         "kind": "trained_pair", "backend": jax.default_backend(),
         "n_draft": n_draft, "n_predict": n_predict,
         "plain_tps": round(n_predict / t_plain, 2),
+        "plain_loop_tps": round(n_predict / t_plain_loop, 2),
         "spec_tps": round(len(spec_out) / t_spec, 2),
         "spec_accept_rate": round(st.accept_rate, 4),
         "spec_target_calls": st.n_target_calls,
         "spec_speedup": round(t_plain / t_spec * len(spec_out) / n_predict, 3),
+        "spec_device_tps": round(len(dev_out) / t_spec_dev, 2),
+        "spec_device_accept_rate": round(st_dev.accept_rate, 4),
+        "spec_device_vs_loop": round(
+            (len(dev_out) / t_spec_dev) / (n_predict / t_plain_loop), 3),
         "tree_tps": round(len(tree_out) / t_tree, 2),
         "tree_accept_rate": round(st_tree.accept_rate, 4),
         "tree_speedup": round(t_plain / t_tree * len(tree_out) / n_predict, 3),

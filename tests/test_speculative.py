@@ -139,3 +139,21 @@ def test_tree_speculative_single_branch_degenerates_to_chain(model):
         p_split=0.0,
     )
     assert out == ref
+
+
+def test_speculative_device_loop_matches_host(model):
+    """speculative_generate_device (draft scan + verify + rollback in one
+    jitted while_loop) must produce the host path's exact output and
+    acceptance stats (self-draft: same tiny model both roles)."""
+    from llama_kotlin_tpu.runtime.speculative import (
+        speculative_generate, speculative_generate_device)
+
+    prompt = [3, 17, 42, 9]
+    tgt, dft = _ctx(model), _ctx(model)
+    out_h, st_h = speculative_generate(tgt, dft, prompt, 24, n_draft=4)
+    tgt2, dft2 = _ctx(model), _ctx(model)
+    out_d, st_d = speculative_generate_device(tgt2, dft2, prompt, 24,
+                                              n_draft=4)
+    assert out_d == out_h
+    assert (st_d.n_drafted, st_d.n_accepted) == (st_h.n_drafted,
+                                                 st_h.n_accepted)
