@@ -74,10 +74,21 @@ def _put(w: Any, mesh: Mesh, spec: P) -> Any:
     sh = NamedSharding(mesh, spec)
     if isinstance(w, QTensor):
         tp_axis = _tp_axis_of(w, spec)
-        # NOTE: no decompact rebuild for fine row splits — a per-shard kc
-        # not divisible by CHUNK=512 is ineligible for the W4 kernel in
-        # BOTH layouts (ops/pallas/qmm_w4._plan), and the XLA dequant
-        # fallback reads g_scale/g_min which compact tensors retain
+        if tp_axis == 1 and w.aux is not None and "q6_t" in w.aux:
+            # row splits whose per-shard kc plans only at bkc=512 must
+            # leave the compact layout: that plan's q6_t tiling
+            # miscomputes on hardware (fold.py layout guard) so the
+            # kernel declines it — the legacy f32-plane layout plans down
+            # to bkc=512 and keeps the fast path on every shard.  Shards
+            # with kc % 512 != 0 are kernel-ineligible in both layouts
+            # (the dequant fallback reads g_scale/g_min, retained).
+            kc_local = w.codes.shape[-1] // mesh.shape["tp"]
+            if kc_local % 1024 and kc_local % 512 == 0:
+                import numpy as _np
+
+                from llama_kotlin_tpu.quant.fold import decompact_w4
+
+                w = decompact_w4(jax.tree.map(_np.asarray, w))
         if w.aux is None:
             out = jax.tree.map(lambda a: jax.device_put(a, sh), w)
             return _dc_replace(out, tp_axis=tp_axis)
