@@ -167,13 +167,21 @@ def _sb_selection(sb_total: int, sbk: int) -> np.ndarray:
     return sel
 
 
-def _plan_tiles(n: int, k_pad: int, group_size: int) -> Optional[tuple[int, int]]:
+def _plan_tiles(n: int, k_pad: int, group_size: int,
+                n_planes: int = 1) -> Optional[tuple[int, int]]:
     """Prefer big tiles: per-tile fixed costs (small scale dots, pipeline
     bubbles) dominate at small tiles; VMEM comfortably fits (bn*bk/2 codes
     double-buffered <= 1MB at (512, 2048))."""
     if group_size > 128:
         return None  # q8_K-style giant groups: XLA path
+    kc = k_pad // n_planes  # per-plane code columns
     for bk in (2048, 1024, 512, 256):
+        bc = bk // n_planes
+        # Mosaic lane rule: a block's last dim must be a multiple of 128
+        # or the whole array extent (hit by 2-bit formats at small k:
+        # bits=2 -> 4 planes -> bc=64 blocks on a 192-col plane)
+        if bc % 128 and bc != kc:
+            continue
         if k_pad % bk == 0 and bk // group_size >= 8 and bk >= SPAN:
             for bn in (512, 256, 128):
                 if n % bn == 0:
@@ -192,7 +200,8 @@ def qmm(x: jnp.ndarray, w: QTensor, *, compute_dtype=jnp.bfloat16,
         return None
     if w.hi_signed and (w.bits != 4 or w.code_offset != 0 or w.g_min is None):
         return None  # only the W4 fold layout is supported among hi_signed
-    plan = _plan_tiles(n, k_pad, w.group_size)
+    plan = _plan_tiles(n, k_pad, w.group_size,
+                       n_planes={8: 1, 4: 2, 2: 4}[w.bits])
     if plan is None:
         return None
     bn, bk = plan
