@@ -202,9 +202,13 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
                 # dequant paths but never cross HBM on the decode loop —
                 # counting them inflated w_gbps ~17% (round-4 finding)
                 w_bytes += leaf.codes.size * leaf.codes.dtype.itemsize
+                # q8_* shadow planes (fold.attach_q8) serve only ubatches
+                # above LKTPU_W4_BMAX — the b=1 decode loop never reads
+                # them (same accounting rule as g_scale/g_min)
                 w_bytes += sum(a.size * a.dtype.itemsize
-                               for a in leaf.aux.values()
-                               if getattr(a, "ndim", 0) >= 2)
+                               for k2, a in leaf.aux.items()
+                               if getattr(a, "ndim", 0) >= 2
+                               and not k2.startswith("q8_"))
             else:
                 w_bytes += leaf.nbytes()
         elif hasattr(leaf, "nbytes"):
@@ -228,8 +232,10 @@ def run(preset: str, steps: int, prefill: int, batch: int = 1) -> dict:
             pp_matrix[pp] = round(pp / pp_dt, 1)
         except Exception:
             pass  # cache too small for the pp prompt etc.
-    pp_tps = pp_matrix.get(1024) or (list(pp_matrix.values())[-1]
-                                     if pp_matrix else None)
+    # canonical pp_tps is the pp1024 row (the reference's headline pp
+    # metric); other sizes live only in detail.pp_matrix — reporting a
+    # different size under the same key would mislabel BENCH_r0x.json
+    pp_tps = pp_matrix.get(1024) if 1024 in pp_matrix else None
     return {
         "metric": f"decode_tps_{preset}_{mode}"
         + (f"_kv{kv}" if kv else "") + (f"_b{batch}" if batch > 1 else ""),
@@ -263,16 +269,13 @@ def child_main() -> None:
     """Run one bench attempt in-process and print its JSON line."""
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         _force_cpu()
-    elif "LKTPU_XLA_OPTS" not in os.environ:
-        # round-5 bench-harness A/B winner: more scoped VMEM for the Mosaic
-        # pipelines + an 8x async-copy bandwidth model (136.35 vs 132.49
-        # t/s at 2.0; reps all >= 132.9 — the aggressive bandwidth estimate
-        # makes XLA's latency-hiding scheduler pack weight prefetches
-        # tighter).  Round-3's 2.0 was tuned in the trace harness, which
-        # round 5 showed diverges from the real loop.
-        os.environ["LKTPU_XLA_OPTS"] = (
-            "xla_tpu_scoped_vmem_limit_kib=98304,"
-            "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
+    else:
+        # round-5 bench-harness A/B winner (136.35 vs 132.49 t/s at the old
+        # bw=2.0; the aggressive bandwidth estimate makes XLA's latency-
+        # hiding scheduler pack weight prefetches tighter)
+        from llama_kotlin_tpu.utils.profiling import default_xla_opts
+
+        default_xla_opts()
     from llama_kotlin_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()  # tunnel compiles cost minutes each; pay once

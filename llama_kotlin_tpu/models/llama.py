@@ -259,7 +259,9 @@ def forward(
                 and lp.get("ffn_norm") is not None
                 and all(lp.get(kk) is None for kk in (
                     "attn_sub_norm", "wo_scale", "bo", "post_attn_norm",
-                    "ffn_gate_inp", "ffn_down_b", "post_ffn_norm",
+                    "ffn_gate_inp", "ffn_gate_b", "ffn_up_b",
+                    "ffn_gate_scale", "ffn_up_scale", "ffn_sub_norm",
+                    "ffn_down_b", "ffn_down_scale", "post_ffn_norm",
                     "ffn_norm_exps"))):
             # fused layer half: o-proj + residual + rmsnorm + gated FFN in
             # one launch (ops/qmatmul.qmm_layer); declines -> normal path

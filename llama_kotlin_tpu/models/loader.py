@@ -307,7 +307,13 @@ def fuse_layer_projections(cfg: ModelConfig, params: dict) -> int:
             except ValueError:
                 pass  # mismatched quant metadata: keep split projections
         gu = [lp.get(k) for k in ("ffn_gate", "ffn_up")]
-        if (cfg.ffn_gated and fusable(gu)
+        # gate/up biases, bitnet scales, and sub-norms apply to the SPLIT
+        # intermediates — the fused branch computes act(gate)*up directly,
+        # so such layers must keep separate projections
+        gu_plain = all(lp.get(k) is None for k in (
+            "ffn_gate_b", "ffn_up_b", "ffn_gate_scale", "ffn_up_scale",
+            "ffn_sub_norm"))
+        if (cfg.ffn_gated and fusable(gu) and gu_plain
                 and cfg.layer_n_ff(li) == cfg.n_ff):
             try:
                 lp["ffn_gateup_fused"] = cat(gu)

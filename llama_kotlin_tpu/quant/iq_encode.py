@@ -8,9 +8,10 @@ encoders are scalar C with per-block iterative refinement; this is an
 independent vectorized-numpy design with the same structure of decisions:
 
   1. SIGNS: the xxs/xs flavors store signs as a 7-bit index into the
-     odd-parity ksigns table, so only odd-parity sign patterns per 8
-     elements are representable.  Even-parity patterns flip the sign of
-     the element with the smallest weighted magnitude (cheapest error).
+     parity-completed ksigns table, so only EVEN-parity sign patterns
+     per 8 elements are representable.  Odd-parity patterns flip the
+     sign of the element with the smallest weighted magnitude (cheapest
+     error) — see _parity_fix_signs.
   2. MAGNITUDES: per unit (8 or 4 |x| values) pick the codebook row
      minimizing the weighted error against lambda * grid — evaluated for
      ALL units x ALL rows as two matmuls:

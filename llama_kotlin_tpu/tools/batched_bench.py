@@ -73,11 +73,9 @@ def main(argv=None):
     from llama_kotlin_tpu.models.loader import load_gguf_model
     from llama_kotlin_tpu.runtime.context import LlamaContext
 
-    # same tuned compiler options as the headline bench (bench.py)
-    os.environ.setdefault(
-        "LKTPU_XLA_OPTS",
-        "xla_tpu_scoped_vmem_limit_kib=98304,"
-        "xla_tpu_async_copy_bandwidth_scaling_factor=2.0")
+    from llama_kotlin_tpu.utils.profiling import default_xla_opts
+
+    default_xla_opts()  # tuned TPU compiler options (one site: profiling.py)
 
     ap = argparse.ArgumentParser(description="batched pp/tg benchmark")
     ap.add_argument("--model", "-m",

@@ -87,6 +87,17 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
         pass  # older jax or read-only fs: run without the cache
 
 
+# round-5 bench-harness A/B winner (STATUS.md): harness entry points
+# setdefault LKTPU_XLA_OPTS from here so knob retunes edit ONE site
+DEFAULT_XLA_OPTS = ("xla_tpu_scoped_vmem_limit_kib=98304,"
+                    "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
+
+
+def default_xla_opts() -> None:
+    """setdefault the tuned TPU compiler options into the environment."""
+    os.environ.setdefault("LKTPU_XLA_OPTS", DEFAULT_XLA_OPTS)
+
+
 def compiler_opts():
     """XLA compiler options for the hot jits, from LKTPU_XLA_OPTS
     ("key=value,key=value").  The axon PJRT backend parses and applies

@@ -24,30 +24,10 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-class CharTokenizer:
-    """id -> single letter piece; enough for grammar masks over a big vocab."""
-
-    class V:
-        eos_id = 2
-        bos_id = 1
-        add_bos = True
-
-    vocab = V()
-
-    def __init__(self, vocab_size):
-        self.vocab_size = vocab_size
-
-    def encode(self, text, add_special=True, parse_special=False):
-        return ([1] if add_special else []) + [
-            3 + (ord(c) % (self.vocab_size - 3)) for c in text]
-
-    def decode(self, ids, skip_special=True):
-        return "".join(chr(97 + (t % 26)) for t in ids if t > 2)
-
-    def id_to_piece(self, tid):
-        return chr(97 + (tid % 26)).encode()
+from bench_common import CharTokenizer  # noqa: E402
 
 
 def main() -> None:

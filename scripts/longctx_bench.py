@@ -95,12 +95,9 @@ def bench_point(cfg, params, fill: int, kv: str, steps: int,
 
 
 def main(argv=None):
-    # headline bench's tuned compiler options (the default 16 MB scoped
-    # vmem OOMs the 1024-row prefill qmm at mistral shapes)
-    os.environ.setdefault(
-        "LKTPU_XLA_OPTS",
-        "xla_tpu_scoped_vmem_limit_kib=98304,"
-        "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
+    from llama_kotlin_tpu.utils.profiling import default_xla_opts
+
+    default_xla_opts()  # tuned TPU compiler options (one site: profiling.py)
     ap = argparse.ArgumentParser(description="long-context decode curve")
     ap.add_argument("--preset", default="mistral-7b")
     ap.add_argument("--qtype", default="Q5_K",

@@ -55,20 +55,26 @@ def main() -> None:
         env["LKTPU_XLA_OPTS"] = opts
         env.update(extra)
         t0 = time.time()
-        p = subprocess.run(
-            [sys.executable, str(ROOT / "scripts" / "trace_decode.py"),
-             "--preset", args.preset, "--steps", str(args.steps),
-             "--out", "none"],
-            env=env, capture_output=True, text=True, timeout=1500)
         best = None
-        for line in p.stdout.splitlines():
-            if line.startswith("best:"):
-                best = float(line.split()[1])
+        err_txt = ""
+        try:
+            p = subprocess.run(
+                [sys.executable, str(ROOT / "scripts" / "trace_decode.py"),
+                 "--preset", args.preset, "--steps", str(args.steps),
+                 "--out", "none"],
+                env=env, capture_output=True, text=True, timeout=1500)
+            for line in p.stdout.splitlines():
+                if line.startswith("best:"):
+                    best = float(line.split()[1])
+            err_txt = (p.stdout + p.stderr)[-300:]
+        except subprocess.TimeoutExpired:
+            # a hung config (the tunnel can wedge) must not kill the sweep
+            err_txt = "timeout"
         row = {"kind": "e2e_opt_sweep", "label": label, "tps": best,
                "wall_s": round(time.time() - t0, 1),
                "t": time.strftime("%H:%M:%S")}
         if best is None:
-            row["err"] = (p.stdout + p.stderr)[-300:]
+            row["err"] = err_txt
         results.append(row)
         print(json.dumps(row), flush=True)
         with out_path.open("a") as f:

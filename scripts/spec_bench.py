@@ -302,10 +302,9 @@ def run_components(alpha: float, n_draft: int) -> None:
 
 
 def main():
-    os.environ.setdefault(
-        "LKTPU_XLA_OPTS",
-        "xla_tpu_scoped_vmem_limit_kib=98304,"
-        "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
+    from llama_kotlin_tpu.utils.profiling import default_xla_opts
+
+    default_xla_opts()  # tuned TPU compiler options (one site: profiling.py)
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--steps", type=int, default=1200)

@@ -20,29 +20,12 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 
-class CharTokenizer:
-    class V:
-        eos_id = 2
-        bos_id = 1
-        add_bos = True
-
-    vocab = V()
-
-    def __init__(self, vocab_size):
-        self.vocab_size = vocab_size
-
-    def encode(self, text, add_special=True, parse_special=False):
-        return [1] + [3 + (ord(c) % 200) for c in text]
-
-    def decode(self, ids, skip_special=True):
-        return "".join(chr(97 + (t % 26)) for t in ids)
-
-    def id_to_piece(self, tid):
-        return chr(97 + (tid % 26))
+from bench_common import CharTokenizer  # noqa: E402
 
 
 def main() -> None:
@@ -64,10 +47,9 @@ def main() -> None:
     from llama_kotlin_tpu.sampling.samplers import SamplingParams
     from llama_kotlin_tpu.utils.profiling import enable_compile_cache
 
-    os.environ.setdefault(
-        "LKTPU_XLA_OPTS",
-        "xla_tpu_scoped_vmem_limit_kib=98304,"
-        "xla_tpu_async_copy_bandwidth_scaling_factor=8.0")
+    from llama_kotlin_tpu.utils.profiling import default_xla_opts
+
+    default_xla_opts()  # tuned TPU compiler options (one site: profiling.py)
     enable_compile_cache()
     cfg = preset_config(args.preset)
     params = synthetic_params_device(cfg, GGMLQuantType.Q4_K,

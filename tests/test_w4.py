@@ -251,12 +251,25 @@ def test_w4_compact_gates(rng):
     ref = jnp.dot(x, dequantize(w4, jnp.float32).T)
     denom = float(jnp.abs(ref).max()) + 1e-9
     assert float(jnp.abs(got - ref).max()) / denom < 2e-2
-    # an env-forced compact fold at such a shape must DECLINE the kernel
-    # (dispatch falls to the fused dequant path) rather than miscompute
-    w4c = fold_to_w4(repack_float(wf, GGMLQuantType.Q4_K), compact=True)
-    if "q6_t" in w4c.aux:  # fold may still refuse; only then check kernel
-        assert qmm_w4_matmul(x, jax.tree.map(jnp.asarray, w4c),
+    # the kernel-side guard: an env-forced bkc=512 plan on a COMPACT
+    # tensor must DECLINE rather than miscompute (the fold guard keeps
+    # real folds legacy at such shapes, so force both knobs here)
+    wf3 = (rng.standard_normal((128, 2048)) * 0.1).astype(np.float32)
+    w4c = fold_to_w4(repack_float(wf3, GGMLQuantType.Q4_K))
+    assert "q6_t" in w4c.aux  # kc=1024: compact-eligible
+    x3 = jnp.asarray(rng.standard_normal((2, 2048)) * 0.7, jnp.float32)
+    import os
+
+    old_env = os.environ.get("LKTPU_W4_BKC")
+    os.environ["LKTPU_W4_BKC"] = "512"
+    try:
+        assert qmm_w4_matmul(x3, jax.tree.map(jnp.asarray, w4c),
                              interpret=True) is None
+    finally:
+        if old_env is None:
+            os.environ.pop("LKTPU_W4_BKC", None)
+        else:
+            os.environ["LKTPU_W4_BKC"] = old_env
     wf2 = (rng.standard_normal((64, 2048)) * 0.1).astype(np.float32)
     w4x = fold_to_w4(repack_float(wf2, GGMLQuantType.Q4_K), precise=True)
     assert "q6_t" not in w4x.aux
