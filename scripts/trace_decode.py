@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_traced(preset: str, mode: str, steps: int, out_dir: str,
-               kv: str = "") -> None:
+               kv: str = "", fill: int = 64, cells: int = 1024) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,22 +45,24 @@ def run_traced(preset: str, mode: str, steps: int, out_dir: str,
         fast_int8=(mode == "int8"),
         fast_w4a8={"w4a8": True, "exact": "w4x"}.get(mode, False), fuse=True)
     jax.block_until_ready(jax.tree.leaves(params))
-    ctx = LlamaContext(cfg, params, n_cells=1024, compute_dtype=jnp.bfloat16,
+    ctx = LlamaContext(cfg, params, n_cells=cells, compute_dtype=jnp.bfloat16,
                        buckets=(8, 16, 32, 64, 128, 256, 512),
-                       prefer_unrolled=True, kv_quant=kv or False)
+                       n_ubatch=1024, prefer_unrolled=True,
+                       vis_bucketing=(cells <= 1024),
+                       kv_quant=kv or False)
     rng = np.random.default_rng(0)
-    prompt = rng.integers(0, cfg.vocab_size, 64).astype(np.int32)
+    prompt = rng.integers(0, cfg.vocab_size, fill).astype(np.int32)
     assert ctx.decode(Batch.single(prompt)) == 0
-    tok = int(np.argmax(ctx.get_logits()[0]))
+    tok = int(np.argmax(ctx.get_logits()[-1]))
 
     def run_loop(n):
         slots_flat = ctx.meta.find_slots(n)
-        pos = np.arange(64, 64 + n, dtype=np.int32)
+        pos = np.arange(fill, fill + n, dtype=np.int32)
         ctx.meta.commit(slots_flat, pos, np.zeros(n, np.int32))
         out, cache, *_ = generate_loop(
             ctx.params, ctx.cfg, ctx.cache,
             jnp.asarray(ctx.meta.pos), jnp.asarray(ctx.meta.seq),
-            jnp.full((1,), tok, jnp.int32), jnp.full((1,), 64, jnp.int32),
+            jnp.full((1,), tok, jnp.int32), jnp.full((1,), fill, jnp.int32),
             jnp.zeros((1,), jnp.int32), jnp.asarray(slots_flat.reshape(n, 1)),
             n, SampleParams(), jnp.bfloat16)
         ctx.cache = cache
@@ -136,10 +138,14 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--out", default="/tmp/tr_decode")
     ap.add_argument("--kv", default="", help="q8_0 | q4_0 quantized KV cache")
+    ap.add_argument("--fill", type=int, default=64,
+                    help="prefill length (long-context repro: e.g. 8192)")
+    ap.add_argument("--cells", type=int, default=1024)
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
-        run_traced(args.preset, args.mode, args.steps, args.out, kv=args.kv)
+        run_traced(args.preset, args.mode, args.steps, args.out, kv=args.kv,
+                   fill=args.fill, cells=args.cells)
     if args.out != "none":
         analyze(args.out, args.steps)
 
