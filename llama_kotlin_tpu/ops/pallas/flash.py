@@ -35,6 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _sc_row(ref, hh):
+    """One head's [Ct] scale row: 2D [kvps, Ct] blocks on the decode path
+    (layout-free collapse of the cache's [L, KV, cells] planes) or 3D
+    [kvps, 1, Ct] when the head block isn't a sublane multiple (see the
+    call-site comment)."""
+    return ref[hh] if len(ref.shape) == 2 else ref[hh, 0]
+
+
 def _kernel(q_ref, k_ref, v_ref, mask_ref, *rest,
             scale, logit_softcap, n_ctiles, quantized, bits):
     """Per-grid-step attention over the kv heads in the block.
@@ -96,14 +104,14 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
             qadj, ku, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         s = s - 8.0 * jnp.sum(q[:, :d2], axis=-1, keepdims=True)
-        s = s * scale * ks_ref[hh, 0][None, :]
+        s = s * scale * _sc_row(ks_ref, hh)[None, :]
     else:
         k = kt().astype(jnp.float32)  # [Ct, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [R, Ct]
         if quantized:  # fold per-cell K scales into the score columns
-            s = s * ks_ref[hh, 0][None, :]
+            s = s * _sc_row(ks_ref, hh)[None, :]
     if logit_softcap > 0.0:
         s = jnp.tanh(s / logit_softcap) * logit_softcap
     visible = mask_ref[...] != 0
@@ -125,7 +133,7 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
         vl = pltpu.bitcast(vb & jnp.uint8(0x0F), jnp.int8).astype(jnp.float32)
         vh = pltpu.bitcast(vb & jnp.uint8(0xF0), jnp.int8).astype(jnp.float32)
         vu = jnp.concatenate([vl, vh], axis=-1)  # [Ct, Dv] plane order
-        pt = p * vs_ref[hh, 0][None, :]
+        pt = p * _sc_row(vs_ref, hh)[None, :]
         pv = jax.lax.dot_general(
             pt, vu, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [R, Dv]
@@ -136,7 +144,7 @@ def _attend_head(q_ref, k_ref, v_ref, mask_ref, ks_ref, vs_ref,
     else:
         v = vt().astype(jnp.float32)  # [Ct, D]
         if quantized:  # fold per-cell V scales into the probability columns
-            p = p * vs_ref[hh, 0][None, :]
+            p = p * _sc_row(vs_ref, hh)[None, :]
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [R, D]
@@ -250,22 +258,46 @@ def flash_attention(q, k, v, mask, *, scale: float, logit_softcap: float = 0.0,
     ]
     operands = [qh, k, v, mask_i8]
     if quantized:
-        # scales ride as [KV, 1, cells] so the block's last-two dims are
-        # (1, ct) — Mosaic requires second-minor block dims divisible by 8
-        # or equal to the array dim, which a bare [KV, cells] layout breaks
-        # whenever the head-block count isn't a sublane multiple
-        in_specs += [
-            pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
-        ]
-        if layered:  # [L, KV, cells] -> [L*KV, 1, cells]
-            nL = k.shape[0]
-            operands += [
-                k_scale.astype(jnp.float32).reshape(nL * kv, 1, cells),
-                v_scale.astype(jnp.float32).reshape(nL * kv, 1, cells)]
+        if kvps % 8 == 0:
+            # Decode path (head block a sublane multiple): scales ride 2D
+            # [L*KV, cells] — a LAYOUT-FREE collapse of the cache's
+            # [L, KV, cells] f32 planes (kvps % 8 == 0 implies KV % 8 == 0,
+            # so the collapse keeps bytes identical) with (kvps, ct)
+            # blocks.  The previous [.., 1, cells] operand forced XLA to
+            # relayout both whole scale planes (sublane dim 1 pads to 8)
+            # EVERY STEP inside the decode loop — an O(L*KV*cells) strided
+            # DMA storm that grew with context: round-5 device trace at 8k
+            # cells showed 161 ms/step of slice-starts and q8_0 KV running
+            # 4.1x SLOWER than bf16 at 32k.
+            sc2 = lambda gi, ci: sc_map(gi, ci)[::2]  # (row, 0, ci) -> (row, ci)
+            in_specs += [
+                pl.BlockSpec((kvps, ct), sc2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((kvps, ct), sc2, memory_space=pltpu.VMEM),
+            ]
+            shape2 = (k.shape[0] * kv, cells) if layered else (kv, cells)
+            operands += [k_scale.astype(jnp.float32).reshape(shape2),
+                         v_scale.astype(jnp.float32).reshape(shape2)]
         else:
-            operands += [k_scale.astype(jnp.float32)[:, None, :],
-                         v_scale.astype(jnp.float32)[:, None, :]]
+            # Per-head prefill sweep (kvps=1) and odd head counts: scales
+            # ride as [KV, 1, cells] so the block's last-two dims are
+            # (1, ct) — Mosaic requires second-minor block dims divisible
+            # by 8 or equal to the array dim, which a bare [KV, cells]
+            # layout breaks whenever the head-block count isn't a sublane
+            # multiple.  The relayout this forces is amortised across the
+            # prefill batch; decode never takes this branch for KV % 8 == 0
+            # models.
+            in_specs += [
+                pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((kvps, 1, ct), sc_map, memory_space=pltpu.VMEM),
+            ]
+            if layered:  # [L, KV, cells] -> [L*KV, 1, cells]
+                nL = k.shape[0]
+                operands += [
+                    k_scale.astype(jnp.float32).reshape(nL * kv, 1, cells),
+                    v_scale.astype(jnp.float32).reshape(nL * kv, 1, cells)]
+            else:
+                operands += [k_scale.astype(jnp.float32)[:, None, :],
+                             v_scale.astype(jnp.float32)[:, None, :]]
     out = pl.pallas_call(
         lambda *refs: _kernel(*refs, scale=scale, logit_softcap=logit_softcap,
                               n_ctiles=n_ctiles, quantized=quantized,

@@ -36,8 +36,10 @@ def run_traced(preset: str, mode: str, steps: int, out_dir: str,
     from llama_kotlin_tpu.runtime.batch import Batch
     from llama_kotlin_tpu.runtime.context import LlamaContext
     from llama_kotlin_tpu.runtime.generate import SampleParams, generate_loop
-    from llama_kotlin_tpu.utils.profiling import enable_compile_cache
+    from llama_kotlin_tpu.utils.profiling import (default_xla_opts,
+                                                  enable_compile_cache)
 
+    default_xla_opts()  # tuned TPU compiler options (one site: profiling.py)
     enable_compile_cache()
     cfg = preset_config(preset)
     params = synthetic_params_device(
